@@ -1,0 +1,30 @@
+"""finetoo_sp_spark — a PySpark-native structured-document extraction engine.
+
+A from-scratch reimplementation of the *capabilities* of the Finetoo
+Structuring Protocol (reference: bon-cdp/finetoo_sp, a C++20 schema-driven
+extraction engine) as an idiomatic Spark pipeline:
+
+- schema-driven tokenize -> tree/region build -> region classification ->
+  typed-field + main-text + span extraction (``extraction/``), all inside
+  vectorized pandas/Arrow UDFs — the web analogue of the reference's DXF
+  parser (reference: src/parser/dxf_text_parser.cc) and semantic block
+  classifier (reference: docs/SEMANTIC_UNDERSTANDING.md);
+- the reference's 8 generic relational primitives
+  (reference: src/operations/operation_executor.h:28-60) as DataFrame
+  combinators plus a plan interpreter (``operators/``);
+- schema registry with per-property operational metadata and operator
+  discovery (reference: src/schema/schema_analyzer.cc) (``schema/``);
+- content hashing / divergence analytics
+  (reference: src/graph/block_analyzer.cc) (``operators/divergence.py``);
+- large-scale training-data pipeline ops: dedup (exact / MinHash-LSH /
+  SimHash / n-gram Jaccard / embedding cosine), similarity search, text
+  quality analytics (``operators/dedup.py``, ``operators/similarity.py``,
+  ``functions/text.py``);
+- per-partition lineage manifests + checkpoint resume (``sources/lineage.py``).
+
+Everything is DataFrame/SQL-first: Catalyst owns predicate pushdown, column
+pruning and join strategy; Python appears only inside Arrow-batched pandas
+UDFs (never row-at-a-time).
+"""
+
+__version__ = "0.1.0"

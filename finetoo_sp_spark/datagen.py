@@ -1,0 +1,194 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Schema matches BASELINE.json input_hint exactly:
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+
+Every page is a pure function of its integer id — no wall clock, no global
+RNG state — so the corpus is identical across runs, partitionings and
+cluster sizes, and can be generated *distributed* (``spark.range`` +
+``mapInPandas``) at any scale. The generator also emits the **expected
+extracted main text** per page, computed independently of the extractor
+(from the source paragraphs, not by running the classifier), which is what
+makes byte-identical fixture tests honest.
+
+Page anatomy (mirrors the reference's test corpus role,
+binder_test_no_refs/: known documents with known extractable content):
+
+- <title> + one <h1> (content: the h1 counts as a content block);
+- K content paragraphs of >= MIN_CONTENT_WORDS plain words (no links)
+  -> always classified content;
+- nav/header/footer/sidebar blocks made ~100% of link text
+  -> always classified boilerplate;
+- a short "teaser" paragraph of < MIN_CONTENT_WORDS words
+  -> boilerplate by the word-count rule (tests the threshold edge);
+- a <script> region -> excluded raw-text region.
+
+Host skew: urls are assigned to hosts by a Zipf-ish rule (host id =
+id % (1 + id % 97) pattern produces a few very hot hosts), so the
+``xxhash64(url)`` salting path has real skew to defuse at scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_WORDS = np.array(
+    """data spark engine query graph schema block entity extract content page
+    crawl parse token region field span text density link node edge plan
+    filter project join aggregate traverse compare match group sort hash
+    lineage manifest resume partition shuffle broadcast salt skew scale
+    vector cosine shingle minhash simhash cluster corpus fixture oracle
+    pipeline column arrow pandas batch kernel deterministic byte identical
+    throughput efficiency executor driver stage task codegen pushdown""".split()
+)
+
+_LANGS = np.array(["en", "en", "en", "de", "fr", "es", "pt", "it", "nl", "pl"])
+
+_EPOCH_2025 = pd.Timestamp("2025-01-01", tz="UTC")
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("page_id", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), False),
+        StructField("html", BinaryType(), False),
+        StructField("text", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("expected_text", StringType(), False),
+    ]
+)
+
+
+def _mix(ids: np.ndarray, salt: int) -> np.ndarray:
+    """SplitMix64 — deterministic per-id uint64 stream, vectorized.
+    Wrapping multiplication is intentional (mod 2^64 mixing)."""
+    with np.errstate(over="ignore"):
+        z = ids.astype(np.uint64) + np.uint64((salt + 1) * 0x9E3779B97F4A7C15 % (1 << 64))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _sentence(ids: np.ndarray, para: int, n_words: int) -> np.ndarray:
+    """Vectorized: per id, a sentence of n_words words drawn deterministically."""
+    cols = []
+    for w in range(n_words):
+        idx = _mix(ids, salt=1000 * para + w) % np.uint64(len(_WORDS))
+        cols.append(_WORDS[idx.astype(np.int64)])
+    out = cols[0].astype(object)
+    for c in cols[1:]:
+        out = out + " " + c.astype(object)
+    return out + "."
+
+
+def gen_pages_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Pure function ids -> pages batch (the distributed inner kernel)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+
+    host_mod = 1 + (ids % 97)
+    host_id = ids % np.maximum(host_mod, 1)  # heavy skew toward small host ids
+    host = np.char.add("host", host_id.astype("U8"))
+    url = (
+        np.char.add(
+            np.char.add(np.char.add("https://", host.astype("U16")), ".example.com/page/"),
+            ids.astype("U12"),
+        )
+    ).astype(object)
+
+    lang = _LANGS[(_mix(ids, 7) % np.uint64(len(_LANGS))).astype(np.int64)]
+
+    title = _sentence(ids, para=90, n_words=4)
+    h1 = _sentence(ids, para=91, n_words=5)
+
+    n_paras = 2 + (_mix(ids, 8) % np.uint64(4)).astype(np.int64)  # 2..5
+    paras = [_sentence(ids, para=p, n_words=12 + p) for p in range(5)]
+    teaser = _sentence(ids, para=80, n_words=5)  # < MIN_CONTENT_WORDS
+
+    nav_words = [_sentence(ids, para=70 + k, n_words=2) for k in range(4)]
+    nav = np.array(
+        [
+            "<ul>"
+            + "".join(f'<li><a href="/{w[:-1].replace(" ", "-")}">{w[:-1]}</a></li>' for w in ws)
+            + "</ul>"
+            for ws in zip(*nav_words)
+        ],
+        dtype=object,
+    )
+    footer = np.array(
+        [
+            f'<p><a href="/about">about {h}</a> <a href="/terms">terms</a> <a href="/contact">contact</a></p>'
+            for h in host
+        ],
+        dtype=object,
+    )
+
+    body_parts = []
+    expected_parts = []
+    for i in range(n):
+        k = int(n_paras[i])
+        ps = [paras[p][i] for p in range(k)]
+        body = "".join(f"<p>{p}</p>" for p in ps)
+        body_parts.append(body)
+        expected_parts.append([h1[i]] + ps)
+
+    html = np.array(
+        [
+            f'<!DOCTYPE html><html lang="{lang[i]}"><head><title>{title[i]}</title>'
+            f'<script>var x = "tracking {int(ids[i])}";</script></head>'
+            f'<body><header>{nav[i]}</header>'
+            f"<main><h1>{h1[i]}</h1>{body_parts[i]}"
+            f"<p>{teaser[i]}</p></main>"
+            f"<footer>{footer[i]}</footer></body></html>"
+            for i in range(n)
+        ],
+        dtype=object,
+    )
+    expected = np.array(["\n".join(p) for p in expected_parts], dtype=object)
+
+    warc_ts = (_EPOCH_2025 + pd.to_timedelta(ids % (365 * 24 * 3600), unit="s")).tz_convert(
+        "UTC"
+    ).tz_localize(None)
+
+    return pd.DataFrame(
+        {
+            "page_id": ids,
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": [h.encode("utf-8") for h in html],
+            "text": html,  # raw text column per input_hint (pre-extraction text payload)
+            "lang": lang,
+            "expected_text": expected,
+        }
+    )
+
+
+def gen_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus: spark.range -> mapInPandas."""
+    partitions = partitions or max(1, min(256, n_pages // 2000 or 1))
+    rng = spark.range(0, n_pages, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_pages_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def write_pages(spark: SparkSession, n_pages: int, path: str, partitions: int | None = None) -> None:
+    gen_pages(spark, n_pages, partitions).write.mode("overwrite").parquet(path)
