@@ -119,13 +119,25 @@ def gen_pages_pandas(ids: np.ndarray) -> pd.DataFrame:
     paras = [_sentence(ids, para=p, n_words=12 + p) for p in range(5)]
     teaser = _sentence(ids, para=80, n_words=5)  # < MIN_CONTENT_WORDS
 
+    def _page_url(j: np.ndarray) -> np.ndarray:
+        hm = 1 + (j % 97)
+        hid = j % np.maximum(hm, 1)
+        return np.array(
+            [f"https://host{h}.example.com/page/{i}" for h, i in zip(hid, j)], dtype=object
+        )
+
+    # intra-corpus links: every page links to its "parent" pages id//2 and
+    # id//3 — gives the LINKS_TO graph real fan-in (popular low-id pages)
+    parent2, parent3 = _page_url(ids // 2), _page_url(ids // 3)
+
     nav_words = [_sentence(ids, para=70 + k, n_words=2) for k in range(4)]
     nav = np.array(
         [
             "<ul>"
             + "".join(f'<li><a href="/{w[:-1].replace(" ", "-")}">{w[:-1]}</a></li>' for w in ws)
+            + f'<li><a href="{p2}">related</a></li><li><a href="{p3}">more</a></li>'
             + "</ul>"
-            for ws in zip(*nav_words)
+            for ws, p2, p3 in zip(zip(*nav_words), parent2, parent3)
         ],
         dtype=object,
     )

@@ -67,6 +67,8 @@ _WS_RE = re.compile(r"\s+")
 
 _TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
 _LANG_RE = re.compile(r'<html[^>]*\blang\s*=\s*["\']?([a-zA-Z-]+)', re.I)
+_HREF_RE = re.compile(r'<a\s[^>]*href\s*=\s*["\']?([^"\'>\s]+)', re.I)
+_HOST_RE = re.compile(r"^(https?://[^/]+)", re.I)
 
 
 def _unescape(s: pd.Series) -> pd.Series:
@@ -193,6 +195,60 @@ def classify_blocks(tf: pd.DataFrame) -> pd.DataFrame:
         | (blocks["is_heading"] & (blocks["link_chars"] == 0) & (blocks["n_words"] >= MIN_HEADING_WORDS)),
     )
     return blocks.drop(columns=["raw"])
+
+
+def extract_links(urls: pd.Series, html_text: pd.Series) -> pd.DataFrame:
+    """Per-page outbound links, relative hrefs resolved against the page
+    host (reference analogue: INSERT -> block REFERENCES edges,
+    src/graph/graph_builder.cc:41-61). Returns columns (url, target)."""
+    urls = urls.reset_index(drop=True)
+    html_text = html_text.reset_index(drop=True)
+    hrefs = html_text.str.findall(_HREF_RE)
+    out = pd.DataFrame({"url": urls, "target": hrefs}).explode("target").dropna(
+        subset=["target"]
+    )
+    if out.empty:
+        return pd.DataFrame({"url": pd.Series(dtype=object), "target": pd.Series(dtype=object)})
+    host = out["url"].str.extract(_HOST_RE, expand=False).fillna("")
+    rel = out["target"].str.startswith("/")
+    out["target"] = np.where(rel, host + out["target"], out["target"])
+    out = out[out["target"].str.match(r"https?://", na=False)]
+    return out.reset_index(drop=True)
+
+
+def blocks_batch(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
+    """Per-batch block-level extraction: one row per non-empty DOM region.
+
+    The relational 'block node' feed for the property graph (reference
+    analogue: DXFBlock -> block nodes, graph_builder.cc:137-170).
+    """
+    urls = urls.reset_index(drop=True)
+    html_text = decode_html(html.reset_index(drop=True))
+    blocks = classify_blocks(tokenize_batch(html_text))
+    if blocks.empty:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype=object),
+                "block_id": pd.Series(dtype="int64"),
+                "tag": pd.Series(dtype=object),
+                "text": pd.Series(dtype=object),
+                "n_words": pd.Series(dtype="int64"),
+                "n_chars": pd.Series(dtype="int64"),
+                "link_density": pd.Series(dtype="float64"),
+                "is_content": pd.Series(dtype=bool),
+                "span_start": pd.Series(dtype="int64"),
+                "span_end": pd.Series(dtype="int64"),
+            }
+        )
+    out = blocks.rename(columns={"block_tag": "tag"}).copy()
+    out["url"] = urls.to_numpy(dtype=object)[out["doc"].to_numpy()]
+    out["tag"] = out["tag"].where(out["tag"].notna(), "")
+    return out[
+        [
+            "url", "block_id", "tag", "text", "n_words", "n_chars",
+            "link_density", "is_content", "span_start", "span_end",
+        ]
+    ].reset_index(drop=True)
 
 
 def extract_batch(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
