@@ -1,0 +1,88 @@
+"""Benchmark harness: one JSON line with the headline metric + per-query times.
+
+Headline = extraction throughput (pages/sec) over the deterministic
+synthetic corpus (datagen.gen_pages), matching BASELINE.json's metric.
+The per-query dict times the contract queries on $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR      parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_PAGES synthetic corpus size (default 40000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40000"))
+
+    from finetoo_sp_spark import contract
+    from finetoo_sp_spark.datagen import gen_pages
+    from finetoo_sp_spark.extraction.extract import extract_pages
+    from finetoo_sp_spark.session import get_spark
+
+    spark = get_spark(app_name="finetoo_sp_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # -- headline: extraction pages/sec (generate once, cache input) -----
+    pages = gen_pages(spark, n_pages).select("url", "html").cache()
+    pages.count()  # materialize: time extraction, not generation
+    t0 = time.time()
+    n_out = extract_pages(pages).select("url", "content_chars").count()
+    extract_s = time.time() - t0
+    pages_per_sec = n_out / extract_s if extract_s > 0 else 0.0
+    pages.unpersist()
+
+    # -- contract queries on the driver tables ---------------------------
+    bench_queries = [
+        "extract_main_text",
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "dedup_embedding_cosine",
+        "ann_topk_bruteforce",
+        "ann_lsh_bucketed",
+        "session_stats",
+        "fingerprint_summary",
+        "quality_scores",
+        "join_placed",
+        "divergence_parts",
+    ]
+    qs = contract.queries()
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pages_per_sec_extraction",
+                "value": round(pages_per_sec, 1),
+                "unit": "pages/sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_pages": n_pages,
+                "extract_sec": round(extract_s, 3),
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,850 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Every operator family from SURVEY.md §2 (and the training-data-pipeline
+extensions: dedup, similarity, text analysis, events, multimodal,
+extraction) gets a named query over the driver's parquet tables plus —
+wherever the semantics are SQL-expressible — an equivalent DuckDB oracle
+string. Column names AND types are aligned pairwise (computed ints are
+BIGINT on both sides; floats are rounded at the boundary to absorb
+summation-order ulps between engines).
+
+The flagship (``entry``) is the end-to-end extraction pipeline: the
+driver documents are wrapped in a deterministic HTML template
+(extraction/docpages.py) whose correct extraction is computable in plain
+SQL — so the oracle check IS the byte-identical-text-per-url invariant
+from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from finetoo_sp_spark.extraction.docpages import documents_to_pages
+from finetoo_sp_spark.extraction.extract import extract_pages
+from finetoo_sp_spark.operators import dedup as dd
+from finetoo_sp_spark.operators import similarity as sim
+from finetoo_sp_spark.operators import textstats as ts
+from finetoo_sp_spark.operators import windows as ev
+from finetoo_sp_spark.operators.primitives import (
+    PropertyGraphFrames,
+    op_aggregate,
+    op_compare,
+    op_filter,
+    op_group_by,
+    op_join,
+    op_match,
+    op_project,
+    op_traverse,
+)
+from finetoo_sp_spark.schema.registry import PropertyMeta, Schema
+
+# ---------------------------------------------------------------- helpers
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def tpch_schema() -> Schema:
+    """Schema registry over the driver's TPC-H-ish tables — the analogue
+    of the reference's hand-declared CreateDXFSchema (schema-driven
+    operator discovery gates every primitive below)."""
+    s = Schema("tpch")
+    s.add_node_type(
+        "customer",
+        [
+            PropertyMeta("c_custkey", "int64", unique=True, indexed=True, comparable=True),
+            PropertyMeta("c_name", "string", indexed=True),
+            PropertyMeta("c_nationkey", "int64", indexed=True),
+            PropertyMeta("c_acctbal", "double", indexed=True, comparable=True, aggregable=True),
+            PropertyMeta("c_mktsegment", "string", indexed=True),
+        ],
+    )
+    s.add_node_type(
+        "orders",
+        [
+            PropertyMeta("o_orderkey", "int64", unique=True, indexed=True),
+            PropertyMeta("o_custkey", "int64", indexed=True),
+            PropertyMeta("o_orderstatus", "string", indexed=True),
+            PropertyMeta("o_totalprice", "double", indexed=True, comparable=True, aggregable=True),
+            PropertyMeta("o_orderpriority", "string", indexed=True),
+        ],
+    )
+    s.add_node_type(
+        "part",
+        [
+            PropertyMeta("p_partkey", "int64", unique=True, indexed=True),
+            PropertyMeta("p_name", "string", indexed=True),
+            PropertyMeta("p_brand", "string", indexed=True),
+            PropertyMeta("p_type", "string", indexed=True),
+            PropertyMeta("p_size", "int64", indexed=True, comparable=True, aggregable=True),
+            PropertyMeta("p_retailprice", "double", comparable=True, aggregable=True),
+        ],
+    )
+    s.add_node_type(
+        "lineitem",
+        [
+            PropertyMeta("l_orderkey", "int64", indexed=True),
+            PropertyMeta("l_quantity", "double", indexed=True, comparable=True, aggregable=True),
+            PropertyMeta("l_returnflag", "string", indexed=True),
+        ],
+    )
+    s.add_edge_type("PLACED", "customer", "orders")
+    return s
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraphFrames:
+    """The driver tables mounted as a property graph (nodes_by_type model,
+    SURVEY §1.1): per-type node frames + the PLACED edge frame."""
+    cust = T(spark, sf_dir, "customer").withColumn("node_id", F.col("c_custkey"))
+    orders = T(spark, sf_dir, "orders").withColumn("node_id", F.col("o_orderkey"))
+    part = T(spark, sf_dir, "part").withColumn("node_id", F.col("p_partkey"))
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "node_id", F.concat_ws("-", "l_orderkey", "l_linenumber")
+    )
+    edges = T(spark, sf_dir, "orders").select(
+        F.lit("PLACED").alias("edge_type"),
+        F.col("o_custkey").alias("src"),
+        F.col("o_orderkey").alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    return PropertyGraphFrames(
+        schema=tpch_schema(),
+        nodes={"customer": cust, "orders": orders, "part": part, "lineitem": li},
+        edges=edges,
+    )
+
+
+_CUSTOMER_COLS = "c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment"
+_ORDERS_COLS = "o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+
+_WORDS_SQL = "regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+_STOP_ALL = sorted({w for ws in ts.STOPWORDS.values() for w in ws})
+
+
+def _docpages_expected_sql(cols: str) -> str:
+    """Oracle-side recomputation of the correct extraction for the
+    documents_to_pages template (docpages.py)."""
+    return f"""
+WITH exp AS (
+  SELECT
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'heading for document ' || doc_id || chr(10)
+      || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text,
+    'document ' || doc_id || ' from ' || source AS title,
+    'heading for document ' || doc_id AS h1,
+    lang AS lang_attr,
+    doc_id
+  FROM documents
+)
+SELECT {cols} FROM exp"""
+
+
+# ---------------------------------------------------------------- queries
+
+_REGISTRY: list[tuple[str, Callable[[SparkSession, str], DataFrame], str | None]] = []
+
+
+def _q(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY.append((name, fn, oracle))
+        return fn
+
+    return deco
+
+
+# --- flagship extraction -------------------------------------------------
+
+_EXTRACT_ORACLE = _docpages_expected_sql("url, text, title, h1, doc_id")
+
+
+@_q("extract_main_text", _EXTRACT_ORACLE)
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out = extract_pages(pages, keep_cols=["doc_id"])
+    return out.select("url", "text", "title", "h1", "doc_id")
+
+
+@_q(
+    "extract_block_stats",
+    # text = h1 || '\n' || body, so content chars = len(h1)+len(body) = len(text)-1;
+    # the template has exactly 2 content blocks (h1 + body paragraph).
+    _docpages_expected_sql(
+        "url, CAST(2 AS BIGINT) AS n_content_blocks, "
+        "CAST(length(text) - 1 AS BIGINT) AS content_chars"
+    ),
+)
+def q_extract_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url block counts; the oracle recomputes content_chars from the
+    template's known extraction (text = h1 || nl || body)."""
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out = extract_pages(pages)
+    return out.select("url", "n_content_blocks", "content_chars")
+
+
+# --- TPC-H classics ------------------------------------------------------
+
+
+@_q(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+  round(avg(l_quantity), 4) AS avg_qty,
+  round(avg(l_extendedprice), 4) AS avg_price,
+  round(avg(l_discount), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "q3_shipping_priority",
+    """
+SELECT l_orderkey,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_q(
+    "q5_local_supplier",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name""",
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --- the 8 primitives over the property graph ---------------------------
+
+
+@_q(
+    "match_customer",
+    f"SELECT c_custkey AS node_id, {_CUSTOMER_COLS} FROM customer WHERE c_custkey = 42",
+)
+def q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    out = op_match(g, "customer", "c_custkey", 42)
+    return out.select("node_id", *[c.strip() for c in _CUSTOMER_COLS.split(",")])
+
+
+@_q(
+    "filter_customers",
+    f"SELECT c_custkey AS node_id, {_CUSTOMER_COLS} FROM customer WHERE c_acctbal > 9900.0",
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    out = op_filter(g, "customer", "c_acctbal", "GT", 9900.0)
+    return out.select("node_id", *[c.strip() for c in _CUSTOMER_COLS.split(",")])
+
+
+@_q(
+    "project_parts",
+    "SELECT p_partkey, p_name, p_retailprice AS price FROM part",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return op_project(
+        g, "part", ["p_partkey", "p_name", "p_retailprice"], rename={"p_retailprice": "price"}
+    )
+
+
+@_q(
+    "compare_acctbal",
+    """
+SELECT a.c_acctbal AS value_1, b.c_acctbal AS value_2,
+  a.c_acctbal - b.c_acctbal AS difference,
+  abs(a.c_acctbal - b.c_acctbal) <= 1000.0 AS within_tolerance
+FROM (SELECT c_acctbal FROM customer WHERE c_custkey = 1) a,
+     (SELECT c_acctbal FROM customer WHERE c_custkey = 2) b""",
+)
+def q_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return op_compare(g, "customer", "c_acctbal", "c_custkey", 1, 2, tolerance=1000.0)
+
+
+@_q(
+    "traverse_placed",
+    """
+SELECT o_custkey AS origin, o_orderkey AS dst, 1 AS depth,
+  o_custkey || ' -> ' || o_orderkey AS provenance
+FROM orders WHERE o_custkey IN (1, 2, 3, 4, 5)""",
+)
+def q_traverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return op_traverse(g, "PLACED", start_ids=[1, 2, 3, 4, 5])
+
+
+@_q(
+    "join_placed",
+    f"""
+SELECT c_custkey AS node_id, {_CUSTOMER_COLS},
+  o_orderkey AS orders_node_id,
+  {', '.join(f'{c.strip()} AS orders_{c.strip()}' for c in _ORDERS_COLS.split(','))}
+FROM customer JOIN orders ON o_custkey = c_custkey
+WHERE c_custkey <= 50""",
+)
+def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    left = g.nodes["customer"].filter(F.col("c_custkey") <= 50)
+    out = op_join(g, "customer", "orders", "PLACED", left=left)
+    cust_cols = ["node_id"] + [c.strip() for c in _CUSTOMER_COLS.split(",")]
+    ord_cols = ["orders_node_id"] + [f"orders_{c.strip()}" for c in _ORDERS_COLS.split(",")]
+    return out.select(*cust_cols, *ord_cols)
+
+
+@_q(
+    "aggregate_avg_quantity",
+    "SELECT round(avg(l_quantity), 4) AS avg_l_quantity FROM lineitem",
+)
+def q_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    out = op_aggregate(g, "lineitem", "AVG", "l_quantity")
+    return out.select(F.round("avg_l_quantity", 4).alias("avg_l_quantity"))
+
+
+@_q(
+    "group_by_priority",
+    "SELECT o_orderpriority, count(*) AS count_nodes FROM orders GROUP BY o_orderpriority",
+)
+def q_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    return op_group_by(g, "orders", "o_orderpriority")
+
+
+@_q(
+    "aggregate_global",
+    """
+SELECT count(*) AS n_rows,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(avg(l_quantity), 4) AS avg_qty,
+  min(l_quantity) AS min_qty,
+  max(l_quantity) AS max_qty,
+  round(stddev(l_quantity), 4) AS stddev_qty
+FROM lineitem""",
+)
+def q_aggregate_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev("l_quantity"), 4).alias("stddev_qty"),
+    )
+
+
+# --- sorts / limits / set ops -------------------------------------------
+
+
+@_q(
+    "top_k_orders",
+    """
+SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@_q(
+    "union_nation_keys",
+    """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+UNION SELECT DISTINCT s_nationkey FROM supplier""",
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).distinct()
+
+
+@_q(
+    "intersect_nation_keys",
+    """
+SELECT DISTINCT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT DISTINCT s_nationkey FROM supplier""",
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return c.intersect(s)
+
+
+@_q(
+    "divergence_parts",
+    """
+SELECT l_partkey, count(DISTINCT l_suppkey) AS n_versions,
+  count(*) AS n_rows,
+  count(DISTINCT l_suppkey) > 1 AS is_divergent
+FROM lineitem WHERE l_partkey <= 200
+GROUP BY l_partkey""",
+)
+def q_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 divergence rollup re-expressed over the driver tables: a part
+    is 'divergent' when multiple suppliers (versions) ship it
+    (reference: BlockDivergenceReport, proto/graph.proto:184-207)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_versions"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.countDistinct("l_suppkey") > 1).alias("is_divergent"),
+    )
+
+
+@_q(
+    "plan_filter_groupby",
+    """
+SELECT c_mktsegment, count(*) AS count_nodes
+FROM customer WHERE c_acctbal > 5000.0
+GROUP BY c_mktsegment""",
+)
+def q_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2 plan interpreter: JSON plan -> one fused DataFrame (reference:
+    ExecutePlan loop, query_service.cc:244-252)."""
+    from finetoo_sp_spark.plans.interpreter import execute_plan
+
+    g = tpch_graph(spark, sf_dir)
+    plan = [
+        {
+            "type": "FILTER",
+            "target_type": "customer",
+            "property": "c_acctbal",
+            "predicate": "GT",
+            "value": 5000.0,
+        },
+        {"type": "GROUP_BY", "target_type": "customer", "property": "c_mktsegment"},
+    ]
+    return execute_plan(g, plan).df
+
+
+@_q("block_divergence", None)  # D8 over real extracted blocks -> rows-only
+def q_block_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Divergence report over extracted DOM blocks: per (tag, block
+    position), distinct content hashes across pages (reference:
+    BlockDivergenceReport, proto/graph.proto:184-207)."""
+    from finetoo_sp_spark.extraction.graph import extract_blocks
+    from finetoo_sp_spark.operators.divergence import divergence_report
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    blocks = extract_blocks(pages).withColumn(
+        "name", F.concat_ws("#", "tag", "block_id")
+    ).withColumn("content_hash", F.sha2("text", 256))
+    return divergence_report(blocks, "name", "url", "content_hash").drop("versions")
+
+
+# --- events: histogram, sessions, rollups, JSON --------------------------
+
+
+@_q(
+    "histogram_events",
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "session_stats",
+    """
+WITH s AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS is_start
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sid AS (
+  SELECT user_id, ts,
+    CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  min(ts) AS start_ts, max(ts) AS end_ts,
+  CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+FROM sid GROUP BY user_id, session_id""",
+)
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.session_stats(T(spark, sf_dir, "events"))
+
+
+@_q(
+    "daily_rollup",
+    """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+  count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2""",
+)
+def q_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.daily_rollup(T(spark, sf_dir, "events"))
+
+
+@_q(
+    "json_prop_rollup",
+    """
+SELECT event_type, count(*) AS n_events,
+  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events GROUP BY event_type""",
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.json_prop_rollup(T(spark, sf_dir, "events"))
+
+
+# --- dedup family ---------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_JACCARD_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE doc_id < 150
+), sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS shingle
+  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12"""
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+@_q("dedup_minhash_lsh", None)  # xxhash64 has no DuckDB twin -> rows-only check
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.12)
+
+
+@_q("dedup_simhash", None)  # xxhash64 base -> rows-only check
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+
+
+_COSINE_SQL = """
+round(
+  list_sum(list_transform(range(1, 65),
+    i -> (a.embedding[i] / sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x))))
+       * (b.embedding[i] / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x))))
+  )), 6)"""
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL} >= 0.4""",
+)
+def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+# --- similarity search ----------------------------------------------------
+
+
+@_q(
+    "ann_topk_bruteforce",
+    f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COSINE_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+_BUCKET_SQL = (
+    "array_to_string(list_transform({side}.embedding[1:8], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@_q(
+    "ann_lsh_bucketed",
+    f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COSINE_SQL.replace("a.embedding", "q.embedding").replace("b.embedding", "c.embedding")} AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.vec_id != q.vec_id
+    AND {_BUCKET_SQL.format(side='q')} = {_BUCKET_SQL.format(side='c')}
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 5""",
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_bucketed(emb, emb.filter(F.col("vec_id") < 5), k=5, n_bits=8)
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@_q(
+    "token_counts",
+    f"""
+SELECT doc_id AS id, length(text) AS n_chars,
+  CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+FROM documents""",
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ts.token_counts(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("id", F.col("n_chars").cast("int").alias("n_chars"), "n_words", "n_tokens_est")
+
+
+_STOP_LIST_SQL = "[" + ", ".join(f"'{w}'" for w in _STOP_ALL) + "]"
+
+
+@_q(
+    "quality_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+  FROM documents
+)
+SELECT doc_id AS id, n_chars, n_words,
+  round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) AS mean_word_len,
+  round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) AS stopword_ratio,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(n_chars, 1), 4) AS punct_ratio,
+  round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(n_chars, 1), 4) AS upper_ratio,
+  (n_words >= 10
+   AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+   AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01) AS keep
+FROM w""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ts.quality_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "n_words",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "upper_ratio",
+        "keep",
+    )
+
+
+_LANG_COUNTS_SQL = ", ".join(
+    f"CAST(len(list_filter(ws, x -> list_contains([{', '.join(repr(w) for w in ws_)}], x))) AS INTEGER) AS c_{lang}"
+    for lang, ws_ in sorted(ts.STOPWORDS.items())
+)
+
+
+@_q(
+    "lang_id",
+    f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+c AS (SELECT doc_id, {_LANG_COUNTS_SQL} FROM w),
+b AS (SELECT *, greatest(c_de, c_en, c_es, c_fr) AS best FROM c)
+SELECT doc_id AS id,
+  CASE WHEN c_de > 0 AND c_de = best THEN 'de'
+       WHEN c_en > 0 AND c_en = best THEN 'en'
+       WHEN c_es > 0 AND c_es = best THEN 'es'
+       WHEN c_fr > 0 AND c_fr = best THEN 'fr'
+       ELSE 'und' END AS pred_lang,
+  best AS marker_hits
+FROM b""",
+)
+def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.lang_id(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "fingerprint_summary",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+    sha256(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) AS h
+  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
+), win AS (
+  SELECT doc_id, pos,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+  FROM sh
+), fp AS (
+  SELECT DISTINCT doc_id, fingerprint FROM win WHERE pos >= 3
+)
+SELECT doc_id AS id, count(*) AS n_fingerprints, min(fingerprint) AS min_fingerprint
+FROM fp GROUP BY doc_id""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.fingerprint_summary(T(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4)
+
+
+# --- multimodal plumbing ---------------------------------------------------
+
+
+def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary 'assets' derived from documents: payload =
+    utf-8 bytes, modality assigned round-robin — the plumbing is real,
+    the codec is the stub (multimodal.py)."""
+    return T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+@_q(
+    "multimodal_metadata",
+    """
+SELECT doc_id AS asset_id,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS payload_sha
+FROM documents""",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finetoo_sp_spark.multimodal import asset_metadata
+
+    return asset_metadata(_assets(spark, sf_dir))
+
+
+@_q("multimodal_features", None)  # stub decode -> rows-only check
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finetoo_sp_spark.multimodal import extract_features
+
+    return extract_features(_assets(spark, sf_dir))
+
+
+# ---------------------------------------------------------------- exports
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, fn, _ in _REGISTRY}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, _, sql in _REGISTRY if sql is not None}
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: end-to-end extraction over sf0.001 documents-as-pages."""
+    return q_extract_main_text(spark, "/root/testdata/sf0.001")

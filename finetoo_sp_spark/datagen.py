@@ -95,8 +95,13 @@ def _sentence(ids: np.ndarray, para: int, n_words: int) -> np.ndarray:
     return out + "."
 
 
-def gen_pages_pandas(ids: np.ndarray) -> pd.DataFrame:
-    """Pure function ids -> pages batch (the distributed inner kernel)."""
+def gen_pages_pandas(ids: np.ndarray, page_scale: int = 1) -> pd.DataFrame:
+    """Pure function ids -> pages batch (the distributed inner kernel).
+
+    ``page_scale`` multiplies the number of body paragraphs: 1 -> ~3 KB
+    toy pages (unit tests), 8 -> ~20 KB (realistic Common-Crawl-sized
+    pages for benchmarking). Still fully deterministic per (id, scale).
+    """
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
 
@@ -115,8 +120,9 @@ def gen_pages_pandas(ids: np.ndarray) -> pd.DataFrame:
     title = _sentence(ids, para=90, n_words=4)
     h1 = _sentence(ids, para=91, n_words=5)
 
-    n_paras = 2 + (_mix(ids, 8) % np.uint64(4)).astype(np.int64)  # 2..5
-    paras = [_sentence(ids, para=p, n_words=12 + p) for p in range(5)]
+    max_paras = 5 * page_scale
+    n_paras = (2 + (_mix(ids, 8) % np.uint64(4)).astype(np.int64)) * page_scale  # 2..5 per scale unit
+    paras = [_sentence(ids, para=p, n_words=12 + p % 9) for p in range(max_paras)]
     teaser = _sentence(ids, para=80, n_words=5)  # < MIN_CONTENT_WORDS
 
     def _page_url(j: np.ndarray) -> np.ndarray:
@@ -189,7 +195,12 @@ def gen_pages_pandas(ids: np.ndarray) -> pd.DataFrame:
     )
 
 
-def gen_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) -> DataFrame:
+def gen_pages(
+    spark: SparkSession,
+    n_pages: int,
+    partitions: int | None = None,
+    page_scale: int = 1,
+) -> DataFrame:
     """Distributed deterministic corpus: spark.range -> mapInPandas."""
     partitions = partitions or max(1, min(256, n_pages // 2000 or 1))
     rng = spark.range(0, n_pages, 1, partitions)
@@ -197,10 +208,16 @@ def gen_pages(spark: SparkSession, n_pages: int, partitions: int | None = None) 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield gen_pages_pandas(pdf["id"].to_numpy())
+                yield gen_pages_pandas(pdf["id"].to_numpy(), page_scale=page_scale)
 
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
 
 
-def write_pages(spark: SparkSession, n_pages: int, path: str, partitions: int | None = None) -> None:
-    gen_pages(spark, n_pages, partitions).write.mode("overwrite").parquet(path)
+def write_pages(
+    spark: SparkSession,
+    n_pages: int,
+    path: str,
+    partitions: int | None = None,
+    page_scale: int = 1,
+) -> None:
+    gen_pages(spark, n_pages, partitions, page_scale).write.mode("overwrite").parquet(path)

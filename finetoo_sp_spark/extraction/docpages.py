@@ -1,0 +1,68 @@
+"""Deterministic documents->pages bridge for the driver corpus.
+
+The driver's correctness gate runs over its own parquet tables; the
+extraction engine's input is a pages table (input_hint schema). This
+module wraps each `documents` row in a fixed HTML template **with pure
+column ops** (F.concat — no UDF, no Python), producing a pages DataFrame
+whose correct extraction is *computable in plain SQL*:
+
+    expected text  =  'heading for document <doc_id>' || '\n' || trim(text)
+
+because the template contains exactly one <h1> (content) and one body
+paragraph (content: every driver document has >= 10 words), plus
+boilerplate the classifier must strip: a nav of links, a short teaser
+paragraph (< MIN_CONTENT_WORDS), a script region, and a link-only
+footer. That turns the driver's DuckDB value-hash comparison into a
+byte-identical end-to-end extraction check — the strongest available
+form of the BASELINE "byte-identical extracted text per url" invariant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+URL_PREFIX = "https://"
+URL_MID = ".example.com/doc/"
+
+
+def documents_to_pages(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, text, lang, source, ...) -> pages(url, warc_ts,
+    html:binary, text, lang) per BASELINE.json input_hint."""
+    d = documents
+    url = F.concat(F.lit(URL_PREFIX), F.col("source"), F.lit(URL_MID), F.col("doc_id"))
+    title = F.concat(F.lit("document "), F.col("doc_id"), F.lit(" from "), F.col("source"))
+    h1 = F.concat(F.lit("heading for document "), F.col("doc_id"))
+    nav = F.concat(
+        F.lit('<ul><li><a href="/home">home</a></li><li><a href="/tags/'),
+        F.col("source"),
+        F.lit('">'),
+        F.col("source"),
+        F.lit('</a></li><li><a href="/about">about</a></li></ul>'),
+    )
+    html = F.concat(
+        F.lit('<!DOCTYPE html><html lang="'),
+        F.col("lang"),
+        F.lit('"><head><title>'),
+        title,
+        F.lit("</title><script>var doc_id = "),
+        F.col("doc_id"),
+        F.lit(";</script></head><body><header>"),
+        nav,
+        F.lit("</header><main><h1>"),
+        h1,
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><p>short teaser here</p></main><footer>"),
+        F.lit('<p><a href="/terms">terms</a> <a href="/contact">contact</a></p>'),
+        F.lit("</footer></body></html>"),
+    )
+    warc_ts = F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") % 31536000)
+    return d.select(
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+        F.col("doc_id").alias("doc_id"),
+    )

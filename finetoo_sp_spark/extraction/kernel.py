@@ -1,25 +1,28 @@
-"""Pure-pandas extraction kernels (no Spark imports).
+"""Vectorized extraction kernels (no Spark imports).
 
 This module is the per-batch "inner loop" that runs inside Arrow-batched
 ``mapInPandas`` on executors. It re-expresses the reference's *stateful,
-per-row* C++ parser as *vectorized, per-batch* pandas ops:
+per-row* C++ parser as *per-batch columnar* ops:
 
 - reference pair tokenizer (src/parser/dxf_text_parser.cc:124-156, 2-line
-  code/value framing)  ->  one regex that partitions the HTML byte stream
-  into tag / text tokens, applied via ``Series.str.findall`` (C-level regex,
-  no per-row Python);
+  code/value framing)  ->  one regex that partitions the HTML stream into
+  tag / text tokens; all per-token work then runs on Arrow string arrays
+  (pyarrow.compute, C++ kernels) and numpy int arrays — the only
+  per-element Python is the initial findall (one C-regex call per doc);
 - reference section state machine (dxf_text_parser.cc:62-122, cumulative
-  SECTION/ENDSEC tracking)  ->  per-document cumulative sums over the
-  exploded token frame (block ids, anchor depth, raw-text-region depth);
+  SECTION/ENDSEC tracking)  ->  segmented cumulative sums over the token
+  arrays (block ids, anchor depth, raw-text-region depth);
 - reference region classification (docs/SEMANTIC_UNDERSTANDING.md:7-60,
   "parts vs annotations via schema flags, not hardcoded per-type rules")
   ->  text-density / link-density block scoring (Boilerpipe/trafilatura
-  family of heuristics), computed as column ops over the block frame.
+  family), via np.add.reduceat over contiguous block segments.
 
 Determinism contract (BASELINE.json: "byte-identical extracted text per
 url"): every output column is a pure function of (url, html) — no wall
 clock, no partition order, no dict iteration order. The same page yields
-the same bytes under any partitioning.
+the same bytes under any partitioning. Whitespace collapsing uses RE2's
+ASCII ``\\s`` class (pyarrow); exotic unicode whitespace is preserved —
+deterministically — rather than collapsed.
 """
 
 from __future__ import annotations
@@ -28,13 +31,15 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 # --- tokenizer ----------------------------------------------------------
 # Partitions the document completely: every char belongs to exactly one
 # token, so cumulative token lengths give exact char offsets (spans).
 _TOKEN_RE = re.compile(r"<[^>]*>|[^<]+", re.S)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
-_TAG_NAME_RE = re.compile(r"^</?\s*([a-zA-Z][a-zA-Z0-9]*)")
+_TAG_NAME_PAT = r"^</?\s*(?P<t>[a-zA-Z][a-zA-Z0-9]*)"
 
 # Tags that open a new logical block/region (reference analogue: a DXF
 # BLOCK / SECTION boundary, dxf_text_parser.cc:182-258).
@@ -65,16 +70,47 @@ _ENTITIES = [  # order matters: &amp; must be decoded last
 
 _WS_RE = re.compile(r"\s+")
 
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
-_LANG_RE = re.compile(r'<html[^>]*\blang\s*=\s*["\']?([a-zA-Z-]+)', re.I)
+_TITLE_PAT = r"(?is)<title[^>]*>(?P<t>.*?)</title>"
+_LANG_PAT = r'(?i)<html[^>]*\blang\s*=\s*["\']?(?P<t>[a-zA-Z-]+)'
 _HREF_RE = re.compile(r'<a\s[^>]*href\s*=\s*["\']?([^"\'>\s]+)', re.I)
 _HOST_RE = re.compile(r"^(https?://[^/]+)", re.I)
 
+_STR = pa.large_string()
+_EMPTY = pa.scalar("", type=_STR)
 
-def _unescape(s: pd.Series) -> pd.Series:
+
+def _unescape_arrow(arr: pa.Array) -> pa.Array:
     for ent, ch in _ENTITIES:
-        s = s.str.replace(ent, ch, regex=False)
-    return s
+        arr = pc.replace_substring(arr, pattern=ent, replacement=ch)
+    return arr
+
+
+def _extract_named(arr: pa.Array, pattern: str) -> pa.Array:
+    """extract_regex -> the single named group as a string array (null
+    where no match)."""
+    st = pc.extract_regex(arr, pattern=pattern)
+    return pc.struct_field(st, [0])
+
+
+def _norm_arrow(arr: pa.Array) -> pa.Array:
+    """Unescape entities, collapse whitespace runs, trim."""
+    arr = _unescape_arrow(arr)
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def _seg_cumsum(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each segment start.
+
+    ``offsets``: segment start indices (len = n_segments + 1, last = n).
+    """
+    if len(x) == 0:
+        return x
+    c = np.cumsum(x)
+    starts = offsets[:-1]
+    base = np.where(starts > 0, c[np.maximum(starts, 1) - 1], 0)
+    counts = np.diff(offsets)
+    return c - np.repeat(base, counts)
 
 
 def decode_html(html: pd.Series) -> pd.Series:
@@ -87,114 +123,256 @@ def decode_html(html: pd.Series) -> pd.Series:
     return html.astype("string").astype(object)
 
 
-def tokenize_batch(html_text: pd.Series) -> pd.DataFrame:
-    """Explode documents into one row per token with document-relative
-    char offsets and structural annotations.
+class TokenFrame:
+    """Columnar token stream for one batch of documents.
 
-    Returns columns: ``doc`` (position in batch), ``tok``, ``start``,
-    ``end``, ``is_tag``, ``tag``, ``is_close``, ``block_id``,
-    ``in_link``, ``in_excluded``, ``block_tag``.
+    Arrays (length = total tokens across the batch, grouped by doc in
+    input order): ``doc`` int64, ``tok``/``tag``/``block_tag`` arrow
+    strings, the rest numpy. ``offsets`` marks doc boundaries.
     """
+
+    __slots__ = (
+        "n_docs", "offsets", "doc", "tok", "start", "end", "is_tag",
+        "is_close", "tag", "in_link", "in_excluded", "block_id", "block_tag",
+    )
+
+    def __init__(self, n_docs: int, offsets, doc, tok, start, end, is_tag,
+                 is_close, tag, in_link, in_excluded, block_id, block_tag):
+        self.n_docs = n_docs
+        self.offsets = offsets
+        self.doc = doc
+        self.tok = tok
+        self.start = start
+        self.end = end
+        self.is_tag = is_tag
+        self.is_close = is_close
+        self.tag = tag
+        self.in_link = in_link
+        self.in_excluded = in_excluded
+        self.block_id = block_id
+        self.block_tag = block_tag
+
+    def to_pandas(self) -> pd.DataFrame:
+        """Test/debug view with the historical column layout."""
+        return pd.DataFrame(
+            {
+                "doc": self.doc,
+                "tok": pd.array(self.tok, dtype=pd.ArrowDtype(_STR)),
+                "start": self.start,
+                "end": self.end,
+                "is_tag": self.is_tag,
+                "tag": pd.array(self.tag, dtype=pd.ArrowDtype(_STR)),
+                "is_close": self.is_close,
+                "block_id": self.block_id,
+                "in_link": self.in_link,
+                "in_excluded": self.in_excluded,
+                "block_tag": pd.array(self.block_tag, dtype=pd.ArrowDtype(_STR)),
+            }
+        )
+
+
+def _isin_mask(arr: pa.Array, values: frozenset) -> np.ndarray:
+    return pc.is_in(arr, value_set=pa.array(sorted(values), type=_STR)).fill_null(
+        False
+    ).to_numpy(zero_copy_only=False)
+
+
+def tokenize_arrays(html_text: pd.Series) -> TokenFrame:
+    """Explode documents into columnar token arrays with doc-relative char
+    offsets and structural annotations. The hot path: one Python-level
+    regex call per doc, then Arrow/numpy only."""
+    n_docs = len(html_text)
     stripped = html_text.str.replace(_COMMENT_RE, "", regex=True)
-    toks = stripped.str.findall(_TOKEN_RE).reset_index(drop=True)
-    exploded = toks.explode().dropna()
-    tf = pd.DataFrame(
-        {"doc": exploded.index.to_numpy(dtype="int64"), "tok": exploded.to_numpy(dtype=object)}
-    )
-    if tf.empty:
-        for c in ("start", "end", "block_id"):
-            tf[c] = pd.Series(dtype="int64")
-        for c in ("is_tag", "is_close", "in_link", "in_excluded"):
-            tf[c] = pd.Series(dtype=bool)
-        tf["tag"] = pd.Series(dtype=object)
-        tf["block_tag"] = pd.Series(dtype=object)
-        return tf
+    toks = [_TOKEN_RE.findall(s) if isinstance(s, str) else [] for s in stripped]
+    counts = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n_docs)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    n = int(offsets[-1])
+    doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
 
-    tok = tf["tok"]
-    lens = tok.str.len()
-    tf["end"] = lens.groupby(tf["doc"]).cumsum()
-    tf["start"] = tf["end"] - lens
+    flat = pa.array(
+        [t for ts in toks for t in ts], type=_STR, size=n
+    ) if n else pa.array([], type=_STR)
 
-    tf["is_tag"] = tok.str.startswith("<")
-    tf["tag"] = tok.str.extract(_TAG_NAME_RE, expand=False).str.lower()
-    tf["is_close"] = tok.str.startswith("</")
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64) if n else np.zeros(0, np.int64)
+    end = _seg_cumsum(lens, offsets)
+    start = end - lens
 
-    # anchor depth: +1 at <a>, -1 at </a>; a text token's cumsum-to-here
-    # counts all tags before it (its own delta is 0).
-    a_delta = np.where(
-        (tf["tag"] == "a") & ~tf["is_close"], 1, np.where((tf["tag"] == "a") & tf["is_close"], -1, 0)
-    )
-    tf["in_link"] = pd.Series(a_delta, index=tf.index).groupby(tf["doc"]).cumsum() > 0
+    is_tag = pc.starts_with(flat, pattern="<").to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
+    is_close = pc.starts_with(flat, pattern="</").to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
+    tag = pc.utf8_lower(_extract_named(flat, _TAG_NAME_PAT)) if n else pa.array([], type=_STR)
 
-    # raw-text regions (script/style/...): exclude inner text entirely.
-    is_excl_tag = tf["tag"].isin(_EXCLUDE_TAGS)
-    x_delta = np.where(is_excl_tag & ~tf["is_close"], 1, np.where(is_excl_tag & tf["is_close"], -1, 0))
-    tf["in_excluded"] = pd.Series(x_delta, index=tf.index).groupby(tf["doc"]).cumsum() > 0
+    is_a = pc.equal(tag, "a").fill_null(False).to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
+    a_delta = np.where(is_a & ~is_close, 1, 0) - np.where(is_a & is_close, 1, 0)
+    in_link = _seg_cumsum(a_delta, offsets) > 0
+
+    is_excl = _isin_mask(tag, _EXCLUDE_TAGS) if n else np.zeros(0, bool)
+    x_delta = np.where(is_excl & ~is_close, 1, 0) - np.where(is_excl & is_close, 1, 0)
+    in_excluded = _seg_cumsum(x_delta, offsets) > 0
 
     # block segmentation: any block-level tag (open or close) starts a new
     # region — the cumsum trick from the reference's section splitter.
-    boundary = tf["is_tag"] & tf["tag"].isin(_BLOCK_TAGS)
-    tf["block_id"] = boundary.astype("int64").groupby(tf["doc"]).cumsum()
+    boundary = (is_tag & _isin_mask(tag, _BLOCK_TAGS)) if n else np.zeros(0, bool)
+    block_id = _seg_cumsum(boundary.astype(np.int64), offsets)
 
-    # block_tag = the tag that opened this region (close-tag boundaries get
-    # the closed tag's name; only heading opens matter downstream).
-    bt = pd.Series(np.where(boundary & ~tf["is_close"], tf["tag"], None), index=tf.index)
-    tf["block_tag"] = bt.groupby(tf["doc"]).ffill()
-    return tf
+    # block_tag = tag that opened this region: per-doc forward-fill of the
+    # open-boundary tags (vectorized ffill via maximum.accumulate).
+    if n:
+        src = np.full(n, -1, dtype=np.int64)
+        open_idx = np.flatnonzero(boundary & ~is_close)
+        src[open_idx] = open_idx
+        np.maximum.accumulate(src, out=src)
+        doc_start = np.repeat(offsets[:-1], counts)
+        valid = src >= doc_start
+        take_idx = pa.array(np.where(valid, src, 0), mask=~valid)
+        block_tag = tag.take(take_idx)
+    else:
+        block_tag = pa.array([], type=_STR)
 
-
-def _norm_text(s: pd.Series) -> pd.Series:
-    return _unescape(s).str.replace(_WS_RE, " ", regex=True).str.strip()
-
-
-def classify_blocks(tf: pd.DataFrame) -> pd.DataFrame:
-    """Aggregate the token frame to one row per (doc, block) with density
-    features and the content/boilerplate verdict.
-
-    Returns columns: doc, block_id, block_tag, text, n_chars, link_chars,
-    n_words, link_density, is_heading, is_content, span_start, span_end.
-    """
-    txt = tf[~tf["is_tag"] & ~tf["in_excluded"]].copy()
-    if txt.empty:
-        return pd.DataFrame(
-            columns=[
-                "doc", "block_id", "block_tag", "text", "n_chars", "link_chars",
-                "n_words", "link_density", "is_heading", "is_content",
-                "span_start", "span_end",
-            ]
-        )
-    txt["clean"] = _unescape(txt["tok"])
-    clean_len = txt["clean"].str.len()
-    txt["link_chars"] = np.where(txt["in_link"], clean_len, 0)
-
-    g = txt.groupby(["doc", "block_id"], sort=True)
-    blocks = g.agg(
-        block_tag=("block_tag", "first"),
-        raw=("clean", "sum"),
-        link_chars=("link_chars", "sum"),
-        span_start=("start", "min"),
-        span_end=("end", "max"),
-    ).reset_index()
-
-    blocks["text"] = blocks["raw"].str.replace(_WS_RE, " ", regex=True).str.strip()
-    blocks = blocks[blocks["text"].str.len() > 0].copy()
-    if blocks.empty:
-        blocks["n_chars"] = blocks["n_words"] = blocks["link_density"] = 0
-        blocks["is_heading"] = blocks["is_content"] = False
-        return blocks.drop(columns=["raw"])
-
-    blocks["n_chars"] = blocks["text"].str.len()
-    blocks["n_words"] = blocks["text"].str.split().str.len()
-    blocks["link_density"] = blocks["link_chars"] / blocks["raw"].str.len().clip(lower=1)
-    blocks["is_heading"] = blocks["block_tag"].isin(_HEADING_TAGS)
-    non_nav = blocks["link_density"] < MAX_LINK_DENSITY
-    blocks["is_content"] = np.where(
-        blocks["block_tag"].eq("title"),
-        False,  # <title> is a schema field, not body text
-        (non_nav & (blocks["n_words"] >= MIN_CONTENT_WORDS))
-        | (blocks["is_heading"] & (blocks["link_chars"] == 0) & (blocks["n_words"] >= MIN_HEADING_WORDS)),
+    return TokenFrame(
+        n_docs, offsets, doc, flat, start, end, is_tag, is_close, tag,
+        in_link, in_excluded, block_id, block_tag,
     )
-    return blocks.drop(columns=["raw"])
+
+
+def tokenize_batch(html_text: pd.Series) -> pd.DataFrame:
+    """Historical DataFrame view of :func:`tokenize_arrays` (tests)."""
+    return tokenize_arrays(html_text.reset_index(drop=True)).to_pandas()
+
+
+class BlockFrame:
+    """One row per non-empty text block: columnar arrays."""
+
+    __slots__ = (
+        "doc", "block_id", "block_tag", "text", "n_chars", "link_chars",
+        "n_words", "link_density", "is_heading", "is_content",
+        "span_start", "span_end",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    def to_pandas(self) -> pd.DataFrame:
+        bt = self.block_tag.to_pandas() if isinstance(self.block_tag, pa.Array) else self.block_tag
+        tx = self.text.to_pandas() if isinstance(self.text, pa.Array) else self.text
+        return pd.DataFrame(
+            {
+                "doc": self.doc,
+                "block_id": self.block_id,
+                "block_tag": bt,
+                "text": tx,
+                "n_chars": self.n_chars,
+                "link_chars": self.link_chars,
+                "n_words": self.n_words,
+                "link_density": self.link_density,
+                "is_heading": self.is_heading,
+                "is_content": self.is_content,
+                "span_start": self.span_start,
+                "span_end": self.span_end,
+            }
+        )
+
+
+_EMPTY_BLOCKS = dict(
+    doc=np.zeros(0, np.int64), block_id=np.zeros(0, np.int64),
+    block_tag=pa.array([], type=_STR), text=pa.array([], type=_STR),
+    n_chars=np.zeros(0, np.int64), link_chars=np.zeros(0, np.int64),
+    n_words=np.zeros(0, np.int64), link_density=np.zeros(0, np.float64),
+    is_heading=np.zeros(0, bool), is_content=np.zeros(0, bool),
+    span_start=np.zeros(0, np.int64), span_end=np.zeros(0, np.int64),
+)
+
+
+def classify_arrays(tf: TokenFrame) -> BlockFrame:
+    """Aggregate the token stream to one row per (doc, block) with density
+    features and the content/boilerplate verdict. Contiguity of blocks in
+    the token stream lets every aggregate be a reduceat over segment
+    starts — no hash groupby."""
+    keep = ~tf.is_tag & ~tf.in_excluded
+    if not keep.any():
+        return BlockFrame(**_EMPTY_BLOCKS)
+
+    idx = np.flatnonzero(keep)
+    doc_f = tf.doc[idx]
+    block_f = tf.block_id[idx]
+    clean = _unescape_arrow(tf.tok.take(pa.array(idx)))
+    clean_len = pc.utf8_length(clean).to_numpy(zero_copy_only=False).astype(np.int64)
+    link_chars_f = np.where(tf.in_link[idx], clean_len, 0)
+
+    # contiguous (doc, block) segments
+    seg_change = np.empty(len(idx), dtype=bool)
+    seg_change[0] = True
+    seg_change[1:] = (doc_f[1:] != doc_f[:-1]) | (block_f[1:] != block_f[:-1])
+    starts = np.flatnonzero(seg_change)
+    seg_offsets = np.concatenate((starts, [len(idx)]))
+
+    raw = pc.binary_join(
+        pa.LargeListArray.from_arrays(seg_offsets.astype(np.int64), clean), _EMPTY
+    )
+    raw_len = np.add.reduceat(clean_len, starts)
+    link_chars = np.add.reduceat(link_chars_f, starts)
+    span_start = tf.start[idx][starts]
+    last = seg_offsets[1:] - 1
+    span_end = tf.end[idx][last]
+    block_tag_b = tf.block_tag.take(pa.array(idx[starts]))
+    doc_b = doc_f[starts]
+    block_id_b = block_f[starts]
+
+    text = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(raw, pattern=r"\s+", replacement=" ")
+    )
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    nonempty = n_chars > 0
+    if not nonempty.all():
+        sel = pa.array(np.flatnonzero(nonempty))
+        text = text.take(sel)
+        block_tag_b = block_tag_b.take(sel)
+        doc_b, block_id_b = doc_b[nonempty], block_id_b[nonempty]
+        raw_len, link_chars = raw_len[nonempty], link_chars[nonempty]
+        span_start, span_end = span_start[nonempty], span_end[nonempty]
+        n_chars = n_chars[nonempty]
+
+    n_words = (
+        pc.count_substring(text, pattern=" ").to_numpy(zero_copy_only=False).astype(np.int64)
+        + 1
+    )
+    link_density = link_chars / np.maximum(raw_len, 1)
+    is_heading = _isin_mask(block_tag_b, _HEADING_TAGS)
+    is_title = pc.equal(block_tag_b, "title").fill_null(False).to_numpy(zero_copy_only=False)
+    is_content = ~is_title & (
+        ((link_density < MAX_LINK_DENSITY) & (n_words >= MIN_CONTENT_WORDS))
+        | (is_heading & (link_chars == 0) & (n_words >= MIN_HEADING_WORDS))
+    )
+    return BlockFrame(
+        doc=doc_b, block_id=block_id_b, block_tag=block_tag_b, text=text,
+        n_chars=n_chars, link_chars=link_chars, n_words=n_words,
+        link_density=link_density, is_heading=is_heading,
+        is_content=is_content, span_start=span_start, span_end=span_end,
+    )
+
+
+def classify_blocks(tf) -> pd.DataFrame:
+    """Historical API: token DataFrame (or TokenFrame) -> block DataFrame."""
+    if isinstance(tf, pd.DataFrame):
+        tf = _token_frame_from_pandas(tf)
+    return classify_arrays(tf).to_pandas()
+
+
+def _token_frame_from_pandas(df: pd.DataFrame) -> TokenFrame:
+    doc = df["doc"].to_numpy(dtype=np.int64)
+    n_docs = int(doc.max()) + 1 if len(doc) else 0
+    counts = np.bincount(doc, minlength=n_docs)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    to_arrow = lambda s: pa.array(s.astype(object), type=_STR, from_pandas=True)
+    return TokenFrame(
+        n_docs, offsets, doc, to_arrow(df["tok"]),
+        df["start"].to_numpy(np.int64), df["end"].to_numpy(np.int64),
+        df["is_tag"].to_numpy(bool), df["is_close"].to_numpy(bool),
+        to_arrow(df["tag"]), df["in_link"].to_numpy(bool),
+        df["in_excluded"].to_numpy(bool), df["block_id"].to_numpy(np.int64),
+        to_arrow(df["block_tag"]),
+    )
 
 
 def extract_links(urls: pd.Series, html_text: pd.Series) -> pd.DataFrame:
@@ -224,31 +402,22 @@ def blocks_batch(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
     """
     urls = urls.reset_index(drop=True)
     html_text = decode_html(html.reset_index(drop=True))
-    blocks = classify_blocks(tokenize_batch(html_text))
-    if blocks.empty:
-        return pd.DataFrame(
-            {
-                "url": pd.Series(dtype=object),
-                "block_id": pd.Series(dtype="int64"),
-                "tag": pd.Series(dtype=object),
-                "text": pd.Series(dtype=object),
-                "n_words": pd.Series(dtype="int64"),
-                "n_chars": pd.Series(dtype="int64"),
-                "link_density": pd.Series(dtype="float64"),
-                "is_content": pd.Series(dtype=bool),
-                "span_start": pd.Series(dtype="int64"),
-                "span_end": pd.Series(dtype="int64"),
-            }
-        )
-    out = blocks.rename(columns={"block_tag": "tag"}).copy()
-    out["url"] = urls.to_numpy(dtype=object)[out["doc"].to_numpy()]
-    out["tag"] = out["tag"].where(out["tag"].notna(), "")
-    return out[
-        [
-            "url", "block_id", "tag", "text", "n_words", "n_chars",
-            "link_density", "is_content", "span_start", "span_end",
-        ]
-    ].reset_index(drop=True)
+    b = classify_arrays(tokenize_arrays(html_text))
+    tags = b.block_tag.fill_null("").to_pandas().astype(object) if len(b.doc) else pd.Series(dtype=object)
+    return pd.DataFrame(
+        {
+            "url": urls.to_numpy(dtype=object)[b.doc] if len(b.doc) else pd.Series(dtype=object),
+            "block_id": b.block_id,
+            "tag": tags,
+            "text": b.text.to_pandas().astype(object) if len(b.doc) else pd.Series(dtype=object),
+            "n_words": b.n_words,
+            "n_chars": b.n_chars,
+            "link_density": b.link_density,
+            "is_content": b.is_content,
+            "span_start": b.span_start,
+            "span_end": b.span_end,
+        }
+    )
 
 
 def extract_batch(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
@@ -261,64 +430,58 @@ def extract_batch(urls: pd.Series, html: pd.Series) -> pd.DataFrame:
     """
     urls = urls.reset_index(drop=True)
     html_text = decode_html(html.reset_index(drop=True))
+    n_docs = len(urls)
 
-    tf = tokenize_batch(html_text)
-    blocks = classify_blocks(tf)
+    tf = tokenize_arrays(html_text)
+    b = classify_arrays(tf)
 
-    out = pd.DataFrame({"url": urls})
-    out["doc"] = np.arange(len(urls))
-
-    if blocks.empty:
-        joined = pd.DataFrame(columns=["doc", "text", "spans", "n_content_blocks", "content_chars"])
-    else:
-        content = blocks[blocks["is_content"]].copy()
-        content["span"] = [
-            {"start": int(s), "end": int(e), "tag": (t if isinstance(t, str) else "")}
-            for s, e, t in zip(content["span_start"], content["span_end"], content["block_tag"])
-        ]
-        g = content.groupby("doc", sort=True)
-        joined = pd.DataFrame(
-            {
-                "text": g["text"].agg("\n".join),
-                "spans": g["span"].agg(list),
-                "n_content_blocks": g.size(),
-                "content_chars": g["n_chars"].sum(),
-            }
-        ).reset_index()
-
-    n_blocks = (
-        blocks.groupby("doc", sort=True).size().rename("n_blocks").reset_index()
-        if not blocks.empty
-        else pd.DataFrame(columns=["doc", "n_blocks"])
+    # per-doc joined content text via list-of-strings join (C++)
+    content = np.flatnonzero(b.is_content)
+    doc_c = b.doc[content]
+    text_c = b.text.take(pa.array(content))
+    counts_c = np.bincount(doc_c, minlength=n_docs)
+    join_offsets = np.concatenate(([0], np.cumsum(counts_c))).astype(np.int64)
+    # interleave "\n" separators by joining with a separator scalar
+    text_per_doc = pc.binary_join(
+        pa.LargeListArray.from_arrays(join_offsets, text_c), pa.scalar("\n", type=_STR)
     )
 
-    out = out.merge(joined, on="doc", how="left").merge(n_blocks, on="doc", how="left")
-    out["text"] = out["text"].fillna("")
-    out["spans"] = out["spans"].map(lambda v: v if isinstance(v, list) else [])
-    out["n_blocks"] = out["n_blocks"].fillna(0).astype("int64")
-    out["n_content_blocks"] = out["n_content_blocks"].fillna(0).astype("int64")
-    out["content_chars"] = out["content_chars"].fillna(0).astype("int64")
+    content_chars = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(content_chars, doc_c, b.n_chars[content])
+    n_blocks = np.bincount(b.doc, minlength=n_docs) if len(b.doc) else np.zeros(n_docs, np.int64)
+
+    # spans: content blocks only (few per doc) — lightweight python build
+    spans: list[list[dict]] = [[] for _ in range(n_docs)]
+    if len(content):
+        tags_c = b.block_tag.take(pa.array(content)).fill_null("").to_pylist()
+        for d, s, e, t in zip(doc_c, b.span_start[content], b.span_end[content], tags_c):
+            spans[d].append({"start": int(s), "end": int(e), "tag": t})
 
     # typed schema fields (reference analogue: typed field mapping,
     # proto/graph.proto:213-298 CAD messages; here: title/h1/lang).
-    out["title"] = _norm_text(html_text.str.extract(_TITLE_RE, expand=False).fillna(""))
-    if not blocks.empty:
-        h1 = (
-            blocks[blocks["block_tag"].eq("h1")]
-            .groupby("doc", sort=True)["text"]
-            .first()
-            .rename("h1")
-            .reset_index()
-        )
-        out = out.merge(h1, on="doc", how="left")
-    if "h1" not in out.columns:
-        out["h1"] = ""
-    out["h1"] = out["h1"].fillna("")
-    out["lang_attr"] = html_text.str.extract(_LANG_RE, expand=False).fillna("")
+    doc_arrow = pa.array(html_text.astype(object), type=_STR, from_pandas=True)
+    title = _norm_arrow(_extract_named(doc_arrow, _TITLE_PAT).fill_null(""))
+    lang_attr = _extract_named(doc_arrow, _LANG_PAT).fill_null("")
 
-    return out[
-        [
-            "url", "text", "spans", "title", "h1", "lang_attr",
-            "n_blocks", "n_content_blocks", "content_chars",
-        ]
-    ]
+    h1 = np.full(n_docs, "", dtype=object)
+    if len(b.doc):
+        is_h1 = pc.equal(b.block_tag, "h1").fill_null(False).to_numpy(zero_copy_only=False)
+        h1_idx = np.flatnonzero(is_h1)
+        if len(h1_idx):
+            docs_h1, first_pos = np.unique(b.doc[h1_idx], return_index=True)
+            h1_text = b.text.take(pa.array(h1_idx[first_pos])).to_pylist()
+            h1[docs_h1] = h1_text
+
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "text": text_per_doc.to_pandas().astype(object),
+            "spans": spans,
+            "title": title.to_pandas().astype(object),
+            "h1": h1,
+            "lang_attr": lang_attr.to_pandas().astype(object),
+            "n_blocks": n_blocks.astype(np.int64),
+            "n_content_blocks": counts_c.astype(np.int64),
+            "content_chars": content_chars,
+        }
+    )

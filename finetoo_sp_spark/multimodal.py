@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design for image/audio/video at 100 TB: the payload is an opaque
+``binary`` column that never leaves the JVM except through Arrow batches
+into vectorized kernels; metadata (modality, declared dims, codec) rides
+in typed sibling columns so partition pruning / filtering never touches
+bytes. Decode / resize / frame-sample are per-batch pandas kernels with
+a real schema, real batch shape, and a clearly-marked stub where the
+codec library would run (PIL/ffmpeg are not in this container —
+BASELINE environment). The deterministic fallback ("fake decode")
+hashes the payload into fixed-size pseudo-features so the whole
+pipeline, including downstream joins/aggregations, is testable
+end-to-end today and swaps to a real codec by replacing one function.
+
+Reference tie-in: the reference treats PDF payloads the same way —
+opaque binary siblings of the DXFs routed to a parallel parse path
+(binder_test_no_refs/ listing; proto/graph.proto:360-383 BinderConfig).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 16
+
+META_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("payload_sha", StringType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    META_SCHEMA.fields
+    + [StructField("features", ArrayType(DoubleType()), False)]
+)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decode hook — requires an image codec (PIL), absent here.
+
+    Swap point for production; everything else in the pipeline is real.
+    """
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "use fake_features (deterministic) for plumbing tests"
+    )
+
+
+def fake_features(payload: pd.Series, dim: int = FEATURE_DIM) -> pd.Series:
+    """Deterministic pseudo-features: sha256(payload) bytes -> dim doubles
+    in [0,1). Pure function of the bytes — stable across partitionings."""
+
+    def feat(b: bytes) -> list[float]:
+        d = hashlib.sha256(bytes(b)).digest()
+        reps = (dim * 4 + len(d) - 1) // len(d)
+        raw = (d * reps)[: dim * 4]
+        arr = np.frombuffer(raw, dtype=np.uint32)[:dim]
+        return (arr / np.float64(2**32)).tolist()
+
+    return payload.map(feat)
+
+
+def asset_metadata(assets: DataFrame) -> DataFrame:
+    """(asset_id, modality, n_bytes, payload_sha) — pure JVM column ops;
+    the scan never deserializes payloads into Python."""
+    return assets.select(
+        "asset_id",
+        "modality",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("payload_sha"),
+    )
+
+
+def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Arrow-batched feature extraction over (asset_id, modality, payload).
+
+    Batch shape: one pandas DataFrame per Arrow batch; the kernel is
+    vectorized over the batch (hashlib per element is the stub decode —
+    a real codec would be vectorized the same way). Output keeps the
+    metadata columns so downstream joins need no second scan.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "payload_sha": payload.map(
+                        lambda b: hashlib.sha256(bytes(b)).hexdigest()
+                    ),
+                    "features": fake_features(payload, dim),
+                }
+            )
+
+    return assets.select("asset_id", "modality", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: emits (asset_id, frame_idx) rows for
+    frames 0, n, 2n, ... based on a declared frame count column
+    ``n_frames`` (decode stubbed; the explode/partition shape is real).
+    """
+    idx = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+    return assets.select("asset_id", F.explode(idx).alias("frame_idx"))

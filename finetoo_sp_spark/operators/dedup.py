@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all pure DataFrame plans (no driver-side loops, no
+row-at-a-time Python), chosen so each survives a 100x scale-up:
+
+- exact:      sha256(text) groupBy — one shuffle on the hash, map-side
+              partial agg; the hash key is uniform so no skew.
+- n-gram Jaccard: shingle-inverted-index self-join — the classic
+              candidate-pair generation; shuffle key = shingle. Hot
+              shingles (stopword runs) explode pair counts, so we drop
+              shingles with document frequency > max_df (standard
+              "stop-shingle" pruning; see also SNIPPETS.md spark
+              MinHashLSH notes).
+- MinHash+LSH: k permutations -> b bands x r rows; candidate pairs meet
+              in a band bucket (shuffle key = (band, bucket)); exact
+              Jaccard verification only on candidates. At 10^12 docs this
+              is the only sub-quadratic text path; banding keeps bucket
+              sizes small and the verify join is candidate-sized.
+- SimHash:    64-bit sign-of-weighted-sum fingerprint; near-dup pairs
+              share one of 4 x 16-bit bands (pigeonhole: hamming<=3 =>
+              some band equal), verified by bit_count(a^b).
+- embedding cosine: normalized dot product over `array<float>`; the
+              all-pairs form is for corpus-scale verification at small
+              SF — at scale use similarity.ann_lsh_bucketed instead.
+
+Reference tie-in: the reference dedups *blocks* by SHA-256 content hash
+over deterministically ordered entities (src/graph/block_analyzer.cc:22-30,
+proto/graph.proto:170-207); `exact_dedup` is that operator over documents,
+and the near-dup family generalizes it for web-scale corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: universal-hash modulus for MinHash permutations.
+# Small enough that a*h stays under 2^63 (no ANSI long overflow), large
+# enough for collision-free shingle hashing at banding granularity.
+_MERSENNE = (1 << 31) - 1
+
+
+def _norm_words(text_col) -> "F.Column":
+    """Lowercase, collapse whitespace, split to words — the shared text
+    canonicalization for every text-dedup path (determinism contract:
+    pure function of the input string)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct n-word shingles per document.
+
+    Implemented with F.transform over an index sequence (JVM-side, no
+    UDF): shingle i = words[i..i+n-1] joined by spaces.
+    """
+    words = _norm_words(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by sha256(text).
+
+    Returns (content_sha, keep_id, n_copies): canonical survivor = min id.
+    Scale: single shuffle on a uniform 256-bit key; no skew possible.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with n-gram Jaccard >= threshold.
+
+    inverted index self-join: |A ∩ B| = count of shared shingles;
+    |A ∪ B| = |A| + |B| - |A ∩ B|. One shuffle on shingle (candidate
+    generation) + one on the pair (intersection count).
+
+    ``max_df``: drop shingles appearing in more than max_df docs before
+    pairing — bounds the worst-case bucket to max_df^2 pairs (skew
+    defense; at web scale always set this).
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp.
+    """
+    sh = shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    idx = sh
+    if max_df is not None:
+        hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") > max_df
+        )
+        idx = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a = idx.select(F.col("id").alias("id_a"), "shingle")
+    b = idx.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32
+) -> DataFrame:
+    """(id, sig: array<bigint>[k]) MinHash signatures.
+
+    Permutation i: h_i(x) = (a_i * xxhash64(x) + b_i) mod (2^61-1), with
+    (a_i, b_i) drawn from a fixed deterministic stream (no RNG state —
+    byte-stable across runs/partitionings). k min-aggregates in one
+    groupBy pass (map-side partial min, so the shuffle carries only
+    k longs per doc per partition).
+    """
+    sh = shingles(df, id_col, text_col, n)
+    # deterministic odd multipliers / offsets per permutation
+    params = [
+        (
+            (0x9E3779B97F4A7C15 * (i + 1)) % (_MERSENNE - 1) + 1,  # a in [1, p-1]
+            (0xBF58476D1CE4E5B9 * (i + 7)) % _MERSENNE,
+        )
+        for i in range(k)
+    ]
+    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    mins = [
+        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(len(params))]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    b=bands, r=k/bands rows per band; candidate iff some band's r-slice
+    hashes equal. Shuffle keys: (band, bucket) for candidates — bucket
+    ids are xxhash64 of the slice so buckets distribute uniformly.
+    Verification re-joins the shingle index only for candidate pairs
+    (semi-join pruning), so the expensive exact Jaccard runs on
+    O(candidates), not O(n^2).
+
+    Returns (id_a, id_b, jaccard) verified >= threshold.
+    """
+    r = k // bands
+    sig = minhash_signatures(df, id_col, text_col, n, k)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1).cast("string") for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnsRenamed({"id": "id_a"})
+    b = sh.withColumnsRenamed({"id": "id_b"})
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit SimHash over word tokens.
+
+    Per doc: for each bit j, sum +-1 over xxhash64(word)'s bit j; the
+    fingerprint's bit j = (sum > 0). Expressed as 64 conditional-sum
+    aggregates in one groupBy (partial-agg friendly; shuffle carries 64
+    longs/doc/partition). Sign convention ties (sum==0 -> bit 0) are
+    deterministic.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(_norm_words(text_col)).alias("w")
+    ).filter(F.length("w") > 0)
+    h = F.xxhash64("w")
+    sums = [
+        F.sum(
+            F.when(
+                h.bitwiseAND(F.lit((1 << j) if j < 63 else -(1 << 63))) != 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    agg = words.groupBy("id").agg(*sums)
+    fp = None
+    for j in range(64):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63))).otherwise(
+            F.lit(0)
+        )
+        fp = bit if fp is None else fp.bitwiseXOR(bit)
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole banding: split 64 bits into (max_hamming+1) bands — any
+    pair within distance d shares at least one exact band. Shuffle key =
+    (band, band_bits); verify with bit_count(xor).
+    """
+    nb = max_hamming + 1
+    width = 64 // nb
+    fps = simhash(df, id_col, text_col)
+    banded = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned("simhash", bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for bi in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.bits")
+    return (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bits"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine similarity >= threshold.
+
+    JVM-side arithmetic: F.aggregate over zip_with products (no UDF).
+    O(n^2) by construction — the small-SF verification oracle for the
+    scalable path (similarity.ann_lsh_bucketed); at corpus scale, bucket
+    first and run this within buckets only.
+    """
+    from finetoo_sp_spark.operators.similarity import with_norm
+
+    v = with_norm(emb, id_col, vec_col)
+    a = v.select(F.col("id").alias("id_a"), F.col("unit").alias("ua"))
+    b = v.select(F.col("id").alias("id_b"), F.col("unit").alias("ub"))
+    dot = F.aggregate(
+        F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

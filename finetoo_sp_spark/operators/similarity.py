@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, both pure DataFrame plans:
+
+- brute_force_topk: exact cosine top-k — query set x corpus. The query
+  side is broadcast (queries are dimension-sized); corpus side streams,
+  so wall-clock scales linearly with corpus size and executor count.
+  This is the correctness baseline.
+- ann_lsh_bucketed: sign-LSH (random-hyperplane family, here
+  deterministic coordinate-sign planes so the oracle can reproduce the
+  buckets in plain SQL): bucket = sign bits of the first ``n_bits``
+  coordinates; exact cosine only *within* matching buckets. Recall < 1
+  by design; multiple probe tables would raise it (the standard
+  multi-probe trade). Shuffle key = bucket id, uniform-ish since
+  coordinates are roughly centered.
+
+All arithmetic is JVM-side (zip_with/aggregate fold) in double — no
+Python in the hot path. Cosines rounded to 6dp at the boundary for
+engine-portable comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, unit: array<double>) — L2-normalized vectors (zero vectors
+    pass through unnormalized to avoid div-by-zero; cosine vs them is 0)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(_dot(v, v))
+    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    return emb.select(F.col(id_col).alias("id"), unit.alias("unit"))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    ``queries``: DataFrame with the same (id_col, vec_col) shape.
+    Returns (query_id, neighbor_id, cosine, rank), rank 1..k,
+    deterministic tie-break on (cosine desc, neighbor_id asc). Self-pairs
+    (same id) are excluded.
+
+    Scale: broadcast the query side; one narrow scan over the corpus +
+    one shuffle for the per-query top-k (partial top-k would need a
+    window; for large k use sort within repartitioned query groups).
+    """
+    from pyspark.sql.window import Window
+
+    c = with_norm(emb, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("unit").alias("cv")
+    )
+    q = with_norm(queries, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("unit").alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec_col, n_bits: int = 8):
+    """Deterministic LSH bucket: bit i = (vec[i] >= 0). Plain coordinate
+    signs rather than random projections so an external SQL oracle can
+    recompute the exact same buckets; swap in fixed random hyperplanes
+    for production (same plan shape)."""
+    bits = F.transform(
+        F.slice(F.col(vec_col) if isinstance(vec_col, str) else vec_col, 1, n_bits),
+        lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+    )
+    return F.concat_ws("", bits)
+
+
+def ann_lsh_bucketed(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's sign-LSH bucket.
+
+    Returns (query_id, neighbor_id, cosine, rank) — rank within bucket.
+    Scale: the corpus join key is the bucket id, so the cross product is
+    per-bucket (expected corpus/2^n_bits per side); one shuffle on bucket
+    + per-query window top-k.
+    """
+    from pyspark.sql.window import Window
+
+    cb = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket(vec_col, n_bits).alias("bucket"),
+    )
+    qn = with_norm(qb, "query_id", "qvec").withColumnsRenamed({"id": "query_id", "unit": "qv"})
+    cn = with_norm(cb, "neighbor_id", "cvec").withColumnsRenamed(
+        {"id": "neighbor_id", "unit": "cv"}
+    )
+    scored = (
+        qb.select("query_id", "bucket")
+        .join(cb.select("neighbor_id", "bucket"), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

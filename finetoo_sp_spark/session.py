@@ -18,28 +18,29 @@ import os
 from pyspark.sql import SparkSession
 
 
+_ENV_DEFAULT = "__env_default__"
+
+
 def get_spark(
     app_name: str = "finetoo_sp_spark",
-    master: str | None = None,
+    master: str | None = _ENV_DEFAULT,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32).
+    Pass ``master=None`` under spark-submit: the builder then inherits
+    --master instead of overriding it (setting .master() here would
+    silently win over the launch flag — the north-rule N-vs-4N runs
+    depend on --master being authoritative).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    master = master or f"local[{cpus}]"
-    if shuffle_partitions is None:
-        # local[N] -> N-ish shuffle partitions; on a real cluster this would
-        # be ~2-3x total executor cores (AQE coalesces the excess anyway).
-        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else str(cpus)
-        shuffle_partitions = cpus if n == "*" else int(n)
+    if master == _ENV_DEFAULT:
+        master = f"local[{cpus}]"
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -47,9 +48,33 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # High-thread-count local mode stalls on G1's GCLocker: Arrow /
+        # compression JNI critical sections block young-gen GC and tasks
+        # fail with "Retried waiting for GCLocker too often". Parallel GC
+        # has no such stall for this batchy allocation profile, and a
+        # higher retry count absorbs the rest. (Real clusters run 4-8
+        # cores per executor JVM and rarely hit this.)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=100",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master is not None:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    if shuffle_partitions is None:
+        # cores-ish shuffle partitions; on a real cluster ~2-3x total
+        # executor cores (AQE coalesces the excess anyway).
+        shuffle_partitions = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

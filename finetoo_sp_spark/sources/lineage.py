@@ -63,84 +63,170 @@ def _manifest_frame(result: DataFrame, input_counts: DataFrame) -> DataFrame:
 
 def read_manifests(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = os.path.join(out_dir, MANIFEST_DIRNAME)
+    if not os.path.isdir(path):  # cheap driver-side check, no Spark job
+        return None
     try:
         return spark.read.parquet(path)
     except Exception:
         return None
 
 
-def write_with_manifests(result: DataFrame, out_dir: str) -> None:
+def write_with_manifests(
+    result: DataFrame,
+    out_dir: str,
+    input_counts: DataFrame | None = None,
+    n_buckets: int | None = None,
+) -> None:
     """Write a bucketed result + its manifest rows.
 
-    ``result`` must carry a ``bucket`` column. Data lands under
-    ``out_dir/data`` partitioned by bucket via *dynamic partition
-    overwrite* — re-running a bucket (e.g. after a mid-write failure)
-    replaces exactly that bucket's files, never duplicates them. Manifests
-    land under ``out_dir/_manifests`` (manifest presence == commit marker
-    for that bucket; written only after the data commit succeeds).
+    ``result`` must carry a ``bucket`` column; ``input_counts`` is
+    (bucket, input_count) computed from the *input* side (cheap parquet
+    count — computing it from ``result`` would re-run the extraction).
+
+    Scale discipline:
+    - ``repartition(n_buckets, bucket)`` right before the write so each
+      task emits ~one bucket -> ~n_buckets output files total, instead of
+      tasks x buckets tiny files whose commit serializes on the driver;
+      this shuffle moves *extracted* text (much smaller than raw html)
+      and IS the hash(url) anti-skew salt of the north rule.
+    - dynamic partition overwrite: re-running a bucket (after a failure)
+      replaces exactly that bucket's files, never duplicates.
+    - manifests land under ``out_dir/_manifests`` only after the data
+      commit succeeds (manifest presence == commit marker per bucket),
+      and are recomputed from the files actually on disk.
     """
     spark = result.sparkSession
     data_path = os.path.join(out_dir, "data")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    if n_buckets:
+        result = result.repartition(n_buckets, "bucket")
     result.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
 
-    input_counts = result.groupBy("bucket").agg(F.count(F.lit(1)).alias("input_count"))
-    written = spark.read.parquet(data_path).join(
-        input_counts.select("bucket"), "bucket", "left_semi"
-    )
+    written = spark.read.parquet(data_path)
+    if input_counts is None:
+        # extraction is row-preserving (one output row per page), so the
+        # written data doubles as the input-count source when the caller
+        # didn't supply an independent one (unit-test path).
+        input_counts = written.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("input_count")
+        )
+    else:
+        written = written.join(
+            F.broadcast(input_counts.select("bucket")), "bucket", "left_semi"
+        )
     manifest = _manifest_frame(written, input_counts)
-    manifest.write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(out_dir, MANIFEST_DIRNAME)
-    )
+    # without this repartition AQE coalesces the tiny manifest frame to ONE
+    # task that then creates every bucket=* directory serially (seconds of
+    # hidden serial time); 32-way spreads the filesystem work
+    manifest.repartition(32, "bucket").write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, MANIFEST_DIRNAME))
 
 
 def run_resumable_extraction(
     pages: DataFrame,
     out_dir: str,
-    n_buckets: int = 64,
+    n_buckets: int = 256,
     keep_cols: list[str] | None = None,
+    strict_input_counts: bool = False,
+    pre_partition: bool = False,
 ) -> dict:
     """Extract ``pages`` -> ``out_dir``, skipping buckets already committed.
 
+    ``strict_input_counts``: compute per-bucket input counts from the
+    *input* side as an independent cross-check against output counts (one
+    extra url-only scan + tiny shuffle). Off by default: the kernel is
+    row-preserving (exactly one output row per page), so output counts
+    are the input counts; the fresh-run row total still comes from the
+    parquet metadata count (no data scan, catches dropped-partition bugs).
+
+    Salting: the ``hash(url)`` bucket id is the shuffle key for the
+    pre-write ``repartition(n_buckets, bucket)`` (inside
+    write_with_manifests), so host-level skew never concentrates in an
+    output partition. ``pre_partition=True`` additionally shuffles the
+    *raw* pages onto the bucket layout before the UDF — use when the
+    input file layout itself is host-clustered (e.g. WARC files grouped
+    by crawl host) so that UDF task sizes equalize; it costs a
+    raw-byte shuffle, so leave off for byte-balanced input splits.
+    ``n_buckets`` should be >= 4x total executor cores; it is also the
+    resume granularity.
+
     Returns a metrics dict (extraction-rate metrics manifest): buckets
-    total/committed/processed, rows in/out.
+    total/committed/processed, rows in/out, phase timings.
     """
+    import time
+
     spark = pages.sparkSession
+    phases: dict[str, float] = {}
+    t = time.time()
     pages_b = pages.withColumn("bucket", url_salt(n_buckets))
 
     committed = read_manifests(spark, out_dir)
+    input_counts = None
     if committed is not None:
         done = committed.select("bucket").distinct()
-        todo = pages_b.join(done, "bucket", "left_anti")  # resume: skip committed
+        todo = pages_b.join(F.broadcast(done), "bucket", "left_anti")  # resume
         n_done = done.count()
+        # resume path is rare + partial: always count the remaining input
+        input_counts = (
+            todo.groupBy("bucket").agg(F.count(F.lit(1)).alias("input_count")).cache()
+        )
+        n_in = int(
+            (input_counts.agg(F.sum("input_count").alias("n")).collect()[0]["n"]) or 0
+        )
     else:
         todo = pages_b
         n_done = 0
-
-    n_in = todo.count()
+        if strict_input_counts:
+            input_counts = (
+                todo.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("input_count"))
+                .cache()
+            )
+            n_in = int(
+                (input_counts.agg(F.sum("input_count").alias("n")).collect()[0]["n"])
+                or 0
+            )
+        else:
+            n_in = pages.count()  # parquet metadata count: no data scan
+    phases["plan_and_count"] = round(time.time() - t, 2)
     if n_in == 0:
+        if input_counts is not None:
+            input_counts.unpersist()
         return {
             "buckets_total": n_buckets,
             "buckets_committed_before": n_done,
             "buckets_processed": 0,
             "rows_in": 0,
             "rows_out": 0,
+            "phases": phases,
         }
 
+    t = time.time()
+    if pre_partition:
+        todo = todo.repartition(n_buckets, "bucket")
     extracted = extract_pages(
         todo, repartition_buckets=None, keep_cols=(keep_cols or []) + ["bucket"]
     )
-    write_with_manifests(extracted, out_dir)
+    write_with_manifests(
+        extracted, out_dir, input_counts, n_buckets=None if pre_partition else n_buckets
+    )
+    phases["extract_write_manifest"] = round(time.time() - t, 2)
 
+    t = time.time()
     man = read_manifests(spark, out_dir)
     agg = man.agg(
         F.countDistinct("bucket").alias("b"),
         F.sum("output_count").alias("o"),
     ).collect()[0]
+    phases["final_audit"] = round(time.time() - t, 2)
+    if input_counts is not None:
+        input_counts.unpersist()
     return {
         "buckets_total": n_buckets,
         "buckets_committed_before": n_done,
         "buckets_processed": int(agg["b"]) - n_done,
         "rows_in": n_in,
         "rows_out": int(agg["o"]),
+        "phases": phases,
     }

@@ -1,0 +1,190 @@
+"""Tests for dedup / similarity / textstats / windows / multimodal ops.
+
+Small hand-built frames with hand-computable expectations, plus
+determinism checks (same input, different partitioning -> same output).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finetoo_sp_spark.operators import dedup as dd
+from finetoo_sp_spark.operators import similarity as sim
+from finetoo_sp_spark.operators import textstats as ts
+from finetoo_sp_spark.operators import windows as ev
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+        (4, "completely different content about spark engines and shuffles"),
+        (5, "spark engines and shuffles are completely different content about"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in dd.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1,2 collapse; survivor = min id
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+    assert 2 not in out
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    sh = dd.shingles(df, "doc_id", "text", n=3).collect()
+    assert [r["shingle"] for r in sh] == ["only two"]  # clamped slice
+
+
+def test_ngram_jaccard_exact_pair(docs):
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert got[(1, 2)] == 1.0  # identical docs
+    assert (1, 3) in got  # near dup: shares most shingles
+    assert all(j <= 1.0 for j in got.values())
+
+
+def test_minhash_contains_exact_dups(docs):
+    pairs = dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical signature -> every band collides
+
+
+def test_minhash_jaccard_matches_exact(docs):
+    """Verified jaccard values must equal the exact-pair computation."""
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.1).collect()
+    }
+    for k, v in lsh.items():
+        assert exact[k] == v
+
+
+def test_simhash_deterministic_and_dup_sensitive(docs):
+    fp1 = {r["id"]: r["simhash"] for r in dd.simhash(docs, "doc_id", "text").collect()}
+    fp2 = {
+        r["id"]: r["simhash"]
+        for r in dd.simhash(docs.repartition(5), "doc_id", "text").collect()
+    }
+    assert fp1 == fp2  # partition-order independence
+    assert fp1[1] == fp1[2]  # identical docs -> identical fingerprint
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dd.simhash_pairs(docs, "doc_id", "text", max_hamming=6).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+        (4, [0.7, 0.7, 0.0, 0.0]),      # 45 degrees
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_embedding_near_dup(emb):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+             dd.embedding_near_dup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_brute_force_topk(emb):
+    out = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 4, 2]  # by cosine desc
+    assert rows[0]["cosine"] > 0.99
+
+
+def test_ann_lsh_same_bucket_only(emb):
+    out = sim.ann_lsh_bucketed(emb, emb.filter(F.col("vec_id") == 0), k=5, n_bits=4)
+    got = [r["neighbor_id"] for r in out.collect()]
+    # vec 3 ([-1,0,0,0]) hashes to a different sign bucket than vec 0
+    assert 3 not in got
+    assert 1 in got
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "alpha beta  gamma")], ["doc_id", "text"])
+    r = ts.token_counts(df, "doc_id", "text").collect()[0]
+    assert r["n_words"] == 3
+    assert r["n_chars"] == 17
+    assert r["n_tokens_est"] == 5  # ceil(17/4)
+
+
+def test_quality_scores_keep_thresholds(spark):
+    good = "the quick brown fox jumps over the lazy dog again and again today"
+    short = "too short"
+    df = spark.createDataFrame([(1, good), (2, short)], ["doc_id", "text"])
+    out = {r["id"]: r for r in ts.quality_scores(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # < 10 words
+
+
+def test_lang_id_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is big"),
+            (2, "der hund ist nicht ein katze und das haus"),
+            (3, "xyzzy plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["id"]: r["pred_lang"] for r in ts.lang_id(df, "doc_id", "text").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_winnowing_fingerprints_deterministic(spark, docs):
+    a = set(map(tuple, ts.winnowing_fingerprints(docs, "doc_id", "text").collect()))
+    b = set(map(tuple, ts.winnowing_fingerprints(docs.repartition(7), "doc_id", "text").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_sessionize_gap(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, "view"),
+        (1, t0 + dt.timedelta(minutes=10), "click"),   # same session
+        (1, t0 + dt.timedelta(minutes=50), "view"),    # 40min gap -> new session
+        (2, t0, "view"),
+    ]
+    events = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = ev.session_stats(events, gap_minutes=30)
+    got = {(r["user_id"], r["session_id"]): r["n_events"] for r in out.collect()}
+    assert got[(1, 1)] == 2 and got[(1, 2)] == 1 and got[(2, 1)] == 1
+
+
+def test_multimodal_features_deterministic(spark):
+    from finetoo_sp_spark.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"payload-one")), (2, "audio", bytearray(b"payload-two"))],
+        ["asset_id", "modality", "payload"],
+    )
+    a = {r["asset_id"]: (r["payload_sha"], tuple(r["features"])) for r in extract_features(df).collect()}
+    b = {r["asset_id"]: (r["payload_sha"], tuple(r["features"])) for r in extract_features(df.repartition(3)).collect()}
+    assert a == b
+    assert len(a[1][1]) == 16
+    assert a[1] != a[2]
+
+
+def test_multimodal_decode_stub_raises():
+    from finetoo_sp_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
