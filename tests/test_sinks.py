@@ -1,0 +1,60 @@
+"""JSON/CSV sink tests: sanitization, quoting, round-trip."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+
+from pyspark.sql import functions as F
+
+from finetoo_sp_spark.operators.sinks import sanitize_ascii, write_csv, write_json
+
+
+def test_sanitize_ascii(spark):
+    df = spark.createDataFrame(
+        [("a\nb\tc\x07dé",)], ["s"]
+    ).select(sanitize_ascii("s").alias("s"))
+    assert df.collect()[0]["s"] == "a b cd"
+
+
+def test_write_json_sanitized(spark, tmp_path):
+    df = spark.createDataFrame([(1, "part\nA\x01"), (2, "ok")], ["part_id", "name"])
+    out = str(tmp_path / "j")
+    write_json(df, out, single_file=True)
+    rows = [json.loads(line) for f in glob.glob(out + "/part-*") for line in open(f)]
+    got = {r["part_id"]: r["name"] for r in rows}
+    assert got == {1: "part A", 2: "ok"}
+
+
+def test_write_csv_quoted_header(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'say "hi", ok', 2.5)], ["id", "name", "qty"]
+    )
+    out = str(tmp_path / "c")
+    write_csv(df, out, single_file=True)
+    f = glob.glob(out + "/part-*.csv")[0]
+    raw = open(f).read()
+    assert raw.splitlines()[0] == '"id","name","qty"'
+    rows = list(csv.DictReader(open(f)))
+    assert rows[0]["name"] == 'say "hi", ok'
+    assert rows[0]["qty"] == "2.5"
+
+
+def test_graph_stats(spark):
+    """D5: nodes/edges per type, computed not stored."""
+    from finetoo_sp_spark.operators.primitives import PropertyGraphFrames
+    from finetoo_sp_spark.schema.registry import PropertyMeta, Schema
+
+    s = Schema("t")
+    s.add_node_type("n", [PropertyMeta("node_id", "int64", unique=True)])
+    g = PropertyGraphFrames(
+        schema=s,
+        nodes={"n": spark.createDataFrame([(1,), (2,)], ["node_id"])},
+        edges=spark.createDataFrame(
+            [("E", 1, 2, 1.0)], ["edge_type", "src", "dst", "weight"]
+        ),
+    )
+    got = {(r["kind"], r["entity"]): r["n"] for r in g.stats().collect()}
+    assert got[("n", "node")] == 2
+    assert got[("E", "edge")] == 1

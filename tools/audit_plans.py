@@ -1,0 +1,103 @@
+"""Physical-plan audit: explain key queries and check plan properties.
+
+For each audited query we assert the properties that matter at 100 TB:
+filters pushed to the parquet scan, column pruning (ReadSchema carries
+only needed columns), broadcast joins for dimension-sized sides, and
+WholeStageCodegen coverage. Output: a human report + FAIL lines when a
+property is missing. Run: python tools/audit_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, ".")
+
+CHECKS = {
+    # query -> list of (description, regex that must appear in the plan)
+    "q1_pricing_summary": [
+        ("shipdate filter pushed to scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
+        ("column pruning (no l_orderkey read)", r"ReadSchema: [^\n]*l_returnflag"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "q3_shipping_priority": [
+        ("customer segment filter pushed", r"PushedFilters: \[.*EqualTo\(c_mktsegment,BUILDING"),
+        ("broadcast join for customer dim", r"BroadcastHashJoin"),
+        ("whole-stage codegen", r"codegen id : "),
+    ],
+    "q5_local_supplier": [
+        ("region filter pushed", r"PushedFilters: \[.*EqualTo\(r_name,ASIA"),
+        ("broadcast joins", r"BroadcastHashJoin"),
+    ],
+    "match_customer": [
+        ("point predicate pushed", r"PushedFilters: \[.*EqualTo\(c_custkey,42"),
+        ("limit short-circuit present", r"CollectLimit"),
+    ],
+    "filter_customers": [
+        ("range predicate pushed", r"PushedFilters: \[.*GreaterThan\(c_acctbal"),
+    ],
+    "project_parts": [
+        ("column pruning to 3 cols", r"ReadSchema: struct<p_partkey:bigint,p_name:string,p_retailprice:double>"),
+    ],
+    "traverse_placed": [
+        ("start-set pushed as In filter", r"PushedFilters: \[.*In\(o_custkey"),
+    ],
+    "join_placed": [
+        ("key filter pushed", r"PushedFilters: \[.*LessThanOrEqual\(c_custkey,50"),
+        ("hash join (broadcast or shuffled)", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+    ],
+    "dedup_exact": [
+        ("only doc_id+text read", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "ann_topk_bruteforce": [
+        ("query side broadcast", r"BroadcastNestedLoopJoin|BroadcastHashJoin"),
+        ("single window for top-k", r"Window"),
+    ],
+    "session_stats": [
+        ("one shuffle on user_id", r"hashpartitioning\(user_id"),
+        ("window then aggregate", r"Window"),
+    ],
+    "extract_main_text": [
+        ("arrow-batched python stage", r"(MapInPandas|ArrowEvalPython)"),
+        ("only url/html/doc_id scanned", r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
+    ],
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from finetoo_sp_spark import contract
+    from finetoo_sp_spark.session import get_spark
+
+    spark = get_spark(app_name="plan_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    # AQE re-plans at runtime and hides codegen annotation in pre-execution
+    # explain output; disable it for static plan inspection only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    qs = contract.queries()
+    failures = 0
+    for name, checks in CHECKS.items():
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        print(f"\n=== {name} ===")
+        for desc, pat in checks:
+            ok = re.search(pat, plan) is not None
+            print(f"  {'ok  ' if ok else 'FAIL'} {desc}")
+            if not ok:
+                failures += 1
+                if "-v" in sys.argv:
+                    print(plan)
+    print(f"\n{failures} plan-property failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
