@@ -578,6 +578,100 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.json_prop_rollup(T(spark, sf_dir, "events"))
 
 
+@_q(
+    "q10_returned_items",
+    """
+SELECT c_custkey, c_name,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = T(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "window_rank_suppliers",
+    """
+SELECT * FROM (
+  SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+    CAST(row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS BIGINT) AS rk
+  FROM supplier
+) WHERE rk <= 2""",
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window rank (no window top-k exists in the
+    reference — SURVEY E-notes; this is the scalable replacement)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        T(spark, sf_dir, "supplier")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("s_nationkey", "s_suppkey", "s_name", "s_acctbal", "rk")
+    )
+
+
+@_q(
+    "except_sizes",
+    """
+SELECT DISTINCT p_size AS v FROM part
+EXCEPT SELECT DISTINCT l_linenumber FROM lineitem""",
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = T(spark, sf_dir, "part").select(F.col("p_size").alias("v")).distinct()
+    b = T(spark, sf_dir, "lineitem").select(F.col("l_linenumber").alias("v")).distinct()
+    return a.exceptAll(b).distinct()
+
+
+@_q(
+    "moving_avg_daily_value",
+    """
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+    round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1
+)
+SELECT day, day_value,
+  round(avg(day_value) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM d""",
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("DAY", F.col("ts")).alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return d.withColumn("ma7", F.round(F.avg("day_value").over(w), 4))
+
+
 # --- dedup family ---------------------------------------------------------
 
 

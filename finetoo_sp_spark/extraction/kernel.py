@@ -37,7 +37,10 @@ import pyarrow.compute as pc
 # --- tokenizer ----------------------------------------------------------
 # Partitions the document completely: every char belongs to exactly one
 # token, so cumulative token lengths give exact char offsets (spans).
-_TOKEN_RE = re.compile(r"<[^>]*>|[^<]+", re.S)
+# Third alternative: an unterminated trailing tag (truncated page) —
+# without it the tail would be silently dropped and offsets would no
+# longer partition the input (found by hypothesis).
+_TOKEN_RE = re.compile(r"<[^>]*>|[^<]+|<[^>]*\Z", re.S)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _TAG_NAME_PAT = r"^</?\s*(?P<t>[a-zA-Z][a-zA-Z0-9]*)"
 

@@ -1,0 +1,68 @@
+"""Skew defense: hot-host keys vs salted aggregation.
+
+The corpus generator produces a Zipf-ish host distribution (a few hosts
+own a large share of pages). A per-host groupBy keys the shuffle on
+host — one reducer partition drowns. The salted two-phase aggregate
+(groupBy(host, salt) -> groupBy(host)) bounds any single task at
+~1/salt of the hot key, at the cost of one extra (tiny) shuffle.
+These tests pin the *semantics* (salted result == naive result) and the
+*balance* property (max partition share drops by ~the salt factor).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from finetoo_sp_spark.datagen import gen_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return gen_pages(spark, 4000, partitions=8).select(
+        "url", F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+        F.length("html").alias("n_bytes"),
+    ).cache()
+
+
+def salted_host_rollup(pages, n_salts: int = 16):
+    """Two-phase salted aggregate: partials per (host, salt), then merge."""
+    salted = pages.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    partial = salted.groupBy("host", "salt").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("n_bytes").alias("b")
+    )
+    return partial.groupBy("host").agg(
+        F.sum("c").alias("n_pages"), F.sum("b").alias("total_bytes")
+    )
+
+
+def test_corpus_is_actually_skewed(pages):
+    counts = pages.groupBy("host").count().toPandas()
+    share = counts["count"].max() / counts["count"].sum()
+    fair = 1.0 / len(counts)
+    assert share > 5 * fair  # hottest host owns >5x its fair share
+
+
+def test_salted_equals_naive(pages):
+    naive = {
+        r["host"]: (r["n_pages"], r["total_bytes"])
+        for r in pages.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_bytes").alias("total_bytes"))
+        .collect()
+    }
+    salted = {
+        r["host"]: (r["n_pages"], r["total_bytes"])
+        for r in salted_host_rollup(pages).collect()
+    }
+    assert naive == salted
+
+
+def test_salt_bounds_partition_share(pages):
+    """The first-shuffle key (host, salt) splits the hot host ~n_salts ways."""
+    n_salts = 16
+    salted = pages.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
+    by_key = salted.groupBy("host", "salt").count().toPandas()
+    hot = by_key.groupby("host")["count"].sum().idxmax()
+    hot_rows = by_key[by_key["host"] == hot]["count"]
+    # no single (host, salt) cell holds more than ~3x the fair 1/16 share
+    assert hot_rows.max() <= 3 * hot_rows.sum() / n_salts
