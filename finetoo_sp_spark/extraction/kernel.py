@@ -116,6 +116,19 @@ def _seg_cumsum(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     return c - np.repeat(base, counts)
 
 
+def _seg_cumsum_multi(rows: list[np.ndarray], offsets: np.ndarray, doc: np.ndarray) -> list[np.ndarray]:
+    """Segmented cumsum of several same-length arrays in one fused pass
+    (single 2-D cumsum + one per-doc base gather — the hot path runs this
+    four times per batch otherwise)."""
+    if len(doc) == 0:
+        return rows
+    m = np.vstack(rows)
+    c = np.cumsum(m, axis=1)
+    starts = offsets[:-1]
+    base = np.where(starts > 0, c[:, np.maximum(starts, 1) - 1], 0)
+    return list(c - base[:, doc])
+
+
 def decode_html(html: pd.Series) -> pd.Series:
     """binary -> str; deterministic utf-8 with replacement."""
     if len(html) and isinstance(html.iloc[0], (bytes, bytearray)):
@@ -197,8 +210,6 @@ def tokenize_arrays(html_text: pd.Series) -> TokenFrame:
     ) if n else pa.array([], type=_STR)
 
     lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64) if n else np.zeros(0, np.int64)
-    end = _seg_cumsum(lens, offsets)
-    start = end - lens
 
     is_tag = pc.starts_with(flat, pattern="<").to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
     is_close = pc.starts_with(flat, pattern="</").to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
@@ -206,16 +217,20 @@ def tokenize_arrays(html_text: pd.Series) -> TokenFrame:
 
     is_a = pc.equal(tag, "a").fill_null(False).to_numpy(zero_copy_only=False) if n else np.zeros(0, bool)
     a_delta = np.where(is_a & ~is_close, 1, 0) - np.where(is_a & is_close, 1, 0)
-    in_link = _seg_cumsum(a_delta, offsets) > 0
 
     is_excl = _isin_mask(tag, _EXCLUDE_TAGS) if n else np.zeros(0, bool)
     x_delta = np.where(is_excl & ~is_close, 1, 0) - np.where(is_excl & is_close, 1, 0)
-    in_excluded = _seg_cumsum(x_delta, offsets) > 0
 
     # block segmentation: any block-level tag (open or close) starts a new
     # region — the cumsum trick from the reference's section splitter.
     boundary = (is_tag & _isin_mask(tag, _BLOCK_TAGS)) if n else np.zeros(0, bool)
-    block_id = _seg_cumsum(boundary.astype(np.int64), offsets)
+
+    end, link_depth, excl_depth, block_id = _seg_cumsum_multi(
+        [lens, a_delta, x_delta, boundary.astype(np.int64)], offsets, doc
+    )
+    start = end - lens
+    in_link = link_depth > 0
+    in_excluded = excl_depth > 0
 
     # block_tag = tag that opened this region: per-doc forward-fill of the
     # open-boundary tags (vectorized ffill via maximum.accumulate).
