@@ -744,6 +744,57 @@ def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@_q(
+    "blocklist_filter",
+    """
+SELECT doc_id, source FROM documents
+WHERE source NOT IN ('src0', 'src7', 'src13')""",
+)
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source blocklist via broadcast anti-join — the standard
+    corpus-hygiene gate (at 10^12 rows the blocklist is dimension-sized,
+    so the anti-join is broadcast and costs one map-side probe)."""
+    docs = T(spark, sf_dir, "documents")
+    blocked = docs.sparkSession.createDataFrame(
+        [("src0",), ("src7",), ("src13",)], ["source"]
+    )
+    return docs.join(F.broadcast(blocked), "source", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+@_q(
+    "pii_scrub",
+    """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      substr(text, 1, 40) || ' contact u' || doc_id || '@example.com or +1-555-0' || doc_id,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM documents""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers) as pure column regexps —
+    deterministically verifiable because the PII is synthesized into the
+    text from doc_id before scrubbing."""
+    withpii = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-0"),
+        F.col("doc_id"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(withpii, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
 # --- similarity search ----------------------------------------------------
 
 
