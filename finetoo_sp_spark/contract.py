@@ -714,6 +714,32 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
 
 
+@_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT u AS id, min(r) AS component FROM reach GROUP BY u""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> transitive clusters via distributed min-label
+    propagation with pointer jumping (operators/components.py). The
+    oracle computes the same closure with a recursive CTE."""
+    from finetoo_sp_spark.operators.components import connected_components
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    return connected_components(pairs)
+
+
 @_q("dedup_minhash_lsh", None)  # xxhash64 has no DuckDB twin -> rows-only check
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
