@@ -19,8 +19,14 @@ extraction engine) as an idiomatic Spark pipeline:
 - large-scale training-data pipeline ops: dedup (exact / MinHash-LSH /
   SimHash / n-gram Jaccard / embedding cosine), similarity search, text
   quality analytics (``operators/dedup.py``, ``operators/similarity.py``,
-  ``functions/text.py``);
-- per-partition lineage manifests + checkpoint resume (``sources/lineage.py``).
+  ``operators/textstats.py``), event windows (``operators/windows.py``),
+  near-dup clustering (``operators/components.py``), multimodal plumbing
+  (``multimodal.py``), JSON/CSV sinks (``operators/sinks.py``);
+- per-partition lineage manifests + checkpoint resume (``sources/lineage.py``)
+  behind an Iceberg-or-parquet catalog seam (``sources/catalog.py``);
+- Structured Streaming ingestion with an idempotent micro-batch sink and a
+  custom stateful operator (``streaming/``);
+- a parallel PDF layout-analysis path (``extraction/pdf.py``).
 
 Everything is DataFrame/SQL-first: Catalyst owns predicate pushdown, column
 pruning and join strategy; Python appears only inside Arrow-batched pandas

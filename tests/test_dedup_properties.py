@@ -1,0 +1,82 @@
+"""Property-based dedup tests: algebraic invariants over random corpora.
+
+Uses small random word-soup documents; Spark round-trips are expensive,
+so examples are few but each asserts strong structural properties:
+
+- Jaccard is symmetric-by-construction (id_a < id_b), bounded [0,1],
+  and =1 exactly for identical normalized token streams;
+- MinHash-LSH verified pairs are a SUBSET of exact-Jaccard pairs at the
+  same threshold (banding can miss, never invent — the verify step
+  guarantees precision 1.0);
+- SimHash is invariant under whitespace normalization;
+- exact_dedup partitions the id space (every id in exactly one group).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from finetoo_sp_spark.operators import dedup as dd
+
+_WORDS = "alpha beta gamma delta epsilon zeta eta theta".split()
+_doc = st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=6)
+
+_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+
+
+@_SET
+@given(_corpus)
+def test_jaccard_bounds_and_identity(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    pairs = dd.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.0).collect()
+    texts = {i: " ".join(t.split()) for i, t in enumerate(docs)}
+    for r in pairs:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["jaccard"] <= 1.0
+        if texts[r["id_a"]] == texts[r["id_b"]]:
+            assert r["jaccard"] == 1.0
+
+
+@_SET
+@given(_corpus)
+def test_lsh_subset_of_exact(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.minhash_lsh_pairs(
+            df, "doc_id", "text", n=2, k=16, bands=4, threshold=0.5
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert exact[k] == v  # verified jaccard identical
+
+
+@_SET
+@given(_doc)
+def test_simhash_whitespace_invariant(spark, doc):
+    messy = doc.replace(" ", "   ").upper().lower()
+    df = spark.createDataFrame([(1, doc), (2, messy)], ["doc_id", "text"])
+    fps = {r["id"]: r["simhash"] for r in dd.simhash(df, "doc_id", "text").collect()}
+    assert fps[1] == fps[2]
+
+
+@_SET
+@given(_corpus)
+def test_exact_dedup_partitions_ids(spark, docs):
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    groups = dd.exact_dedup(df, "doc_id", "text").collect()
+    assert sum(r["n_copies"] for r in groups) == len(docs)
+    keeps = [r["keep_id"] for r in groups]
+    assert len(keeps) == len(set(keeps))

@@ -62,6 +62,17 @@ CHECKS = {
         ("one shuffle on user_id", r"hashpartitioning\(user_id"),
         ("window then aggregate", r"Window"),
     ],
+    "q10_returned_items": [
+        ("returnflag filter pushed", r"PushedFilters: \[.*EqualTo\(l_returnflag,R"),
+        ("nation dim broadcast", r"BroadcastHashJoin"),
+    ],
+    "blocklist_filter": [
+        ("anti-join is broadcast", r"BroadcastHashJoin.*LeftAnti|BroadcastHashJoin LeftAnti"),
+    ],
+    "window_rank_suppliers": [
+        ("single exchange on nation key", r"hashpartitioning\(s_nationkey"),
+        ("rank filter present", r"rk"),
+    ],
     "extract_main_text": [
         ("arrow-batched python stage", r"(MapInPandas|ArrowEvalPython)"),
         ("only url/html/doc_id scanned", r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
