@@ -1005,6 +1005,93 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(_assets(spark, sf_dir))
 
 
+@_q(
+    "url_analytics",
+    """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/doc/' || doc_id AS url
+  FROM documents
+)
+SELECT doc_id,
+  regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+  regexp_extract(url, '\\.([a-z]+)(/|$)', 1) AS tld,
+  CAST(length(regexp_replace(regexp_replace(url, 'https?://[^/]+', ''), '[^/]', '', 'g')) AS INTEGER) AS path_depth,
+  url LIKE 'https://%' AS is_https
+FROM u""",
+)
+def q_url_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition as pure column regexps (host / tld / path depth /
+    scheme) — the per-URL feature set for domain-level corpus policies."""
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    path = F.regexp_replace("url", r"https?://[^/]+", "")
+    return pages.select(
+        "doc_id",
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", r"\.([a-z]+)(/|$)", 1).alias("tld"),
+        F.length(F.regexp_replace(path, r"[^/]", "")).alias("path_depth"),
+        F.col("url").startswith("https://").alias("is_https"),
+    )
+
+
+# --- capstone: end-to-end curation pipeline -------------------------------
+
+_CURATION_JACCARD = _JACCARD_ORACLE.replace("doc_id < 150", "doc_id >= 0").replace(
+    ">= 0.12", ">= 0.5"
+)
+
+
+@_q(
+    "curation_pipeline",
+    f"""
+WITH RECURSIVE pairs AS ({_CURATION_JACCARD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+  FROM documents
+),
+features AS (
+  SELECT doc_id, n_words,
+    (n_words >= 10
+     AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+     AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01) AS keep_quality,
+    CASE WHEN len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) > 0 THEN true ELSE false END AS _unused
+  FROM w
+)
+SELECT f.doc_id, f.n_words
+FROM features f
+LEFT JOIN cc ON cc.doc_id = f.doc_id
+WHERE f.keep_quality
+  AND coalesce(cc.component, f.doc_id) = f.doc_id""",
+)
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-data curation chain, one lazy plan end to end:
+    quality gate (Gopher/C4-style) -> near-dup clustering (n-gram
+    Jaccard >= 0.5 over ALL docs, stop-shingle-pruned inverted index ->
+    connected components) -> keep cluster representatives. Returns the
+    surviving (doc_id, n_words)."""
+    from finetoo_sp_spark.operators.components import dedup_keep_list
+
+    docs = T(spark, sf_dir, "documents")
+    quality = ts.quality_scores(docs, "doc_id", "text").filter(F.col("keep"))
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    keep = dedup_keep_list(pairs, docs.select(F.col("doc_id").alias("id")))
+    return (
+        quality.join(keep.filter(F.col("keep")), quality.id == keep.id, "left_semi")
+        .select(F.col("id").alias("doc_id"), "n_words")
+    )
+
+
 # ---------------------------------------------------------------- exports
 
 
