@@ -1006,6 +1006,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "web_link_bom",
+    """
+WITH l AS (
+  SELECT doc_id AS src, CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(floor(doc_id / 3) AS BIGINT) FROM documents
+)
+SELECT 'https://src' || CAST(t % 20 AS VARCHAR) || '.example.com/doc/' || CAST(t AS VARCHAR) AS part,
+  count(*) AS quantity,
+  count(DISTINCT src) AS n_sources
+FROM l GROUP BY t""",
+)
+def q_web_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM over real extracted LINKS_TO edges (reference: INSERT-count
+    BOM, bom_exporter.cc:36-89): per linked page, link count + distinct
+    linking pages. The oracle recomputes the expectation from the
+    docpages template's parent-link rule."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.divergence import bom_report
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    bom = bom_report(g, edge_type="LINKS_TO")
+    return bom.select(
+        "part", "quantity", F.size("sources").cast("long").alias("n_sources")
+    )
+
+
+@_q(
     "url_analytics",
     """
 WITH u AS (

@@ -33,12 +33,30 @@ def documents_to_pages(documents: DataFrame) -> DataFrame:
     url = F.concat(F.lit(URL_PREFIX), F.col("source"), F.lit(URL_MID), F.col("doc_id"))
     title = F.concat(F.lit("document "), F.col("doc_id"), F.lit(" from "), F.col("source"))
     h1 = F.concat(F.lit("heading for document "), F.col("doc_id"))
+    # intra-corpus parent links (doc_id//2, doc_id//3 — both always exist;
+    # source of doc j is src{j % 20} in the driver corpus) give the
+    # LINKS_TO graph real fan-in while staying pure boilerplate: the nav
+    # is link-only, so the extracted main text is unchanged.
+    def _doc_url(target):
+        return F.concat(
+            F.lit("https://src"),
+            (target % 20).cast("string"),
+            F.lit(".example.com/doc/"),
+            target.cast("string"),
+        )
+
+    parent2 = _doc_url(F.floor(F.col("doc_id") / 2).cast("long"))
+    parent3 = _doc_url(F.floor(F.col("doc_id") / 3).cast("long"))
     nav = F.concat(
         F.lit('<ul><li><a href="/home">home</a></li><li><a href="/tags/'),
         F.col("source"),
         F.lit('">'),
         F.col("source"),
-        F.lit('</a></li><li><a href="/about">about</a></li></ul>'),
+        F.lit('</a></li><li><a href="'),
+        parent2,
+        F.lit('">related</a></li><li><a href="'),
+        parent3,
+        F.lit('">more</a></li><li><a href="/about">about</a></li></ul>'),
     )
     html = F.concat(
         F.lit('<!DOCTYPE html><html lang="'),
