@@ -59,6 +59,9 @@ def main() -> None:
         "quality_scores",
         "join_placed",
         "divergence_parts",
+        "curation_pipeline",
+        "web_link_bom",
+        "traverse_links_2hop",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}

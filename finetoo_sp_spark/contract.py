@@ -1006,6 +1006,41 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "traverse_links_2hop",
+    """
+WITH u AS (
+  SELECT doc_id,
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hop1 AS (
+  SELECT s.url AS origin, t.url AS dst, s.doc_id AS sid, t.doc_id AS tid
+  FROM u s JOIN u t ON t.doc_id IN (CAST(floor(s.doc_id / 2) AS BIGINT), CAST(floor(s.doc_id / 3) AS BIGINT))
+  WHERE s.doc_id BETWEEN 100 AND 104
+),
+hop2 AS (
+  SELECT h.origin, t.url AS dst
+  FROM hop1 h JOIN u t ON t.doc_id IN (CAST(floor(h.tid / 2) AS BIGINT), CAST(floor(h.tid / 3) AS BIGINT))
+)
+SELECT origin, dst, 1 AS depth, origin || ' -> ' || dst AS provenance FROM (SELECT DISTINCT origin, dst FROM hop1)
+UNION ALL
+SELECT origin, dst, 2, origin || ' -> ' || dst FROM (SELECT DISTINCT origin, dst FROM hop2)""",
+)
+def q_traverse_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop TRAVERSE over real extracted LINKS_TO edges (spec:
+    proto/operations.proto:135-152 max_depth — the C++ executor is
+    1-hop only; here depth=2 by iterated equi-join). The oracle derives
+    both hops from the docpages parent-link rule."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    start = pages.filter(F.col("doc_id").between(100, 104)).select("url")
+    out = op_traverse(g, "LINKS_TO", start_ids=start, max_depth=2)
+    return out.dropDuplicates(["origin", "dst", "depth"])
+
+
+@_q(
     "web_link_bom",
     """
 WITH l AS (
