@@ -1006,6 +1006,29 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "typed_fields",
+    """
+SELECT
+  'https://' || source || '.example.com/doc/' || doc_id AS url,
+  'document ' || doc_id || ' from ' || source AS title,
+  'summary of document ' || doc_id || ' from ' || source AS meta_description,
+  'https://' || source || '.example.com/doc/' || doc_id AS canonical_url,
+  TIMESTAMP '2025-01-01 00:00:00' + to_seconds(doc_id) AS published_at,
+  'author ' || doc_id AS author,
+  lang AS lang_attr
+FROM documents""",
+)
+def q_typed_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-rule-driven typed-field mapping (extraction/fields.py): the
+    declared rule set compiles to pure Catalyst regexp_extract + cast
+    expressions; the oracle recomputes every field from the template."""
+    from finetoo_sp_spark.extraction.fields import map_fields
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    return map_fields(pages)
+
+
+@_q(
     "traverse_links_2hop",
     """
 WITH u AS (

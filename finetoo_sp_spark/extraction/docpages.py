@@ -58,12 +58,24 @@ def documents_to_pages(documents: DataFrame) -> DataFrame:
         parent3,
         F.lit('">more</a></li><li><a href="/about">about</a></li></ul>'),
     )
+    # typed-field sources (schema-rule mapping targets, extraction/fields.py):
+    # meta description, canonical link, publish time, author — all placed in
+    # boilerplate positions so the extracted main text is unchanged.
+    published = F.date_format(
+        F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id")), "yyyy-MM-dd'T'HH:mm:ss"
+    )
     html = F.concat(
         F.lit('<!DOCTYPE html><html lang="'),
         F.col("lang"),
         F.lit('"><head><title>'),
         title,
-        F.lit("</title><script>var doc_id = "),
+        F.lit('</title><meta name="description" content="summary of document '),
+        F.col("doc_id"),
+        F.lit(' from '),
+        F.col("source"),
+        F.lit('"><link rel="canonical" href="'),
+        url,
+        F.lit('"><script>var doc_id = '),
         F.col("doc_id"),
         F.lit(";</script></head><body><header>"),
         nav,
@@ -72,7 +84,12 @@ def documents_to_pages(documents: DataFrame) -> DataFrame:
         F.lit("</h1><p>"),
         F.col("text"),
         F.lit("</p><p>short teaser here</p></main><footer>"),
-        F.lit('<p><a href="/terms">terms</a> <a href="/contact">contact</a></p>'),
+        F.lit('<time datetime="'),
+        published,
+        F.lit('"></time><p><a href="/terms">terms</a> <a href="/contact">contact</a> '),
+        F.lit('<a rel="author" href="/u">author '),
+        F.col("doc_id"),
+        F.lit("</a></p>"),
         F.lit("</footer></body></html>"),
     )
     warc_ts = F.timestamp_seconds(F.lit(1735689600) + F.col("doc_id") % 31536000)
