@@ -1006,6 +1006,44 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "host_page_stats",
+    """
+WITH u AS (
+  SELECT 'src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+    n_chars, doc_id
+  FROM documents
+)
+SELECT host, count(*) AS n_pages, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  min(doc_id) AS first_doc
+FROM u GROUP BY host""",
+)
+def q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host rollup through the salted two-phase aggregation
+    (operators/skew.py) — identical results to a naive groupBy, but the
+    reduce-side hot key is split n_salts ways."""
+    from finetoo_sp_spark.operators.skew import salted_agg
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    per_page = pages.select(
+        F.regexp_extract("url", r"https?://([^/]+)", 1).alias("host"),
+        F.col("doc_id"),
+    ).join(
+        T(spark, sf_dir, "documents").select("doc_id", "n_chars"), "doc_id"
+    )
+    return salted_agg(
+        per_page,
+        "host",
+        {
+            "n_pages": (F.count(F.lit(1)), "sum"),
+            "total_chars": (F.sum("n_chars"), "sum"),
+            "first_doc": (F.min("doc_id"), "min"),
+        },
+        n_salts=16,
+        salt_on="doc_id",
+    )
+
+
+@_q(
     "typed_fields",
     """
 SELECT

@@ -26,13 +26,18 @@ def pages(spark):
 
 
 def salted_host_rollup(pages, n_salts: int = 16):
-    """Two-phase salted aggregate: partials per (host, salt), then merge."""
-    salted = pages.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(n_salts)))
-    partial = salted.groupBy("host", "salt").agg(
-        F.count(F.lit(1)).alias("c"), F.sum("n_bytes").alias("b")
-    )
-    return partial.groupBy("host").agg(
-        F.sum("c").alias("n_pages"), F.sum("b").alias("total_bytes")
+    """Two-phase salted aggregate via the library operator."""
+    from finetoo_sp_spark.operators.skew import salted_agg
+
+    return salted_agg(
+        pages,
+        "host",
+        {
+            "n_pages": (F.count(F.lit(1)), "sum"),
+            "total_bytes": (F.sum("n_bytes"), "sum"),
+        },
+        n_salts=n_salts,
+        salt_on="url",
     )
 
 
