@@ -998,11 +998,53 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asset_metadata(_assets(spark, sf_dir))
 
 
-@_q("multimodal_features", None)  # stub decode -> rows-only check
+def _u32_le_sql(h_expr: str, p: int) -> str:
+    """DuckDB expr: little-endian uint32 at byte offset p of hex digest."""
+    return " + ".join(
+        f"CAST('0x' || substr({h_expr}, {2 * (p + k) + 1}, 2) AS BIGINT) * {256 ** k}"
+        for k in range(4)
+    )
+
+
+# fake_features (multimodal.py): digest repeated to dim*4 bytes -> 16
+# LE-uint32s, so feature i reads digest byte offset 4*(i % 8).
+_FEATURES_U32_SQL = " || ',' || ".join(
+    f"CAST(({_u32_le_sql('h', 4 * (i % 8))}) AS VARCHAR)" for i in range(16)
+)
+
+
+@_q(
+    "multimodal_features",
+    f"""
+WITH m AS (
+  SELECT doc_id AS asset_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    sha256(text) AS h
+  FROM documents
+)
+SELECT asset_id, modality, n_bytes, h AS payload_sha,
+  {_FEATURES_U32_SQL} AS features_u32
+FROM m""",
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pseudo-feature extraction with a full value oracle:
+    the fake-decode features are dyadic rationals u32/2^32, so projecting
+    round(x * 2^32) at the query boundary is EXACT — the DuckDB twin
+    recomputes the same uint32s from the sha256 hex digest."""
     from finetoo_sp_spark.multimodal import extract_features
 
-    return extract_features(_assets(spark, sf_dir))
+    feat = extract_features(_assets(spark, sf_dir))
+    return feat.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "payload_sha",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.round(x * F.lit(4294967296.0)).cast("long")),
+        ).alias("features_u32"),
+    )
 
 
 @_q(

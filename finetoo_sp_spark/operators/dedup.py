@@ -85,7 +85,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | None = 100_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with n-gram Jaccard >= threshold.
 
@@ -95,7 +95,12 @@ def ngram_jaccard_pairs(
 
     ``max_df``: drop shingles appearing in more than max_df docs before
     pairing — bounds the worst-case bucket to max_df^2 pairs (skew
-    defense; at web scale always set this).
+    defense). The default is finite on purpose: a shingle shared by
+    100k+ documents is boilerplate with no discriminative value, and an
+    unpruned hot shingle makes the self-join quadratic in its document
+    frequency. Pass None only for small-corpus exact verification.
+    Union sizes are always computed from the UNPRUNED shingle sets, so
+    pruning can only under-estimate jaccard (never false-positive).
 
     Returns (id_a, id_b, jaccard) with jaccard rounded to 6dp.
     """
@@ -168,6 +173,7 @@ def minhash_lsh_pairs(
     k: int = 32,
     bands: int = 8,
     threshold: float = 0.7,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -177,6 +183,12 @@ def minhash_lsh_pairs(
     Verification re-joins the shingle index only for candidate pairs
     (semi-join pruning), so the expensive exact Jaccard runs on
     O(candidates), not O(n^2).
+
+    ``bucket_cap``: (band, bucket) groups above this size (exact-dup
+    floods: the same boilerplate page crawled millions of times puts
+    every copy in every band's same bucket) are salt-split into
+    triangular cells (_bucket_self_pairs) so no single task owns a
+    quadratic bucket; output is unchanged.
 
     Returns (id_a, id_b, jaccard) verified >= threshold.
     """
@@ -199,13 +211,9 @@ def minhash_lsh_pairs(
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
 
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bucket"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = _bucket_self_pairs(
+        banded, ["band", "bucket"], bucket_cap=bucket_cap
+    ).distinct()
 
     sh = shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -227,6 +235,85 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _bucket_self_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str] | None = None,
+    bucket_cap: int | None = None,
+    n_cells: int = 8,
+) -> DataFrame:
+    """Self-join on bucket keys producing (id_a, id_b [, payload_a/b]) with
+    an optional hot-bucket defense.
+
+    Without ``bucket_cap``: plain equi self-join on ``key_cols``. With it:
+    buckets whose row count exceeds the cap are split into a triangular
+    grid of (i, j) cells, i <= j < n_cells — each row (group g =
+    hash(id) mod n_cells) lands on the LEFT side of cells (g, j>=g) and
+    the RIGHT side of cells (i<=g, g), so every intra-bucket pair meets
+    in exactly one cell and the largest task shrinks from O(m^2) to
+    O((m/n_cells)^2). Output is IDENTICAL to the uncapped join — the
+    split redistributes work, it never drops pairs (a template-heavy
+    corpus otherwise lands thousands of near-identical docs in one
+    (band, bits) bucket and a single straggler task does all the work).
+    """
+    payload_cols = payload_cols or []
+
+    def pairs_of(rows: DataFrame, extra_keys: list[str]) -> DataFrame:
+        keys = key_cols + extra_keys
+        x = rows.select(
+            *keys,
+            F.col("id").alias("id_a"),
+            *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+        )
+        y = rows.select(
+            *keys,
+            F.col("id").alias("id_b"),
+            *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+        )
+        out_cols = ["id_a", "id_b"] + [
+            f"{c}_{s}" for c in payload_cols for s in ("a", "b")
+        ]
+        return x.join(y, keys).filter(F.col("id_a") < F.col("id_b")).select(*out_cols)
+
+    if bucket_cap is None:
+        return pairs_of(banded, [])
+
+    sizes = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("bkt_n"))
+    hot_keys = F.broadcast(sizes.filter(F.col("bkt_n") > bucket_cap).select(*key_cols))
+    cold = banded.join(hot_keys, key_cols, "left_anti")
+    hot = banded.join(hot_keys, key_cols, "left_semi").withColumn(
+        "g", F.pmod(F.xxhash64("id"), F.lit(n_cells)).cast("int")
+    )
+    # LEFT carries cells (g, j >= g), RIGHT carries cells (i <= g, g):
+    # a cross-group pair meets exactly once, in cell (min(g), max(g)) —
+    # with the group-min element on the left. Since id order is
+    # independent of group order, normalize with struct least/greatest
+    # (struct compare leads on id) instead of filtering id_a < id_b,
+    # then distinct to collapse the same-group (g, g) double emission.
+    row = F.struct(F.col("id").alias("id"), *[F.col(c).alias(c) for c in payload_cols])
+    left = hot.withColumn(
+        "cell_j", F.explode(F.sequence(F.col("g"), F.lit(n_cells - 1)))
+    ).withColumn("cell_i", F.col("g"))
+    right = hot.withColumn(
+        "cell_i", F.explode(F.sequence(F.lit(0), F.col("g")))
+    ).withColumn("cell_j", F.col("g"))
+    keys = key_cols + ["cell_i", "cell_j"]
+    joined = (
+        left.select(*keys, row.alias("pa"))
+        .join(right.select(*keys, row.alias("pb")), keys)
+        .filter(F.col("pa.id") != F.col("pb.id"))
+    )
+    lo = F.least(F.col("pa"), F.col("pb"))
+    hi = F.greatest(F.col("pa"), F.col("pb"))
+    hot_pairs = joined.select(
+        lo["id"].alias("id_a"),
+        hi["id"].alias("id_b"),
+        *[c for p in payload_cols for c in (lo[p].alias(f"{p}_a"), hi[p].alias(f"{p}_b"))],
+    ).distinct()
+    out_cols = ["id_a", "id_b"] + [f"{c}_{s}" for c in payload_cols for s in ("a", "b")]
+    return pairs_of(cold, []).select(*out_cols).unionByName(hot_pairs.select(*out_cols))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -262,13 +349,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bucket_cap: int | None = 10_000,
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
     Pigeonhole banding: split 64 bits into (max_hamming+1) bands — any
     pair within distance d shares at least one exact band. Shuffle key =
     (band, band_bits); verify with bit_count(xor).
+
+    ``bucket_cap``: hot-bucket defense — a template-heavy corpus puts
+    thousands of near-identical fingerprints into one (band, bits)
+    bucket, turning one task quadratic. Buckets above the cap are
+    salt-split into triangular cells (_bucket_self_pairs); the pair set
+    is provably identical to the uncapped join (tests assert this).
     """
     nb = max_hamming + 1
     width = 64 // nb
@@ -290,14 +387,14 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select("id", "simhash", "bb.band", "bb.bits")
+    pairs = _bucket_self_pairs(
+        banded, ["band", "bits"], payload_cols=["simhash"], bucket_cap=bucket_cap
+    )
     return (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bits"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(
-            F.col("x.id").alias("id_a"),
-            F.col("y.id").alias("id_b"),
-            F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))).alias("hamming"),
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -326,5 +423,39 @@ def embedding_near_dup_pairs(
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_bucketed(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    bucket_cap: int | None = 10_000,
+) -> DataFrame:
+    """Scale-safe embedding near-dup: sign-LSH bucket, exact cosine only
+    WITHIN buckets — the registered 100 TB path (no crossJoin anywhere
+    in the plan; the join key is the bucket id).
+
+    Recall: misses cross-bucket pairs by design (a pair at cosine ~1 has
+    near-identical coordinates, so sign buckets agree except for
+    coordinates near 0 — acceptable for near-DUP detection; add probe
+    tables for higher recall). Buckets above ``bucket_cap`` (embedding
+    collapse / repeated content) are salt-split so no task goes
+    quadratic.
+    """
+    from finetoo_sp_spark.operators.similarity import sign_bucket, with_norm
+
+    # unit vectors preserve coordinate signs, so bucketing the normalized
+    # vector equals bucketing the raw one — one pass computes both.
+    v = with_norm(emb, id_col, vec_col).withColumn("bucket", sign_bucket("unit", n_bits))
+    pairs = _bucket_self_pairs(v, ["bucket"], payload_cols=["unit"], bucket_cap=bucket_cap)
+    dot = F.aggregate(
+        F.zip_with("unit_a", "unit_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -77,17 +77,17 @@ def execute_plan(g: PropertyGraphFrames, plan: list[dict] | str) -> PlanResult:
             state = op_match(g, t, op["property"], op["value"])
             state_type = t
         elif kind == "FILTER":
-            base = op_filter(g, t, op["property"], op.get("predicate", "EQUALS"), op["value"])
             if state is not None and state_type == t:
                 # piped: apply this filter to the previous node set
-                from pyspark.sql import functions as F
-
                 from finetoo_sp_spark.operators.primitives import predicate
 
-                base = state.filter(
+                state = state.filter(
                     predicate(op["property"], op.get("predicate", "EQUALS"), op["value"])
                 )
-            state = base
+            else:
+                state = op_filter(
+                    g, t, op["property"], op.get("predicate", "EQUALS"), op["value"]
+                )
             state_type = t
         elif kind == "COMPARE":
             state = op_compare(
