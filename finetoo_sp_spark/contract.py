@@ -685,19 +685,32 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-_JACCARD_ORACLE = f"""
+def _jaccard_sql(where: str, threshold: float, max_df: int | None = None) -> str:
+    """Oracle twin of dd.ngram_jaccard_pairs(n=3): shingle inverted-index
+    self-join; with ``max_df``, the same stop-shingle pruning (index
+    pruned, union sizes from the UNPRUNED sets — matching the Spark
+    implementation exactly)."""
+    prune = ""
+    idx = "sh"
+    if max_df is not None:
+        prune = f""", idx AS (
+  SELECT * FROM sh WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > {max_df})
+)"""
+        idx = "idx"
+    return f"""
 WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE doc_id < 150
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE {where}
 ), sh AS (
   SELECT DISTINCT doc_id,
     array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS shingle
   FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
   WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
-), sizes AS (
+){prune}, sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM {idx} a JOIN {idx} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -705,7 +718,10 @@ SELECT id_a, id_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
-WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= 0.12"""
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"""
+
+
+_JACCARD_ORACLE = _jaccard_sql("doc_id < 150", 0.12)
 
 
 @_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
@@ -758,16 +774,29 @@ round(
        * (b.embedding[i] / sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x))))
   )), 6)"""
 
+_BUCKET_SQL = (
+    "array_to_string(list_transform({side}.embedding[1:8], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
 
 @_q(
     "dedup_embedding_cosine",
     f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND {_BUCKET_SQL.format(side='a')} = {_BUCKET_SQL.format(side='b')}
 WHERE {_COSINE_SQL} >= 0.4""",
 )
 def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.embedding_near_dup_pairs(T(spark, sf_dir, "embeddings"), threshold=0.4)
+    """Registered 100 TB path: sign-LSH bucket join + in-bucket exact
+    cosine (no crossJoin in the plan). The all-pairs form
+    (dd.embedding_near_dup_pairs) stays a test-only small-SF oracle
+    (tests/test_dedup_similarity.py)."""
+    return dd.embedding_near_dup_pairs_bucketed(
+        T(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=8
+    )
 
 
 @_q(
@@ -839,12 +868,6 @@ QUALIFY rank <= 5""",
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
-
-
-_BUCKET_SQL = (
-    "array_to_string(list_transform({side}.embedding[1:8], "
-    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
-)
 
 
 @_q(
@@ -1203,9 +1226,11 @@ def q_url_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- capstone: end-to-end curation pipeline -------------------------------
 
-_CURATION_JACCARD = _JACCARD_ORACLE.replace("doc_id < 150", "doc_id >= 0").replace(
-    ">= 0.12", ">= 0.5"
-)
+# stop-shingle pruning ON (max_df=100): a shingle in >100 of the 500
+# sf0.01 docs is boilerplate; at corpus scale an unpruned hot shingle
+# makes the inverted-index self-join quadratic in its document frequency.
+_CURATION_MAX_DF = 100
+_CURATION_JACCARD = _jaccard_sql("doc_id >= 0", 0.5, max_df=_CURATION_MAX_DF)
 
 
 @_q(
@@ -1244,14 +1269,16 @@ WHERE f.keep_quality
 def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone training-data curation chain, one lazy plan end to end:
     quality gate (Gopher/C4-style) -> near-dup clustering (n-gram
-    Jaccard >= 0.5 over ALL docs, stop-shingle-pruned inverted index ->
-    connected components) -> keep cluster representatives. Returns the
-    surviving (doc_id, n_words)."""
+    Jaccard >= 0.5 over ALL docs, stop-shingle-pruned inverted index
+    with max_df engaged -> connected components) -> keep cluster
+    representatives. Returns the surviving (doc_id, n_words)."""
     from finetoo_sp_spark.operators.components import dedup_keep_list
 
     docs = T(spark, sf_dir, "documents")
     quality = ts.quality_scores(docs, "doc_id", "text").filter(F.col("keep"))
-    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=_CURATION_MAX_DF
+    )
     keep = dedup_keep_list(pairs, docs.select(F.col("doc_id").alias("id")))
     return (
         quality.join(keep.filter(F.col("keep")), quality.id == keep.id, "left_semi")
