@@ -685,6 +685,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+def _shingle_ctes(where: str) -> str:
+    """Shared DuckDB CTEs: distinct 3-word shingles per doc (twin of
+    dd.shingles)."""
+    return f"""w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE {where}
+), sh AS (
+  SELECT DISTINCT doc_id,
+    array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS shingle
+  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
+)"""
+
+
 def _jaccard_sql(where: str, threshold: float, max_df: int | None = None) -> str:
     """Oracle twin of dd.ngram_jaccard_pairs(n=3): shingle inverted-index
     self-join; with ``max_df``, the same stop-shingle pruning (index
@@ -699,14 +712,7 @@ def _jaccard_sql(where: str, threshold: float, max_df: int | None = None) -> str
 )"""
         idx = "idx"
     return f"""
-WITH w AS (
-  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE {where}
-), sh AS (
-  SELECT DISTINCT doc_id,
-    array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS shingle
-  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
-  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
-){prune}, sizes AS (
+WITH {_shingle_ctes(where)}{prune}, sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -756,15 +762,108 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
-@_q("dedup_minhash_lsh", None)  # xxhash64 has no DuckDB twin -> rows-only check
+# DuckDB twin of dd.sha60 — the portable base hash for verifiable mode.
+_H60 = "CAST('0x' || substr(sha256({x}), 1, 15) AS BIGINT)"
+
+
+def _minhash_oracle(where: str, k: int, bands: int, threshold: float) -> str:
+    """Full-value oracle for minhash_lsh_pairs(hash_mode='sha'):
+    identical permutations (minhash_params), banding, candidate join and
+    exact-Jaccard verification, recomputed in plain SQL."""
+    from finetoo_sp_spark.operators.dedup import _MERSENNE, minhash_params
+
+    r = k // bands
+    mins = ",\n    ".join(
+        f"min(({a} * h + {b}) % {_MERSENNE}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, "
+        + " || ',' || ".join(f"CAST(m{bi * r + j} AS VARCHAR)" for j in range(r))
+        + " AS bucket FROM sig"
+        for bi in range(bands)
+    )
+    return f"""
+WITH {_shingle_ctes(where)},
+hh AS (SELECT doc_id, {_H60.format(x='shingle')} % {_MERSENNE} AS h FROM sh),
+sig AS (SELECT doc_id,
+    {mins}
+  FROM hh GROUP BY doc_id),
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+  round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa.doc_id = c.id_a
+JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"""
+
+
+def _simhash_oracle(max_hamming: int) -> str:
+    """Full-value oracle for simhash_pairs(hash_mode='sha'): 60-bit
+    fingerprint from per-bit +-1 sums, pigeonhole banding, xor/bit_count
+    verify — all recomputed in SQL."""
+    nbits = 60
+    nb = max_hamming + 1
+    width = nbits // nb
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(nbits)
+    )
+    fp_expr = "\n    + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, (fp >> {bi * width}) & {(1 << width) - 1} AS bits FROM fps"
+        for bi in range(nb)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+wd AS (SELECT doc_id, u.w AS w FROM w, UNNEST(ws) AS u(w) WHERE length(u.w) > 0),
+hh AS (SELECT doc_id, {_H60.format(x='w')} AS h FROM wd),
+s AS (SELECT doc_id,
+    {sums}
+  FROM hh GROUP BY doc_id),
+fps AS (SELECT doc_id, {fp_expr} AS fp FROM s),
+banded AS ({band_selects}),
+cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bits = y.bits AND x.doc_id < y.doc_id)
+SELECT c.id_a, c.id_b, bit_count(xor(fa.fp, fb.fp)) AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.id_a
+JOIN fps fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.fp, fb.fp)) <= {max_hamming}"""
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle("doc_id < 150", k=32, bands=8, threshold=0.12))
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic text-dedup path under a FULL value oracle:
+    hash_mode='sha' swaps xxhash64 for the sha256-derived 60-bit base
+    hash so DuckDB reproduces signatures, banding, candidates and the
+    verified Jaccard exactly. Production keeps hash_mode='xxhash64'
+    (same plan shape, faster hash)."""
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return dd.minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.12)
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.12, hash_mode="sha"
+    )
 
 
-@_q("dedup_simhash", None)  # xxhash64 base -> rows-only check
+@_q("dedup_simhash", _simhash_oracle(max_hamming=3))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.simhash_pairs(T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3)
+    """SimHash banded near-dup under a FULL value oracle (60-bit 'sha'
+    fingerprint mode; production uses the 64-bit xxhash64 mode)."""
+    return dd.simhash_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, hash_mode="sha"
+    )
 
 
 _COSINE_SQL = """

@@ -66,6 +66,39 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     )
 
 
+def sha60(col) -> "F.Column":
+    """Portable 60-bit hash: first 15 hex chars of sha256 as a BIGINT.
+
+    Unlike xxhash64 this has an exact DuckDB twin
+    (``CAST('0x' || substr(sha256(x),1,15) AS BIGINT)``), which is what
+    lets the MinHash/SimHash paths run under a full value oracle
+    (hash_mode='sha') instead of a rows-only check. Slower than
+    xxhash64 (sha256 vs xx), so production keeps xxhash64.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+def _base_hash(col, hash_mode: str) -> "F.Column":
+    if hash_mode == "sha":
+        return sha60(col)
+    if hash_mode == "xxhash64":
+        return F.xxhash64(col)
+    raise ValueError(f"unknown hash_mode {hash_mode!r}")
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation — shared with the SQL oracle
+    generator so both engines use identical permutations."""
+    return [
+        (
+            (0x9E3779B97F4A7C15 * (i + 1)) % (_MERSENNE - 1) + 1,  # a in [1, p-1]
+            (0xBF58476D1CE4E5B9 * (i + 7)) % _MERSENNE,
+        )
+        for i in range(k)
+    ]
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by sha256(text).
 
@@ -137,26 +170,27 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<bigint>[k]) MinHash signatures.
 
-    Permutation i: h_i(x) = (a_i * xxhash64(x) + b_i) mod (2^61-1), with
+    Permutation i: h_i(x) = (a_i * base(x) + b_i) mod (2^31-1), with
     (a_i, b_i) drawn from a fixed deterministic stream (no RNG state —
     byte-stable across runs/partitionings). k min-aggregates in one
     groupBy pass (map-side partial min, so the shuffle carries only
     k longs per doc per partition).
+
+    ``hash_mode``: 'xxhash64' (fast, production) or 'sha'
+    (DuckDB-reproducible base hash — the full-oracle verification mode).
     """
     sh = shingles(df, id_col, text_col, n)
-    # deterministic odd multipliers / offsets per permutation
-    params = [
-        (
-            (0x9E3779B97F4A7C15 * (i + 1)) % (_MERSENNE - 1) + 1,  # a in [1, p-1]
-            (0xBF58476D1CE4E5B9 * (i + 7)) % _MERSENNE,
-        )
-        for i in range(k)
-    ]
-    h = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    params = minhash_params(k)
+    h = F.pmod(_base_hash("shingle", hash_mode), F.lit(_MERSENNE))
     mins = [
         F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
@@ -174,6 +208,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     bucket_cap: int | None = 10_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
@@ -193,7 +228,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) verified >= threshold.
     """
     r = k // bands
-    sig = minhash_signatures(df, id_col, text_col, n, k)
+    sig = minhash_signatures(df, id_col, text_col, n, k, hash_mode=hash_mode)
     banded = sig.select(
         "id",
         F.explode(
@@ -316,19 +351,27 @@ def _bucket_self_pairs(
     return pairs_of(cold, []).select(*out_cols).unionByName(hot_pairs.select(*out_cols))
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, simhash: bigint) — 64-bit SimHash over word tokens.
+SIMHASH_BITS = {"xxhash64": 64, "sha": 60}
 
-    Per doc: for each bit j, sum +-1 over xxhash64(word)'s bit j; the
-    fingerprint's bit j = (sum > 0). Expressed as 64 conditional-sum
-    aggregates in one groupBy (partial-agg friendly; shuffle carries 64
-    longs/doc/partition). Sign convention ties (sum==0 -> bit 0) are
-    deterministic.
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """(id, simhash: bigint) — SimHash over word tokens (64-bit with the
+    xxhash64 base; 60-bit with the DuckDB-reproducible 'sha' base, which
+    keeps the fingerprint positive in a signed BIGINT on both engines).
+
+    Per doc: for each bit j, sum +-1 over base_hash(word)'s bit j; the
+    fingerprint's bit j = (sum > 0). Expressed as nbits conditional-sum
+    aggregates in one groupBy (partial-agg friendly; shuffle carries
+    nbits longs/doc/partition). Sign convention ties (sum==0 -> bit 0)
+    are deterministic.
     """
+    nbits = SIMHASH_BITS[hash_mode]
     words = df.select(
         F.col(id_col).alias("id"), F.explode(_norm_words(text_col)).alias("w")
     ).filter(F.length("w") > 0)
-    h = F.xxhash64("w")
+    h = _base_hash("w", hash_mode)
     sums = [
         F.sum(
             F.when(
@@ -336,11 +379,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.lit(1),
             ).otherwise(F.lit(-1))
         ).alias(f"s{j}")
-        for j in range(64)
+        for j in range(nbits)
     ]
     agg = words.groupBy("id").agg(*sums)
     fp = None
-    for j in range(64):
+    for j in range(nbits):
         bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63))).otherwise(
             F.lit(0)
         )
@@ -354,6 +397,7 @@ def simhash_pairs(
     text_col: str,
     max_hamming: int = 3,
     bucket_cap: int | None = 10_000,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
 
@@ -368,8 +412,8 @@ def simhash_pairs(
     is provably identical to the uncapped join (tests assert this).
     """
     nb = max_hamming + 1
-    width = 64 // nb
-    fps = simhash(df, id_col, text_col)
+    width = SIMHASH_BITS[hash_mode] // nb
+    fps = simhash(df, id_col, text_col, hash_mode=hash_mode)
     banded = fps.select(
         "id",
         "simhash",
