@@ -508,19 +508,84 @@ def q_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return execute_plan(g, plan).df
 
 
-@_q("block_divergence", None)  # D8 over real extracted blocks -> rows-only
-def q_block_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Divergence report over extracted DOM blocks: per (tag, block
-    position), distinct content hashes across pages (reference:
-    BlockDivergenceReport, proto/graph.proto:184-207)."""
+def _extracted_blocks_named(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.extraction.graph import extract_blocks
-    from finetoo_sp_spark.operators.divergence import divergence_report
 
     pages = documents_to_pages(T(spark, sf_dir, "documents"))
-    blocks = extract_blocks(pages).withColumn(
-        "name", F.concat_ws("#", "tag", "block_id")
-    ).withColumn("content_hash", F.sha2("text", 256))
+    return (
+        extract_blocks(pages)
+        .withColumn("name", F.concat_ws("#", "tag", "block_id"))
+        .withColumn("content_hash", F.sha2("text", 256))
+    )
+
+
+# full oracle (was rows-only in round 1): the template's 10-block
+# decomposition is recomputed in SQL by _blocks_cte, defined below.
+@_q("block_divergence", "__BLOCK_DIVERGENCE_ORACLE__")
+def q_block_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 divergence report over real extracted DOM blocks: per (tag,
+    block position), distinct content hashes across pages (reference:
+    BlockDivergenceReport, proto/graph.proto:184-207)."""
+    from finetoo_sp_spark.operators.divergence import divergence_report
+
+    blocks = _extracted_blocks_named(spark, sf_dir)
     return divergence_report(blocks, "name", "url", "content_hash").drop("versions")
+
+
+@_q("divergence_totals", "__DIVERGENCE_TOTALS_ORACLE__")
+def q_divergence_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 totals row (reference: proto/graph.proto:199-206): consistent vs
+    divergent block-name counts over the extracted block frames."""
+    from finetoo_sp_spark.operators.divergence import divergence_report, divergence_totals
+
+    blocks = _extracted_blocks_named(spark, sf_dir)
+    rep = divergence_report(blocks, "name", "url", "content_hash")
+    return divergence_totals(rep)
+
+
+@_q("shared_block_names", "__SHARED_BLOCKS_ORACLE__")
+def q_shared_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 shared blocks / n-way intersect (reference:
+    block_analyzer.cc:45-52): block names present in >= 2 documents."""
+    from finetoo_sp_spark.operators.divergence import shared_names
+
+    blocks = _extracted_blocks_named(spark, sf_dir)
+    return shared_names(blocks, "name", "url", min_docs=2)
+
+
+@_q("block_comparison", "__BLOCK_COMPARISON_ORACLE__")
+def q_block_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockComparison diff records (reference: proto/graph.proto:305-383
+    — per pair of drawings, per block: presence, value equality, count
+    deltas). 20 page pairs (doc i vs doc i+250) compared in ONE
+    equi-join keyed (pair_id, name) — the scale shape; never a per-pair
+    loop."""
+    from finetoo_sp_spark.extraction.graph import extract_blocks
+    from finetoo_sp_spark.operators.divergence import block_comparison
+
+    docs = T(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 20) | F.col("doc_id").between(250, 269)
+    )
+    blocks = extract_blocks(documents_to_pages(docs)).withColumn(
+        "did", F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+    ).withColumn("name", F.concat_ws("#", "tag", "block_id"))
+    ba = blocks.filter(F.col("did") < 20).withColumn("pair_id", F.col("did"))
+    bb = blocks.filter(F.col("did") >= 250).withColumn("pair_id", F.col("did") - 250)
+    return block_comparison(ba, bb, on=["pair_id", "name"])
+
+
+@_q("bom_text_render", "__BOM_TEXT_ORACLE__")
+def q_bom_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FormatBOM fixed-width text rendering (reference:
+    query_service.cc:181-206): header + separator + rpad(part)/lpad(qty)
+    rows sorted by quantity desc, byte-deterministic."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.divergence import bom_report
+    from finetoo_sp_spark.operators.sinks import format_bom_lines
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    bom = bom_report(build_web_graph(pages), edge_type="LINKS_TO")
+    return format_bom_lines(bom)
 
 
 # --- events: histogram, sessions, rollups, JSON --------------------------
@@ -1323,6 +1388,373 @@ def q_url_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- sinks / lineage / PDF / reference-parity operators -------------------
+# (the SURVEY §2 rows that were fixture-only in round 1: A6-A10, C4, D5,
+#  D7, E2, F2, F9 — each now has a queries() entry + DuckDB oracle.)
+
+_SANITIZE_SQL = (
+    "regexp_replace(regexp_replace({x}, '[\\n\\t\\r]', ' ', 'g'), "
+    "'[^\\x20-\\x7E]', '', 'g')"
+)
+
+
+def _tmp_out(name: str) -> str:
+    import os
+    import shutil
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), f"finetoo_q_{name}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+def _blocks_cte(where: str = "doc_id >= 0") -> str:
+    """DuckDB CTE reproducing the docpages template's fixed 10-block
+    decomposition (empirically pinned by tests/test_extract_spark.py and
+    the extract_block_stats oracle): (url, block_id, tag, btext) rows."""
+    rows = [
+        (3, "title", "'document ' || doc_id || ' from ' || source"),
+        (9, "li", "'home'"),
+        (11, "li", "source"),
+        (13, "li", "'related'"),
+        (15, "li", "'more'"),
+        (17, "li", "'about'"),
+        (22, "h1", "'heading for document ' || doc_id"),
+        (24, "p", "trim(regexp_replace(text, '\\s+', ' ', 'g'))"),
+        (26, "p", "'short teaser here'"),
+        (30, "p", "'terms contact author ' || doc_id"),
+    ]
+    selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, 'https://' || source || '.example.com/doc/' || doc_id AS url, "
+        f"CAST({bid} AS BIGINT) AS block_id, '{tag}' AS tag, {expr} AS btext "
+        f"FROM documents WHERE {where}"
+        for bid, tag, expr in rows
+    )
+    return f"blocks AS (\n  {selects}\n)"
+
+
+@_q(
+    "sink_json_roundtrip",
+    f"""
+SELECT doc_id,
+  {_SANITIZE_SQL.format(x="substr(text, 1, 30) || chr(10) || 'café' || chr(9) || 'end'")} AS s
+FROM documents""",
+)
+def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 JSON sink with sanitization (reference: bom_exporter.cc:154-219,
+    sanitize :16-28): write JSON lines with non-printables injected, read
+    the files back; the oracle recomputes the sanitized strings."""
+    from finetoo_sp_spark.operators.sinks import write_json
+
+    df = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 30), F.lit("\ncafé\tend")).alias("s"),
+    )
+    path = _tmp_out("sink_json")
+    write_json(df, path)
+    return spark.read.schema("doc_id LONG, s STRING").json(path)
+
+
+@_q(
+    "sink_csv_roundtrip",
+    f"""
+SELECT doc_id,
+  {_SANITIZE_SQL.format(x=chr(39) + 'He said "hi", ' + chr(39) + " || substr(text, 1, 20)")} AS s
+FROM documents""",
+)
+def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 CSV sink: quoted RFC-4180 CSV (quoteAll + doubled quotes,
+    reference: bom_exporter.cc:221-259) survives embedded quotes and
+    commas through a write/read round trip."""
+    from finetoo_sp_spark.operators.sinks import write_csv
+
+    df = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('He said "hi", '), F.substring("text", 1, 20)).alias("s"),
+    )
+    path = _tmp_out("sink_csv")
+    write_csv(df, path)
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .schema("doc_id LONG, s STRING")
+        .csv(path)
+    )
+
+
+@_q(
+    "sink_dimensions_csv",
+    """
+SELECT 'h' || CAST(doc_id AS VARCHAR) AS handle,
+  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'LINEAR' WHEN 1 THEN 'ALIGNED'
+    WHEN 2 THEN 'ANGULAR' WHEN 3 THEN 'DIAMETER' WHEN 4 THEN 'RADIUS'
+    ELSE 'OTHER' END AS dim_type,
+  round(doc_id / 7.0, 4) AS value,
+  'note for ' || source AS text_override,
+  'DIMS' AS layer,
+  source AS drawing
+FROM documents""",
+)
+def q_sink_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 dimensions CSV sink + F7 dim-type decode (reference:
+    bom_exporter.cc:261-285 ExportDimensions, :111-120 decode table):
+    handle/type/value/text/layer/drawing rows, written then read back."""
+    from finetoo_sp_spark.operators.sinks import dim_type_decode, write_csv
+
+    dims = T(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), "doc_id").alias("handle"),
+        dim_type_decode(F.col("doc_id") % 6).alias("dim_type"),
+        F.round(F.col("doc_id") / 7.0, 4).alias("value"),
+        F.concat(F.lit("note for "), "source").alias("text_override"),
+        F.lit("DIMS").alias("layer"),
+        F.col("source").alias("drawing"),
+    )
+    path = _tmp_out("sink_dimensions")
+    write_csv(dims, path)
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .schema(
+            "handle STRING, dim_type STRING, value DOUBLE, "
+            "text_override STRING, layer STRING, drawing STRING"
+        )
+        .csv(path)
+    )
+
+
+@_q(
+    "lineage_manifests",
+    """
+WITH exp AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'heading for document ' || doc_id || chr(10)
+      || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM documents
+), b AS (
+  SELECT CAST(CAST('0x' || substr(sha256(url), 1, 15) AS BIGINT) % 16 AS INTEGER) AS bucket,
+    url, text
+  FROM exp
+)
+SELECT bucket, count(*) AS input_count, count(*) AS output_count,
+  bit_xor(CAST('0x' || substr(sha256(url || chr(1) || text), 1, 15) AS BIGINT)) AS content_checksum,
+  CAST(sum(length(text)) AS BIGINT) AS output_chars,
+  'committed' AS status
+FROM b GROUP BY bucket""",
+)
+def q_lineage_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the per-partition lineage manifest table itself under a value
+    oracle — run the full resumable extraction (hash_mode='sha' so both
+    the bucket assignment and the order-independent xor-fold checksum are
+    DuckDB-reproducible), read the manifests back; the oracle recomputes
+    every bucket's counts, chars and checksum from the expected
+    extraction."""
+    from finetoo_sp_spark.sources.lineage import read_manifests, run_resumable_extraction
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out_dir = _tmp_out("lineage")
+    run_resumable_extraction(pages, out_dir, n_buckets=16, hash_mode="sha")
+    man = read_manifests(spark, out_dir)
+    return man.select(
+        "bucket", "input_count", "output_count", "content_checksum", "output_chars", "status"
+    )
+
+
+@_q(
+    "pdf_layout_extract",
+    """
+WITH exp AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'heading for document ' || doc_id || chr(10)
+        || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+      ELSE 'pdf doc ' || doc_id || ' first paragraph for doc ' || doc_id
+        || chr(10) || 'second block from ' || source
+        || chr(10) || 'appendix for doc ' || doc_id
+    END AS text,
+    CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 3 END AS nb,
+    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS seps
+  FROM documents
+)
+SELECT url, text, CAST(nb AS BIGINT) AS n_blocks,
+  CAST(length(text) - seps AS BIGINT) AS content_chars
+FROM exp""",
+)
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 PDF layout path + magic-byte routing (extraction/pdf.py): 4/5
+    of the corpus becomes FAKEPDF payloads (3 layout blocks: two y-close
+    fragments merge, a y-gap splits, a page break splits), 1/5 stays
+    HTML; extract_pages_any routes on the %PDF- prefix JVM-side and the
+    two branches union into one schema. Oracle recomputes both branches'
+    expected text."""
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+
+    docs = T(spark, sf_dir, "documents")
+    html_pages = documents_to_pages(docs.filter(F.col("doc_id") % 5 == 0)).select(
+        "url", "html"
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+    )
+    payload = F.concat(
+        F.lit("%PDF-FAKE\nP 0 10 100 pdf doc "),
+        F.col("doc_id"),
+        F.lit("\nP 0 10 92 first paragraph for doc "),
+        F.col("doc_id"),
+        F.lit("\nP 0 10 60 second block from "),
+        F.col("source"),
+        F.lit("\nP 1 10 100 appendix for doc "),
+        F.col("doc_id"),
+    )
+    pdf_pages = docs.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"), F.encode(payload, "UTF-8").alias("html")
+    )
+    out = extract_pages_any(html_pages.unionByName(pdf_pages))
+    return out.select("url", "text", "n_blocks", "content_chars")
+
+
+@_q(
+    "edge_build",
+    """
+WITH l AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS src,
+    CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id,
+    CAST(floor(doc_id / 3) AS BIGINT) FROM documents
+)
+SELECT 'LINKS_TO' AS edge_type, src,
+  'https://src' || CAST(t % 20 AS VARCHAR) || '.example.com/doc/' || CAST(t AS VARCHAR) AS dst
+FROM l""",
+)
+def q_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 reference-edge build (reference: graph_builder.cc:41-61 INSERT
+    -> REFERENCES equi-join): anchor extraction -> resolve -> semi-join
+    against corpus urls -> LINKS_TO edges, multiset-compared against the
+    template's parent-link rule (duplicate links preserved)."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    return g.edges.filter(F.col("edge_type") == "LINKS_TO").select(
+        "edge_type", "src", "dst"
+    )
+
+
+@_q(
+    "graph_stats",
+    """
+SELECT 'page' AS kind, 'node' AS entity, count(*) AS n FROM documents
+UNION ALL SELECT 'block', 'node', 10 * count(*) FROM documents
+UNION ALL SELECT 'CONTAINS', 'edge', 10 * count(*) FROM documents
+UNION ALL SELECT 'LINKS_TO', 'edge', 2 * count(*) FROM documents""",
+)
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 graph stats (reference: graph_builder.cc:63-75,
+    generate_full_bom.cc:132-143): nodes/edges per type, computed not
+    stored. Oracle derives the constants from the fixed template (10
+    blocks + 2 links per page)."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    return build_web_graph(pages).stats()
+
+
+@_q(
+    "bom_totals_links",
+    """
+WITH l AS (
+  SELECT CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+  UNION ALL SELECT CAST(floor(doc_id / 3) AS BIGINT) FROM documents
+)
+SELECT count(DISTINCT t) AS total_unique_parts,
+  count(*) AS total_instances
+FROM l""",
+)
+def q_bom_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 BOM totals (reference: bom_exporter.cc:161-168): unique parts +
+    total instances over the link BOM."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.divergence import bom_report, bom_totals
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    bom = bom_report(build_web_graph(pages), edge_type="LINKS_TO")
+    return bom_totals(bom)
+
+
+@_q(
+    "file_order_rank",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  CAST(row_number() OVER (ORDER BY url) AS BIGINT) AS file_rank
+FROM documents""",
+)
+def q_file_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 file-order sort (reference: generate_full_bom.cc:68 sorted dir
+    scan): deterministic rank over the input listing. The global window
+    is deliberate — like the reference, this ranks the *file listing*
+    (dimension-sized metadata), never corpus rows."""
+    from pyspark.sql.window import Window
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    w = Window.orderBy("url")
+    return pages.select("url").withColumn(
+        "file_rank", F.row_number().over(w).cast("long")
+    )
+
+
+@_q(
+    "numeric_parse_fallback",
+    """
+WITH r AS (
+  SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN CAST(doc_id AS VARCHAR) || '.25'
+    WHEN 1 THEN '  ' || CAST(doc_id AS VARCHAR) || '  '
+    WHEN 2 THEN 'x' || CAST(doc_id AS VARCHAR)
+    ELSE '' END AS raw
+  FROM documents
+)
+SELECT doc_id, raw, coalesce(TRY_CAST(raw AS DOUBLE), 0.0) AS parsed FROM r""",
+)
+def q_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 numeric parse with fallback (reference: GetDouble,
+    dxf_text_parser.cc:31-49 — stod with fallback): well-formed,
+    whitespace-padded, malformed and empty inputs all parse without a
+    task failure; malformed -> 0.0."""
+    from finetoo_sp_spark.extraction.fields import parse_double_with_fallback
+
+    did = F.col("doc_id")
+    raw = (
+        F.when(did % 4 == 0, F.concat(did.cast("string"), F.lit(".25")))
+        .when(did % 4 == 1, F.concat(F.lit("  "), did.cast("string"), F.lit("  ")))
+        .when(did % 4 == 2, F.concat(F.lit("x"), did.cast("string")))
+        .otherwise(F.lit(""))
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", raw.alias("raw"), parse_double_with_fallback(raw).alias("parsed")
+    )
+
+
+@_q(
+    "ascii_sanitize",
+    f"""
+SELECT doc_id,
+  {_SANITIZE_SQL.format(x="substr(text, 1, 40) || 'é' || chr(9) || '|' || chr(10) || '|€ end'")} AS clean
+FROM documents""",
+)
+def q_ascii_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 ASCII sanitize as a direct column op (reference:
+    bom_exporter.cc:16-28: keep 0x20-0x7E, newline/tab -> space, drop the
+    rest)."""
+    from finetoo_sp_spark.operators.sinks import sanitize_ascii
+
+    messy = F.concat(
+        F.substring("text", 1, 40), F.lit("é\t|\n|€ end")
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", sanitize_ascii(messy).alias("clean")
+    )
+
+
 # --- capstone: end-to-end curation pipeline -------------------------------
 
 # stop-shingle pruning ON (max_df=100): a shingle in >100 of the 500
@@ -1383,6 +1815,71 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.join(keep.filter(F.col("keep")), quality.id == keep.id, "left_semi")
         .select(F.col("id").alias("doc_id"), "n_words")
     )
+
+
+# --- late-bound oracles (need _blocks_cte, defined above) -----------------
+
+_PLACEHOLDER_ORACLES = {
+    "__BLOCK_DIVERGENCE_ORACLE__": f"""
+WITH {_blocks_cte()}
+SELECT tag || '#' || CAST(block_id AS VARCHAR) AS name,
+  count(DISTINCT url) AS n_docs,
+  count(DISTINCT sha256(btext)) AS n_versions,
+  count(DISTINCT sha256(btext)) > 1 AS is_divergent
+FROM blocks GROUP BY 1""",
+    "__DIVERGENCE_TOTALS_ORACLE__": f"""
+WITH {_blocks_cte()},
+r AS (
+  SELECT tag || '#' || CAST(block_id AS VARCHAR) AS name,
+    count(DISTINCT btext) AS v
+  FROM blocks GROUP BY 1
+)
+SELECT count(*) AS total_names,
+  CAST(sum(CASE WHEN v > 1 THEN 1 ELSE 0 END) AS BIGINT) AS divergent,
+  CAST(sum(CASE WHEN v <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS consistent
+FROM r""",
+    "__SHARED_BLOCKS_ORACLE__": f"""
+WITH {_blocks_cte()}
+SELECT tag || '#' || CAST(block_id AS VARCHAR) AS name,
+  count(DISTINCT url) AS n_docs
+FROM blocks GROUP BY 1 HAVING count(DISTINCT url) >= 2""",
+    "__BLOCK_COMPARISON_ORACLE__": f"""
+WITH {_blocks_cte("doc_id < 20 OR (doc_id BETWEEN 250 AND 269)")},
+a AS (
+  SELECT doc_id AS pair_id, tag || '#' || CAST(block_id AS VARCHAR) AS name, btext
+  FROM blocks WHERE doc_id < 20
+), b AS (
+  SELECT doc_id - 250 AS pair_id, tag || '#' || CAST(block_id AS VARCHAR) AS name, btext
+  FROM blocks WHERE doc_id >= 250
+)
+SELECT pair_id, name,
+  TRUE AS in_a, TRUE AS in_b,
+  (a.btext = b.btext) AS is_equal,
+  CAST(length(b.btext) - length(a.btext) AS BIGINT) AS chars_delta,
+  CAST(len(regexp_split_to_array(b.btext, ' ')) - len(regexp_split_to_array(a.btext, ' ')) AS BIGINT) AS words_delta
+FROM a JOIN b USING (pair_id, name)""",
+    "__BOM_TEXT_ORACLE__": """
+WITH l AS (
+  SELECT CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+  UNION ALL SELECT CAST(floor(doc_id / 3) AS BIGINT) FROM documents
+), bom AS (
+  SELECT 'https://src' || CAST(t % 20 AS VARCHAR) || '.example.com/doc/' || CAST(t AS VARCHAR) AS part,
+    count(*) AS quantity
+  FROM l GROUP BY t
+)
+SELECT CAST(0 AS BIGINT) AS line_no, rpad('PART', 40, ' ') || lpad('QTY', 8, ' ') AS line
+UNION ALL
+SELECT CAST(1 AS BIGINT), repeat('-', 48)
+UNION ALL
+SELECT CAST(row_number() OVER (ORDER BY quantity DESC, part) + 1 AS BIGINT),
+  rpad(part, 40, ' ') || lpad(CAST(quantity AS VARCHAR), 8, ' ')
+FROM bom""",
+}
+
+_REGISTRY[:] = [
+    (n, f, _PLACEHOLDER_ORACLES.get(s, s) if s is not None else None)
+    for (n, f, s) in _REGISTRY
+]
 
 
 # ---------------------------------------------------------------- exports

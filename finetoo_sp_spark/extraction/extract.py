@@ -53,14 +53,23 @@ EXTRACT_SCHEMA = StructType(
 )
 
 
-def url_salt(n_buckets: int, url: Column | str = "url") -> Column:
-    """Deterministic bucket id: ``pmod(xxhash64(url), n_buckets)``.
+def url_salt(
+    n_buckets: int, url: Column | str = "url", hash_mode: str = "xxhash64"
+) -> Column:
+    """Deterministic bucket id: ``pmod(hash(url), n_buckets)``.
 
     Used both for skew-defusing repartition and for lineage-manifest
-    partitioning (resume granularity).
+    partitioning (resume granularity). ``hash_mode='sha'`` uses the
+    sha256-derived 60-bit hash that DuckDB can reproduce — the
+    verification mode that lets the manifest table itself sit under a
+    value oracle; production keeps xxhash64.
     """
     c = F.col(url) if isinstance(url, str) else url
-    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
+    if hash_mode == "sha":
+        h = F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(c)
+    return F.pmod(h, F.lit(n_buckets)).cast("int")
 
 
 def extract_pages(

@@ -62,6 +62,15 @@ WEB_FIELD_RULES: list[FieldRule] = [
 ]
 
 
+def parse_double_with_fallback(col: Column | str, default: float = 0.0) -> Column:
+    """Numeric parse with fallback (reference: GetDouble,
+    dxf_text_parser.cc:31-49 + graph_builder.cc:124-130 — std::stod with
+    fallback to the string/default on failure). try_cast keeps malformed
+    content from ever failing a task under ANSI mode."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.try_cast("double"), F.lit(default))
+
+
 def _typed(col: Column, dtype: str) -> Column:
     if dtype == "string":
         return F.trim(col)

@@ -93,6 +93,50 @@ def bom_report(g: PropertyGraphFrames, edge_type: str = "LINKS_TO") -> DataFrame
     )
 
 
+def block_comparison(
+    blocks_a: DataFrame,
+    blocks_b: DataFrame,
+    on: list[str] | None = None,
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+    words_col: str = "n_words",
+) -> DataFrame:
+    """Per-pair block diff records (reference: BlockComparison,
+    proto/graph.proto:305-383 — per block: presence, value equality,
+    count deltas between two drawings/pages).
+
+    ``on``: join key(s), e.g. ["pair_id", "name"] when comparing many
+    page pairs at once (the scale shape: one equi-join keyed on the
+    pair, never a per-pair loop). Full outer join so blocks present in
+    only one side still emit a record (in_a/in_b flags).
+    """
+    on = on or ["name"]
+    a = blocks_a.select(
+        *on,
+        F.col(text_col).alias("text_a"),
+        F.col(chars_col).alias("chars_a"),
+        F.col(words_col).alias("words_a"),
+    )
+    b = blocks_b.select(
+        *on,
+        F.col(text_col).alias("text_b"),
+        F.col(chars_col).alias("chars_b"),
+        F.col(words_col).alias("words_b"),
+    )
+    return a.join(b, on, "full_outer").select(
+        *on,
+        F.col("text_a").isNotNull().alias("in_a"),
+        F.col("text_b").isNotNull().alias("in_b"),
+        F.col("text_a").eqNullSafe(F.col("text_b")).alias("is_equal"),
+        (F.coalesce("chars_b", F.lit(0)) - F.coalesce("chars_a", F.lit(0))).alias(
+            "chars_delta"
+        ),
+        (F.coalesce("words_b", F.lit(0)) - F.coalesce("words_a", F.lit(0))).alias(
+            "words_delta"
+        ),
+    )
+
+
 def bom_totals(bom: DataFrame) -> DataFrame:
     """Reference: total_unique_parts + total_instances
     (bom_exporter.cc:161-168)."""

@@ -44,13 +44,71 @@ def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").json(path)
 
 
+def dim_type_decode(code: Column | str) -> Column:
+    """Dimension-type code -> name (reference: bom_exporter.cc:111-120
+    decodes gc_70 & 0x07 into LINEAR/ALIGNED/ANGULAR/DIAMETER/RADIUS,
+    anything else OTHER). Chained `when` — pure Catalyst, constant-folded.
+    """
+    c = F.col(code) if isinstance(code, str) else code
+    return (
+        F.when(c == 0, "LINEAR")
+        .when(c == 1, "ALIGNED")
+        .when(c == 2, "ANGULAR")
+        .when(c == 3, "DIAMETER")
+        .when(c == 4, "RADIUS")
+        .otherwise("OTHER")
+    )
+
+
+def format_bom_lines(
+    bom: DataFrame,
+    part_col: str = "part",
+    qty_col: str = "quantity",
+    part_width: int = 40,
+    qty_width: int = 8,
+) -> DataFrame:
+    """Fixed-width BOM text rendering as (line_no, line) rows (reference:
+    query_service.cc:181-206 FormatBOM — padded part/qty table, sorted by
+    quantity desc). line_no 0 = header, 1 = separator, 2.. = entries;
+    ties broken on part name so the rendering is byte-deterministic.
+
+    Kept as a DataFrame (not a collected string) so the renderer
+    distributes; a driver-side `"\\n".join` over `.collect()` gives the
+    reference's exact text artifact for dimension-sized BOMs.
+    """
+    from pyspark.sql.window import Window
+
+    spark = bom.sparkSession
+    header = spark.createDataFrame(
+        [
+            (0, "PART".ljust(part_width) + "QTY".rjust(qty_width)),
+            (1, "-" * (part_width + qty_width)),
+        ],
+        ["line_no", "line"],
+    )
+    w = Window.orderBy(F.desc(qty_col), F.asc(part_col))
+    body = bom.select(
+        (F.row_number().over(w) + 1).cast("long").alias("line_no"),
+        F.concat(
+            F.rpad(F.col(part_col), part_width, " "),
+            F.lpad(F.col(qty_col).cast("string"), qty_width, " "),
+        ).alias("line"),
+    )
+    return header.select(F.col("line_no").cast("long"), "line").unionByName(body)
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """Quoted CSV export with header + sanitization (A7/A8; reference
     quotes every field, bom_exporter.cc:230-240 -> quoteAll)."""
     out = _sanitized(df)
     if single_file:
         out = out.coalesce(1)
-    # escape='"' -> RFC-4180 doubled quotes (Spark defaults to backslash)
+    # escape='"' -> RFC-4180 doubled quotes (Spark defaults to backslash);
+    # whitespace options off -> the writer defaults TRIM leading/trailing
+    # whitespace even inside quoted fields, which breaks byte-identical
+    # round trips (reference quotes fields verbatim)
     out.write.mode("overwrite").option("header", True).option("quoteAll", True).option(
         "escape", '"'
+    ).option("ignoreLeadingWhiteSpace", False).option(
+        "ignoreTrailingWhiteSpace", False
     ).csv(path)

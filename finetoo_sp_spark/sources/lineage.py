@@ -40,12 +40,28 @@ from finetoo_sp_spark.extraction.extract import extract_pages, url_salt
 MANIFEST_DIRNAME = "_manifests"
 
 
-def _manifest_frame(result: DataFrame, input_counts: DataFrame) -> DataFrame:
+def _row_hash(hash_mode: str):
+    """Per-row 64-bit hash of (url, text) for the checksum fold.
+
+    'sha' mode is DuckDB-reproducible (sha256-derived 60-bit over
+    url || \\x01 || text) so the manifest checksum itself can sit under a
+    value oracle; production uses xxhash64.
+    """
+    if hash_mode == "sha":
+        return F.conv(
+            F.substring(F.sha2(F.concat_ws("\x01", "url", "text"), 256), 1, 15), 16, 10
+        ).cast("long")
+    return F.xxhash64("url", "text")
+
+
+def _manifest_frame(
+    result: DataFrame, input_counts: DataFrame, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """One row per bucket: counts + order-independent content checksum."""
     out = result.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("output_count"),
         # XOR-fold of row hashes -> order/partition independent, no overflow
-        F.bit_xor(F.xxhash64("url", "text")).alias("content_checksum"),
+        F.bit_xor(_row_hash(hash_mode)).alias("content_checksum"),
         F.sum(F.length("text")).alias("output_chars"),
     )
     return (
@@ -76,6 +92,7 @@ def write_with_manifests(
     out_dir: str,
     input_counts: DataFrame | None = None,
     n_buckets: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> None:
     """Write a bucketed result + its manifest rows.
 
@@ -114,7 +131,7 @@ def write_with_manifests(
         written = written.join(
             F.broadcast(input_counts.select("bucket")), "bucket", "left_semi"
         )
-    manifest = _manifest_frame(written, input_counts)
+    manifest = _manifest_frame(written, input_counts, hash_mode=hash_mode)
     # without this repartition AQE coalesces the tiny manifest frame to ONE
     # task that then creates every bucket=* directory serially (seconds of
     # hidden serial time); 32-way spreads the filesystem work
@@ -130,6 +147,7 @@ def run_resumable_extraction(
     keep_cols: list[str] | None = None,
     strict_input_counts: bool = False,
     pre_partition: bool = False,
+    hash_mode: str = "xxhash64",
 ) -> dict:
     """Extract ``pages`` -> ``out_dir``, skipping buckets already committed.
 
@@ -159,7 +177,7 @@ def run_resumable_extraction(
     spark = pages.sparkSession
     phases: dict[str, float] = {}
     t = time.time()
-    pages_b = pages.withColumn("bucket", url_salt(n_buckets))
+    pages_b = pages.withColumn("bucket", url_salt(n_buckets, hash_mode=hash_mode))
 
     committed = read_manifests(spark, out_dir)
     input_counts = None
@@ -209,7 +227,11 @@ def run_resumable_extraction(
         todo, repartition_buckets=None, keep_cols=(keep_cols or []) + ["bucket"]
     )
     write_with_manifests(
-        extracted, out_dir, input_counts, n_buckets=None if pre_partition else n_buckets
+        extracted,
+        out_dir,
+        input_counts,
+        n_buckets=None if pre_partition else n_buckets,
+        hash_mode=hash_mode,
     )
     phases["extract_write_manifest"] = round(time.time() - t, 2)
 

@@ -83,13 +83,10 @@ def test_all_queries_have_impl_and_rows_only_flagged():
 
     qs, oracles = contract.queries(), contract.oracle_sql()
     assert set(oracles) <= set(qs)
-    # rows-only ops are the genuinely non-portable ones, by design
-    assert set(qs) - set(oracles) == {
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "multimodal_features",
-        "block_divergence",
-    }
+    # round 2: every registered query carries a full DuckDB value oracle
+    # (the formerly rows-only ops gained portable-hash / serialized forms)
+    assert set(qs) == set(oracles)
+    assert "__BLOCK_DIVERGENCE_ORACLE__" not in oracles.values()
 
 
 def test_entry_smoke(spark):

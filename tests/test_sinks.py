@@ -58,3 +58,37 @@ def test_graph_stats(spark):
     got = {(r["kind"], r["entity"]): r["n"] for r in g.stats().collect()}
     assert got[("n", "node")] == 2
     assert got[("E", "edge")] == 1
+
+
+def test_format_bom_golden(spark):
+    """FormatBOM byte-exact golden (reference: query_service.cc:181-206
+    fixed-width part/qty table, sorted by quantity desc)."""
+    from finetoo_sp_spark.operators.sinks import format_bom_lines
+
+    bom = spark.createDataFrame(
+        [("BOLT-M6", 12), ("PANEL-A", 3), ("AXLE", 12)], ["part", "quantity"]
+    )
+    lines = [
+        r["line"]
+        for r in format_bom_lines(bom, part_width=12, qty_width=5)
+        .orderBy("line_no")
+        .collect()
+    ]
+    assert "\n".join(lines) == (
+        "PART          QTY\n"
+        "-----------------\n"
+        "AXLE           12\n"
+        "BOLT-M6        12\n"
+        "PANEL-A         3"
+    )
+
+
+def test_dim_type_decode(spark):
+    from pyspark.sql import functions as F
+
+    from finetoo_sp_spark.operators.sinks import dim_type_decode
+
+    df = spark.range(7).select(dim_type_decode(F.col("id")).alias("t"))
+    assert [r["t"] for r in df.collect()] == [
+        "LINEAR", "ALIGNED", "ANGULAR", "DIAMETER", "RADIUS", "OTHER", "OTHER",
+    ]
