@@ -1235,6 +1235,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "frame_sample_plan",
+    """
+SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx
+FROM documents,
+  UNNEST(generate_series(0, CAST(doc_id % 50 AS BIGINT), 10)) AS t(f)""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal.frame_sample_plan):
+    every-Nth-frame explode from a declared frame count — the partition/
+    explode shape is real, the decode is the documented stub. Oracle =
+    generate_series over the same declared counts."""
+    from finetoo_sp_spark.multimodal import frame_sample_plan
+
+    assets = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("doc_id") % 50 + 1).cast("long").alias("n_frames"),
+    )
+    return frame_sample_plan(assets, every_n=10)
+
+
+@_q(
     "host_page_stats",
     """
 WITH u AS (

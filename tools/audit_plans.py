@@ -77,6 +77,42 @@ CHECKS = {
         ("arrow-batched python stage", r"(MapInPandas|ArrowEvalPython)"),
         ("only url/html/doc_id scanned", r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
     ],
+    # round-2 scale paths: the registered embedding dedup must be the
+    # bucket join (a cartesian here is the 100-TB scale-killer VERDICT
+    # r1 flagged), and the banded dedups must keep partial aggregation.
+    "dedup_embedding_cosine": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+        ("bucket equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "dedup_minhash_lsh": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("signature min-aggregates partial", r"HashAggregate"),
+    ],
+    "dedup_simhash": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("band equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "curation_pipeline": [
+        # NOTE: the jaccard/CC stages run behind a localCheckpoint (lineage
+        # cut), so only the post-checkpoint plan is visible here; the
+        # stop-shingle prune is audited on dedup_ngram_jaccard below.
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("keep-list semi-join", r"LeftSemi"),
+    ],
+    "dedup_ngram_jaccard": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("stop-shingle anti-join prune present", r"LeftAnti"),
+        ("pair aggregation partial", r"HashAggregate"),
+    ],
+    "block_comparison": [
+        ("pair diff is an equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "pdf_layout_extract": [
+        ("both branches arrow-batched", r"MapInPandas"),
+        ("union of routed branches", r"Union"),
+    ],
 }
 
 
@@ -100,7 +136,10 @@ def main() -> int:
         plan = buf.getvalue()
         print(f"\n=== {name} ===")
         for desc, pat in checks:
-            ok = re.search(pat, plan) is not None
+            if pat.startswith("!"):  # negative check: pattern must be absent
+                ok = re.search(pat[1:], plan) is None
+            else:
+                ok = re.search(pat, plan) is not None
             print(f"  {'ok  ' if ok else 'FAIL'} {desc}")
             if not ok:
                 failures += 1
