@@ -74,6 +74,28 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # production-hash variants: the registered minhash/simhash queries run
+    # hash_mode='sha' (DuckDB-verifiable, slower hash); production uses
+    # xxhash64 with the identical plan shape — time both for the record.
+    from pyspark.sql import functions as F
+
+    from finetoo_sp_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prod = {
+        "dedup_minhash_lsh_prod": lambda: dd.minhash_lsh_pairs(
+            docs.filter(F.col("doc_id") < 150), "doc_id", "text",
+            n=3, k=32, bands=8, threshold=0.12,
+        ),
+        "dedup_simhash_prod": lambda: dd.simhash_pairs(
+            docs, "doc_id", "text", max_hamming=3
+        ),
+    }
+    for name, fn in prod.items():
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
