@@ -1776,6 +1776,38 @@ def q_ascii_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "binder_manifest",
+    """
+WITH p AS (
+  SELECT source,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    sha256('heading for document ' || doc_id || chr(10)
+      || trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT source AS binder_id, 'Binder ' || source AS title,
+  count(*) AS n_pages,
+  sha256(string_agg(h, '' ORDER BY url)) AS binder_sha,
+  min(url) AS first_url, max(url) AS last_url
+FROM p GROUP BY source""",
+)
+def q_binder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binder/export direction (reference: BinderConfig,
+    proto/graph.proto:360-383): one binder per source, pages ordered by
+    url, combined sha256 over the ordered page hashes — byte-stable under
+    any partitioning. The oracle recomputes every binder hash via
+    string_agg ORDER BY."""
+    from finetoo_sp_spark.extraction.binder import BinderConfig, build_binder_manifest
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    extracted = extract_pages(pages).join(
+        pages.select("url", (F.regexp_extract("url", r"https://([^.]+)\.", 1)).alias("source")),
+        "url",
+    )
+    return build_binder_manifest(extracted, BinderConfig(group_col="source"))
+
+
 # --- capstone: end-to-end curation pipeline -------------------------------
 
 # stop-shingle pruning ON (max_df=100): a shingle in >100 of the 500
