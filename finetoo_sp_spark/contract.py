@@ -1801,9 +1801,8 @@ def q_binder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.extraction.binder import BinderConfig, build_binder_manifest
 
     pages = documents_to_pages(T(spark, sf_dir, "documents"))
-    extracted = extract_pages(pages).join(
-        pages.select("url", (F.regexp_extract("url", r"https://([^.]+)\.", 1)).alias("source")),
-        "url",
+    extracted = extract_pages(pages).withColumn(
+        "source", F.regexp_extract("url", r"https://([^.]+)\.", 1)
     )
     return build_binder_manifest(extracted, BinderConfig(group_col="source"))
 
