@@ -574,6 +574,18 @@ def q_block_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_comparison(ba, bb, on=["pair_id", "name"])
 
 
+@_q("block_canonical", "__BLOCK_CANONICAL_ORACLE__")
+def q_block_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-version choice per block name (reference:
+    BlockComparison's user canonical choice, proto/graph.proto:305-383 —
+    the automated majority default): most frequent content hash, ties on
+    smallest hash, with an example document."""
+    from finetoo_sp_spark.operators.divergence import canonical_choice
+
+    blocks = _extracted_blocks_named(spark, sf_dir)
+    return canonical_choice(blocks, "name", "url", "content_hash")
+
+
 @_q("bom_text_render", "__BOM_TEXT_ORACLE__")
 def q_bom_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FormatBOM fixed-width text rendering (reference:
@@ -1151,6 +1163,174 @@ FROM fp GROUP BY doc_id""",
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.fingerprint_summary(T(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4)
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+wd AS (SELECT doc_id, u.w AS term FROM w, UNNEST(ws) AS u(w) WHERE length(u.w) > 0),
+tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM wd GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT id, term, tf, df, tf * (n.n / df) AS score
+  FROM tf JOIN dfq USING (term), n
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS BIGINT) AS rk
+  FROM s
+)
+SELECT id, term, tf, df, round(score, 6) AS score, rk FROM r WHERE rk <= 5""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (ratio-idf mode: exact integer-ratio
+    arithmetic, cross-engine reproducible — the log variant is a flag)."""
+    return ts.tfidf_top_terms(T(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+_SLICE_BUCKET_SQL = (
+    "array_to_string(list_transform({side}.embedding[{lo}:{hi}], "
+    "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+def _multiprobe_oracle(k: int, n_bits: int, n_tables: int) -> str:
+    cond = " OR ".join(
+        f"{_SLICE_BUCKET_SQL.format(side='q', lo=t * n_bits + 1, hi=(t + 1) * n_bits)}"
+        f" = {_SLICE_BUCKET_SQL.format(side='c', lo=t * n_bits + 1, hi=(t + 1) * n_bits)}"
+        for t in range(n_tables)
+    )
+    cos = _COSINE_SQL.replace("a.embedding", "q.embedding").replace(
+        "b.embedding", "c.embedding"
+    )
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < 5 AND c.vec_id != q.vec_id AND ({cond})
+)
+SELECT query_id, neighbor_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {k}"""
+
+
+@_q("ann_lsh_multiprobe", _multiprobe_oracle(k=5, n_bits=8, n_tables=3))
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN: 3 tables over disjoint coordinate
+    slices, union-of-buckets candidates, exact cosine + top-k — the
+    recall dial over the single-table ann_lsh_bucketed."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.ann_lsh_multiprobe(
+        emb, emb.filter(F.col("vec_id") < 5), k=5, n_bits=8, n_tables=3
+    )
+
+
+# --- relational breadth: more TPC-H shapes --------------------------------
+
+
+@_q(
+    "q6_forecast_revenue",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + aggregate — every predicate reaches the
+    parquet scan (PushedFilters), zero shuffles beyond the final agg."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@_q(
+    "q4_order_priority",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority""",
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a left-semi join (the C6 semi-join shape
+    at relational breadth; the driver's lineitem has no commit/receipt
+    dates, so the late-delivery predicate becomes returned-items)."""
+    orders = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    late = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_q(
+    "distinct_suppliers_by_part",
+    """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 19)
+GROUP BY p_brand, p_size""",
+)
+def q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped distinct-aggregation: NOT-equal + IN pushdown, then
+    count(DISTINCT) per group (the one distinct-agg in SURVEY D-notes)."""
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45") & F.col("p_size").isin(1, 4, 9, 14, 19)
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q18_large_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+)
+SELECT c_custkey, o_orderkey, o_totalprice, total_qty
+FROM big JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING subquery -> join back to orders/customer
+    (aggregate-then-join keeps the big side small before the joins)."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 200)
+        .select("l_orderkey", F.round("raw_qty", 2).alias("total_qty"))
+    )
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
 
 
 # --- multimodal plumbing ---------------------------------------------------
@@ -1910,6 +2090,19 @@ SELECT pair_id, name,
   CAST(length(b.btext) - length(a.btext) AS BIGINT) AS chars_delta,
   CAST(len(regexp_split_to_array(b.btext, ' ')) - len(regexp_split_to_array(a.btext, ' ')) AS BIGINT) AS words_delta
 FROM a JOIN b USING (pair_id, name)""",
+    "__BLOCK_CANONICAL_ORACLE__": f"""
+WITH {_blocks_cte()},
+v AS (
+  SELECT tag || '#' || CAST(block_id AS VARCHAR) AS name,
+    sha256(btext) AS canonical_hash,
+    count(*) AS n_docs_version, min(url) AS example_doc
+  FROM blocks GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY name ORDER BY n_docs_version DESC, canonical_hash) AS rk
+  FROM v
+)
+SELECT name, canonical_hash, n_docs_version, example_doc FROM r WHERE rk = 1""",
     "__BOM_TEXT_ORACLE__": """
 WITH l AS (
   SELECT CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents

@@ -137,6 +137,38 @@ def block_comparison(
     )
 
 
+def canonical_choice(
+    df: DataFrame, name_col: str, doc_col: str, hash_col: str
+) -> DataFrame:
+    """Per name: the canonical version (reference: BlockComparison's
+    user canonical choice, proto/graph.proto:305-383 — here the
+    automated default a user would then override): majority content
+    hash, ties broken on the smallest hash so the choice is
+    deterministic under any partitioning.
+
+    Output: (name, canonical_hash, n_docs_version, example_doc).
+    Scale: one groupBy on (name, hash) + a per-name window over the
+    version counts (version cardinality per name is small by
+    construction).
+    """
+    from pyspark.sql.window import Window
+
+    v = df.groupBy(
+        F.col(name_col).alias("name"), F.col(hash_col).alias("canonical_hash")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs_version"),
+        F.min(doc_col).alias("example_doc"),
+    )
+    w = Window.partitionBy("name").orderBy(
+        F.desc("n_docs_version"), F.asc("canonical_hash")
+    )
+    return (
+        v.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("name", "canonical_hash", "n_docs_version", "example_doc")
+    )
+
+
 def bom_totals(bom: DataFrame) -> DataFrame:
     """Reference: total_unique_parts + total_instances
     (bom_exporter.cc:161-168)."""

@@ -134,3 +134,70 @@ def ann_lsh_bucketed(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ann_lsh_multiprobe(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH ANN: table t buckets on the sign bits of
+    coordinate slice [t*n_bits, (t+1)*n_bits); candidates = union of the
+    per-table bucket matches (deduplicated), then exact cosine + per-
+    query top-k. The standard recall/cost dial: n_tables× the candidate
+    generation cost buys near-multiplicative recall, while each table's
+    join stays a uniform bucket equi-join (no crossJoin anywhere).
+
+    Deterministic coordinate-slice planes (not random projections) so an
+    external SQL oracle reproduces every bucket — swap in fixed random
+    hyperplanes for production; the plan shape is identical.
+    """
+    from pyspark.sql.window import Window
+
+    def bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        cols = [F.col(id_col).alias(out_id)]
+        for t in range(n_tables):
+            bits = F.transform(
+                F.slice(F.col(vec_col), t * n_bits + 1, n_bits),
+                lambda x: F.when(x >= 0, F.lit("1")).otherwise(F.lit("0")),
+            )
+            cols.append(F.concat_ws("", bits).alias(f"b{t}"))
+        return df.select(*cols)
+
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(emb, "neighbor_id")
+    cand = None
+    for t in range(n_tables):
+        m = (
+            qb.select("query_id", F.col(f"b{t}").alias("bkt"))
+            .join(cb.select("neighbor_id", F.col(f"b{t}").alias("bkt")), "bkt")
+            .select("query_id", "neighbor_id")
+        )
+        cand = m if cand is None else cand.unionByName(m)
+    cand = cand.distinct().filter(F.col("query_id") != F.col("neighbor_id"))
+
+    qn = with_norm(queries, id_col, vec_col).withColumnsRenamed(
+        {"id": "query_id", "unit": "qv"}
+    )
+    cn = with_norm(emb, id_col, vec_col).withColumnsRenamed(
+        {"id": "neighbor_id", "unit": "cv"}
+    )
+    scored = (
+        cand.join(qn, "query_id")
+        .join(cn, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

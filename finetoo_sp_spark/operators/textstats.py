@@ -141,3 +141,50 @@ def fingerprint_summary(
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("fingerprint").alias("min_fingerprint"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    idf_mode: str = "ratio",
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms.
+
+    tf = term count within the document; idf = N/df (``idf_mode='ratio'``,
+    exact integer-ratio arithmetic — cross-engine reproducible since no
+    transcendental is evaluated) or ln(N/df) (``'log'``, the classic
+    form — engines' libm ulp differences make it unsuitable for
+    value-hash oracles, so the registered query uses ratio mode).
+    Deterministic tie-break: (score desc, term asc).
+
+    Scale: one shuffle for (id, term) counts, one vocabulary-sized
+    shuffle for document frequencies, an equi-join on term, then a
+    per-doc window top-k. No collect, no UDF; the df side is
+    vocabulary-sized and AQE will broadcast it when it fits.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    idf = F.col("n") / F.col("df")
+    if idf_mode == "log":
+        idf = F.log(idf)
+    elif idf_mode != "ratio":
+        raise ValueError(f"unknown idf_mode {idf_mode!r}")
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))  # one scalar row broadcast
+        .select("id", "term", "tf", "df", (F.col("tf") * idf).alias("score"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("id", "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
+    )

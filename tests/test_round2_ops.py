@@ -1,0 +1,70 @@
+"""Round-2 operator units: TF-IDF, multi-probe ANN, canonical choice."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from finetoo_sp_spark.operators import similarity as sim
+from finetoo_sp_spark.operators import textstats as ts
+from finetoo_sp_spark.operators.divergence import canonical_choice
+
+
+def test_tfidf_ratio_vs_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = ts.tfidf_top_terms(docs, "doc_id", "text", k=2)
+    rows = {(r["id"], r["rk"]): (r["term"], r["tf"], r["df"], r["score"]) for r in out.collect()}
+    # doc 1: apple tf=2 df=1 -> 2*(3/1)=6; banana tf=1 df=2 -> 1.5
+    assert rows[(1, 1)] == ("apple", 2, 1, 6.0)
+    assert rows[(1, 2)] == ("banana", 1, 2, 1.5)
+    # doc 3: cherry tf=2 df=2 -> 3.0; durian tf=1 df=1 -> 3.0 -> tie on
+    # score breaks alphabetically (cherry first)
+    assert rows[(3, 1)][0] == "cherry" and rows[(3, 2)][0] == "durian"
+    assert rows[(3, 1)][3] == rows[(3, 2)][3] == 3.0
+
+
+def test_tfidf_log_mode(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "banana")], ["doc_id", "text"]
+    )
+    out = ts.tfidf_top_terms(docs, "doc_id", "text", k=2, idf_mode="log")
+    d1 = {r["term"]: r["score"] for r in out.filter(F.col("id") == 1).collect()}
+    assert abs(d1["apple"] - math.log(2.0)) < 1e-6
+    assert d1["banana"] == 0.0  # in every doc -> ln(1) = 0
+
+
+def test_multiprobe_superset_of_single_table(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    single = sim.ann_lsh_bucketed(emb, q, k=50, n_bits=8)
+    multi = sim.ann_lsh_multiprobe(emb, q, k=50, n_bits=8, n_tables=3)
+    s_pairs = {(r["query_id"], r["neighbor_id"]) for r in single.collect()}
+    m_pairs = {(r["query_id"], r["neighbor_id"]) for r in multi.collect()}
+    # table 0 of the multiprobe IS the single-table bucketing, so with a
+    # k large enough to avoid truncation the candidate set is a superset
+    assert s_pairs <= m_pairs
+    # and the extra tables actually add recall on this corpus
+    assert len(m_pairs) >= len(s_pairs)
+
+
+def test_canonical_choice_majority_and_tiebreak(spark):
+    rows = [
+        ("b1", "d1", "hA"),
+        ("b1", "d2", "hA"),
+        ("b1", "d3", "hB"),  # majority hA
+        ("b2", "d1", "hZ"),
+        ("b2", "d2", "hY"),  # tie -> smallest hash hY
+    ]
+    df = spark.createDataFrame(rows, ["name", "doc", "h"])
+    got = {r["name"]: (r["canonical_hash"], r["n_docs_version"], r["example_doc"])
+           for r in canonical_choice(df, "name", "doc", "h").collect()}
+    assert got["b1"] == ("hA", 2, "d1")
+    assert got["b2"] == ("hY", 1, "d2")
