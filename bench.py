@@ -66,6 +66,10 @@ def main() -> None:
         "curation_pipeline",
         "web_link_bom",
         "traverse_links_2hop",
+        "tfidf_top_terms",
+        "binder_manifest",
+        "block_comparison",
+        "ann_lsh_multiprobe",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}

@@ -113,6 +113,20 @@ CHECKS = {
         ("both branches arrow-batched", r"MapInPandas"),
         ("union of routed branches", r"Union"),
     ],
+    "ann_lsh_multiprobe": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+        ("union of per-table bucket joins", r"Union"),
+    ],
+    "tfidf_top_terms": [
+        ("NO cartesian on data (only scalar-count broadcast)", r"!CartesianProduct"),
+        ("term-df equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "binder_manifest": [
+        ("single groupBy, in-aggregate ordering", r"sort_array"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
 }
 
 
