@@ -656,6 +656,57 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "rollup_order_priority",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+  round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (beyond the reference's flat
+    GROUP_BY — SURVEY D-notes list grouping sets as absent there; a
+    complete engine needs them): per (priority, status), per priority,
+    and grand total in one pass (Expand + single shuffle)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@_q(
+    "asof_last_purchase",
+    """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS asof_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, ts, user_id, event_type, value FROM events
+  WHERE event_type <> 'purchase'
+)
+SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, r.asof_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): every non-purchase event carries
+    the value of the user's most recent prior-or-simultaneous purchase
+    (null if none). One shuffle on user_id, one ordered window pass —
+    no range cross product; the oracle is DuckDB's native ASOF JOIN."""
+    from finetoo_sp_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    right = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(left, right, by="user_id", on="ts", value_col="value")
+
+
+@_q(
     "q10_returned_items",
     """
 SELECT c_custkey, c_name,

@@ -1,0 +1,71 @@
+"""As-of join: attach the most recent prior right-side row to each left row.
+
+Spark has no native ASOF JOIN (DuckDB / Flink / kdb do; the reference
+has no join beyond equi — SURVEY §2 C-notes — so this is a
+training-pipeline extension: "state of X as of event time T" lookups,
+e.g. the crawl-policy snapshot in force when a page was fetched).
+
+Scale-safe construction (no range cross product, no per-key loop):
+tag both sides, union them, and run ONE window
+``last(value, ignorenulls) over (partition by key order by ts, side)``
+— a single shuffle on the join key; each partition is scanned once in
+time order. Right rows sort before left rows at equal timestamps, so a
+right row taking effect exactly at the left row's time IS matched
+(inclusive <=, DuckDB ASOF semantics).
+
+Skew note: the shuffle key is the by-key; a pathologically hot key
+concentrates one partition — pre-aggregate the right side per (key, ts)
+(done here) and salt the left side upstream if a single key dominates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    on: str,
+    value_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join: every left row + the ``value_col`` of the most
+    recent right row with ``right.on <= left.on`` for the same ``by``
+    key (null when no prior right row exists).
+
+    The right side is deduplicated to one row per (by, on) first
+    (keeping max(value_col)) so the match is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    out_col = out_col or f"asof_{value_col}"
+    r = (
+        right.groupBy(by, on)
+        .agg(F.max(value_col).alias(out_col))
+        .select(by, on, out_col, F.lit(0).alias("_side"))
+    )
+    left_cols = [c for c in left.columns]
+    l = left.select(
+        *left_cols, F.lit(None).cast(r.schema[out_col].dataType).alias(out_col),
+        F.lit(1).alias("_side"),
+    )
+    # align schemas for the union: right rows carry nulls for the other
+    # left columns
+    for c in left_cols:
+        if c not in (by, on):
+            r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l.unionByName(r.select(*left_cols, out_col, "_side"))
+
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select(*left_cols, out_col)
+    )

@@ -68,3 +68,22 @@ def test_canonical_choice_majority_and_tiebreak(spark):
            for r in canonical_choice(df, "name", "doc", "h").collect()}
     assert got["b1"] == ("hA", 2, "d1")
     assert got["b2"] == ("hY", 1, "d2")
+
+
+def test_asof_join_hand_case(spark):
+    from finetoo_sp_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 9, "c"), (2, 3, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 9, 200.0), (1, 9, 150.0), (2, 99, 1.0)],
+        ["k", "t", "v"],
+    )
+    out = asof_join(left, right, by="k", on="t", value_col="v")
+    got = {r["tag"]: r["asof_v"] for r in out.collect()}
+    # inclusive match at equal t; dup right rows deduped to max; no
+    # prior right row -> null
+    assert got == {"a": 100.0, "b": 200.0, "c": 200.0, "d": None}
+    assert out.count() == left.count()
