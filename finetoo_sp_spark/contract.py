@@ -656,6 +656,105 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "range_join_trial_events",
+    """
+WITH r AS (
+  SELECT user_id, min(ts) AS trial_start,
+    min(ts) + INTERVAL 1 DAY AS trial_end
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type,
+  r.trial_start, r.trial_end
+FROM events e JOIN r
+  ON e.user_id = r.user_id
+ AND e.ts >= r.trial_start AND e.ts < r.trial_end""",
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval range join (operators/asof.range_join):
+    events inside each user's first-day trial window. A naive BETWEEN
+    join plans as a nested loop; here intervals explode onto 6h time
+    buckets and the join is a plain equi-join on (user_id, bucket) with
+    the exact predicate applied after — no cross product (plan audit
+    asserts it). Oracle = the naive theta join in DuckDB."""
+    from finetoo_sp_spark.operators.asof import range_join
+
+    ev = T(spark, sf_dir, "events")
+    trials = ev.groupBy("user_id").agg(
+        F.min("ts").alias("trial_start"),
+        (F.min("ts") + F.expr("INTERVAL 1 DAY")).alias("trial_end"),
+    )
+    out = range_join(
+        ev.select("event_id", "user_id", "ts", "event_type"),
+        trials,
+        point_col="ts",
+        start_col="trial_start",
+        end_col="trial_end",
+        by="user_id",
+        bucket_seconds=21600,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type", "trial_start", "trial_end"
+    )
+
+
+@_q(
+    "value_percentiles",
+    """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 4) AS p50,
+  round(quantile_cont(value, 0.9), 4) AS p90,
+  round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type""",
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` and
+    DuckDB `quantile_cont` share the continuous-quantile definition).
+    At 10^12 rows swap in approx_percentile — same plan shape, sketch
+    merge instead of sort."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+    )
+
+
+@_q(
+    "window_lead_lag",
+    """
+SELECT event_id, user_id, ts,
+  lag(event_type) OVER w AS prev_type,
+  lead(event_type) OVER w AS next_type,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM events
+WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-context window functions (lag/lead/ntile) over per-user
+    event streams — deterministic total order via the (ts, event_id)
+    tie-break."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        T(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+    )
+
+
+@_q(
     "rollup_order_priority",
     """
 SELECT o_orderpriority, o_orderstatus, count(*) AS n,

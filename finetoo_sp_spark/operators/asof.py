@@ -69,3 +69,49 @@ def asof_join(
         .filter(F.col("_side") == 1)
         .select(*left_cols, out_col)
     )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | None = None,
+    bucket_seconds: int = 21600,
+) -> DataFrame:
+    """Point-in-interval range join without a cross product.
+
+    Naive ``l.ts BETWEEN r.start AND r.end`` in Spark plans as a
+    nested-loop join — quadratic at scale. The standard fix (what
+    Databricks' range-join optimization does under the hood): quantize
+    time into ``bucket_seconds`` buckets, explode each right interval
+    onto the buckets it covers, equi-join on (by, bucket), then apply
+    the exact interval predicate. Each left row matches a right row in
+    exactly one bucket (the left point's), so no post-join dedup is
+    needed. Interval semantics: half-open [start, end).
+
+    Pick ``bucket_seconds`` ~ the median interval length: larger wastes
+    filter work, smaller multiplies the right side's explode factor.
+    """
+    from pyspark.sql import functions as F
+
+    w = F.lit(bucket_seconds)
+    lb = left.withColumn("_bkt", F.floor(F.unix_timestamp(point_col) / w))
+    rb = right.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(start_col) / w),
+                F.floor(F.unix_timestamp(end_col) / w),
+            )
+        ),
+    )
+    keys = ["_bkt"] if by is None else [by, "_bkt"]
+    return (
+        lb.join(rb, keys)
+        .filter(
+            (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("_bkt")
+    )

@@ -87,3 +87,26 @@ def test_asof_join_hand_case(spark):
     # prior right row -> null
     assert got == {"a": 100.0, "b": 200.0, "c": 200.0, "d": None}
     assert out.count() == left.count()
+
+
+def test_range_join_hand_case(spark):
+    from datetime import datetime
+
+    from finetoo_sp_spark.operators.asof import range_join
+
+    ts = lambda h: datetime(2025, 1, 1, h)
+    left = spark.createDataFrame(
+        [(1, ts(3), "in"), (1, ts(9), "out"), (2, ts(3), "other_user")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts(2), ts(8))], ["k", "s", "e"]
+    )
+    out = range_join(left, right, point_col="t", start_col="s", end_col="e",
+                     by="k", bucket_seconds=3600)
+    assert [r["tag"] for r in out.collect()] == ["in"]
+    # boundary semantics: start inclusive, end exclusive
+    edge = spark.createDataFrame([(1, ts(2), "lo"), (1, ts(8), "hi")], ["k", "t", "tag"])
+    got = {r["tag"] for r in range_join(edge, right, "t", "s", "e", by="k",
+                                        bucket_seconds=3600).collect()}
+    assert got == {"lo"}
