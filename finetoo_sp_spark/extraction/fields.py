@@ -91,11 +91,15 @@ def map_fields(
     html_col: str = "html",
     keep: list[str] | None = None,
 ) -> DataFrame:
-    """pages -> (url, <one typed column per rule>). Pure Catalyst plan."""
+    """pages -> (url, <one typed column per rule>). Pure Catalyst plan.
+    The decoded html is staged as a bound attribute so the N rules share
+    ONE decode instead of embedding (and re-evaluating) the decode
+    expression once per rule."""
     rules = rules if rules is not None else WEB_FIELD_RULES
-    html = F.decode(F.col(html_col), "UTF-8")
-    return pages.select(
-        *(keep or ["url"]), *[field_expr(r, html) for r in rules]
+    keep = keep or ["url"]
+    staged = pages.select(*keep, F.decode(F.col(html_col), "UTF-8").alias("_html"))
+    return staged.select(
+        *keep, *[field_expr(r, F.col("_html")) for r in rules]
     )
 
 

@@ -194,12 +194,17 @@ def minhash_signatures(
     """
     sh = shingles(df, id_col, text_col, n)
     params = minhash_params(k)
-    h = F.pmod(_base_hash("shingle", hash_mode), F.lit(_MERSENNE))
+    # materialize the base hash ONCE per shingle row: each of the k
+    # min-aggregates otherwise evaluates the hash expression itself
+    # (k sha256/xxhash calls per row instead of 1)
+    hashed = sh.select(
+        "id", F.pmod(_base_hash("shingle", hash_mode), F.lit(_MERSENNE)).alias("h")
+    )
     mins = [
-        F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
         for i, (a, b) in enumerate(params)
     ]
-    sig = sh.groupBy("id").agg(*mins)
+    sig = hashed.groupBy("id").agg(*mins)
     return sig.select("id", F.array(*[f"m{i}" for i in range(len(params))]).alias("sig"))
 
 
@@ -375,7 +380,11 @@ def simhash(
     words = df.select(
         F.col(id_col).alias("id"), F.explode(_norm_words(text_col)).alias("w")
     ).filter(F.length("w") > 0)
-    h = _base_hash("w", hash_mode)
+    # one hash evaluation per word row — the nbits sum-aggregates below
+    # must reference the materialized column, not the hash expression
+    # (else nbits hash calls per row)
+    words = words.select("id", _base_hash("w", hash_mode).alias("hw"))
+    h = F.col("hw")
     sums = [
         F.sum(
             F.when(

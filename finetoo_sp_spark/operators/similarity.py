@@ -31,11 +31,18 @@ def _dot(a, b):
 
 def with_norm(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, unit: array<double>) — L2-normalized vectors (zero vectors
-    pass through unnormalized to avoid div-by-zero; cosine vs them is 0)."""
+    pass through unnormalized to avoid div-by-zero; cosine vs them is 0).
+
+    Staged projections: the division lambda must reference the norm as a
+    bound attribute — closing over the norm EXPRESSION re-evaluates the
+    whole O(d) dot product once per vector element (O(d^2) per row)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    norm = F.sqrt(_dot(v, v))
-    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
-    return emb.select(F.col(id_col).alias("id"), unit.alias("unit"))
+    staged = emb.select(F.col(id_col).alias("id"), v.alias("_v"))
+    staged = staged.select("id", "_v", F.sqrt(_dot(F.col("_v"), F.col("_v"))).alias("_n"))
+    unit = F.when(
+        F.col("_n") > 0, F.transform("_v", lambda x: x / F.col("_n"))
+    ).otherwise(F.col("_v"))
+    return staged.select("id", unit.alias("unit"))
 
 
 def brute_force_topk(

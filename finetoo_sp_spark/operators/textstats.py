@@ -56,7 +56,15 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     keep iff 10 <= n_words and 2 <= mean_word_len <= 12 and
     stopword_ratio >= 0.01 (any-language markers) — thresholds are
     documented constants the synthetic corpus is authored against."""
-    words = _words(text_col)
+    # words staged as a bound attribute: the expression form would re-run
+    # the regexp+split once per referencing subexpression
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        _words(text_col).alias("_w"),
+    )
+    words = F.col("_w")
+    text_col = "_text"
     n_words = F.size(words)
     all_stops = sorted({w for ws in STOPWORDS.values() for w in ws})
     n_stop = F.size(F.filter(words, lambda w: w.isin(all_stops)))
@@ -64,8 +72,8 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mean_wl = F.round((F.length(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", "")) / F.greatest(n_words, F.lit(1))), 4)
     punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
     upper = F.length(F.regexp_replace(F.col(text_col), r"[^A-Z]", ""))
-    out = df.select(
-        F.col(id_col).alias("id"),
+    out = staged.select(
+        "id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -88,18 +96,25 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Counts per-language marker words; argmax with deterministic
     tie-break on language code ascending; 'und' when zero hits
     everywhere. Pure column ops (greatest + chained when)."""
-    words = _words(text_col)
-    counts = {
-        lang: F.size(F.filter(words, lambda w: w.isin(ws)))
-        for lang, ws in STOPWORDS.items()
-    }
+    # two staged projections: marker counts as bound attributes (each
+    # count is referenced 3x below — as an expression that would mean
+    # ~12 re-evaluations of the split per row)
+    w = df.select(F.col(id_col).alias("id"), _words(text_col).alias("_w"))
+    counted = w.select(
+        "id",
+        *[
+            F.size(F.filter(F.col("_w"), lambda x: x.isin(ws))).alias(f"_c_{lang}")
+            for lang, ws in sorted(STOPWORDS.items())
+        ],
+    )
+    counts = {lang: F.col(f"_c_{lang}") for lang in STOPWORDS}
     best = F.greatest(*counts.values())
     pred = F.lit("und")
     # reversed-alpha chain so the *earliest* alphabetical lang wins ties
     for lang in sorted(counts, reverse=True):
         pred = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(pred)
-    return df.select(
-        F.col(id_col).alias("id"), pred.alias("pred_lang"), best.alias("marker_hits")
+    return counted.select(
+        "id", pred.alias("pred_lang"), best.alias("marker_hits")
     )
 
 
