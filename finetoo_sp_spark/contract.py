@@ -185,6 +185,52 @@ def q_extract_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "n_content_blocks", "content_chars")
 
 
+@_q(
+    "extract_spans",
+    """
+WITH pre AS (
+  SELECT doc_id, text,
+    '<!DOCTYPE html><html lang="' || lang || '"><head><title>document '
+      || doc_id || ' from ' || source
+      || '</title><meta name="description" content="summary of document '
+      || doc_id || ' from ' || source
+      || '"><link rel="canonical" href="https://' || source || '.example.com/doc/' || doc_id
+      || '"><script>var doc_id = ' || doc_id || ';</script></head><body><header>'
+      || '<ul><li><a href="/home">home</a></li><li><a href="/tags/' || source || '">' || source
+      || '</a></li><li><a href="https://src' || CAST(CAST(floor(doc_id / 2) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)
+      || '">related</a></li><li><a href="https://src' || CAST(CAST(floor(doc_id / 3) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR)
+      || '">more</a></li><li><a href="/about">about</a></li></ul>'
+      || '</header><main><h1>heading for document ' || doc_id || '</h1><p>' AS prefix,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'heading for document ' || doc_id AS h1t
+  FROM documents
+), pos AS (
+  SELECT url,
+    strpos(prefix, '<h1>') + 3 AS h1s,
+    strpos(prefix, '<h1>') + 3 + length(h1t) AS h1e,
+    length(prefix) AS ps,
+    length(prefix) + length(text) AS pe
+  FROM pre
+)
+SELECT url,
+  '[{"start":' || h1s || ',"end":' || h1e || ',"tag":"h1"},{"start":'
+    || ps || ',"end":' || pe || ',"tag":"p"}]' AS spans_json
+FROM pos""",
+)
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spans output of the north rule under a FULL value oracle: per
+    url, the content-block char offsets into the decoded HTML,
+    serialized as JSON. The oracle rebuilds the template prefix in SQL
+    and derives every offset independently (strpos + raw-text lengths) —
+    so the kernel's exact token-offset arithmetic, not just the joined
+    text, is value-checked."""
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out = extract_pages(pages)
+    return out.select("url", F.to_json("spans").alias("spans_json"))
+
+
 # --- TPC-H classics ------------------------------------------------------
 
 
