@@ -26,7 +26,11 @@ extraction engine) as an idiomatic Spark pipeline:
   behind an Iceberg-or-parquet catalog seam (``sources/catalog.py``);
 - Structured Streaming ingestion with an idempotent micro-batch sink and a
   custom stateful operator (``streaming/``);
-- a parallel PDF layout-analysis path (``extraction/pdf.py``).
+- a parallel PDF layout-analysis path (``extraction/pdf.py``) and binder
+  generation (``extraction/binder.py``);
+- as-of and bucketed range joins (``operators/asof.py``);
+- a deterministic NL-front-end scaffold: schema -> planner prompt +
+  QueryResponse assembly (``plans/frontend.py``).
 
 Everything is DataFrame/SQL-first: Catalyst owns predicate pushdown, column
 pruning and join strategy; Python appears only inside Arrow-batched pandas
