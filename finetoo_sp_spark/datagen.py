@@ -95,12 +95,21 @@ def _sentence(ids: np.ndarray, para: int, n_words: int) -> np.ndarray:
     return out + "."
 
 
-def gen_pages_pandas(ids: np.ndarray, page_scale: int = 1) -> pd.DataFrame:
+def gen_pages_pandas(
+    ids: np.ndarray, page_scale: int = 1, pdf_every: int = 0
+) -> pd.DataFrame:
     """Pure function ids -> pages batch (the distributed inner kernel).
 
     ``page_scale`` multiplies the number of body paragraphs: 1 -> ~3 KB
     toy pages (unit tests), 8 -> ~20 KB (realistic Common-Crawl-sized
     pages for benchmarking). Still fully deterministic per (id, scale).
+
+    ``pdf_every``: if > 0, every pdf_every-th page's payload is a FAKEPDF
+    layout document (extraction/pdf.py format) built from the SAME h1 +
+    paragraphs, fragments y-gapped so each paragraph is its own layout
+    block — the expected extracted text is IDENTICAL to the HTML route,
+    so the byte-identical invariant holds across the mixed-routing
+    pipeline (extract_pages_any) without branching the expectation.
     """
     ids = np.asarray(ids, dtype=np.int64)
     n = len(ids)
@@ -178,6 +187,15 @@ def gen_pages_pandas(ids: np.ndarray, page_scale: int = 1) -> pd.DataFrame:
     )
     expected = np.array(["\n".join(p) for p in expected_parts], dtype=object)
 
+    if pdf_every:
+        is_pdf = (ids % pdf_every) == (pdf_every - 1)
+        for i in np.flatnonzero(is_pdf):
+            frags = expected_parts[i]  # h1 + paragraphs, one block each
+            lines = ["%PDF-FAKE"] + [
+                f"P 0 10 {100000 - 20 * j} {t}" for j, t in enumerate(frags)
+            ]
+            html[i] = "\n".join(lines)
+
     warc_ts = (_EPOCH_2025 + pd.to_timedelta(ids % (365 * 24 * 3600), unit="s")).tz_convert(
         "UTC"
     ).tz_localize(None)
@@ -200,6 +218,7 @@ def gen_pages(
     n_pages: int,
     partitions: int | None = None,
     page_scale: int = 1,
+    pdf_every: int = 0,
 ) -> DataFrame:
     """Distributed deterministic corpus: spark.range -> mapInPandas."""
     partitions = partitions or max(1, min(256, n_pages // 2000 or 1))
@@ -208,7 +227,9 @@ def gen_pages(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf):
-                yield gen_pages_pandas(pdf["id"].to_numpy(), page_scale=page_scale)
+                yield gen_pages_pandas(
+                    pdf["id"].to_numpy(), page_scale=page_scale, pdf_every=pdf_every
+                )
 
     return rng.mapInPandas(gen, schema=PAGES_SCHEMA)
 
@@ -219,5 +240,8 @@ def write_pages(
     path: str,
     partitions: int | None = None,
     page_scale: int = 1,
+    pdf_every: int = 0,
 ) -> None:
-    gen_pages(spark, n_pages, partitions, page_scale).write.mode("overwrite").parquet(path)
+    gen_pages(spark, n_pages, partitions, page_scale, pdf_every).write.mode(
+        "overwrite"
+    ).parquet(path)

@@ -36,6 +36,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from finetoo_sp_spark.extraction.extract import EXTRACT_SCHEMA
 
@@ -145,25 +146,34 @@ def extract_pdf_batch(urls: pd.Series, payload: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out_rows)
 
 
-def extract_pages_any(pages: DataFrame, keep_cols: list[str] | None = None) -> DataFrame:
+def extract_pages_any(
+    pages: DataFrame,
+    repartition_buckets: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
     """Route each page by payload magic: %PDF-* -> layout path, else HTML
     tokenizer path; union into one EXTRACT_SCHEMA output.
 
     The routing predicate is a JVM-side prefix check on the binary column
     (no Python touch for the split), so each path's mapInPandas sees only
     its own rows — a narrow, shuffle-free plan on both branches.
+    ``repartition_buckets``: optional hash(url) salt repartition before
+    the split (same knob as extract_pages) — drop-in replacement for it
+    in the resumable pipeline.
     """
-    from finetoo_sp_spark.extraction.extract import extract_pages
+    from finetoo_sp_spark.extraction.extract import extract_pages, url_salt
 
     keep_cols = keep_cols or []
+    if repartition_buckets:
+        pages = pages.repartition(repartition_buckets, url_salt(repartition_buckets))
     is_pdf = F.startswith(F.col("html"), F.lit(PDF_MAGIC))
 
     html_part = pages.filter(~is_pdf)
     pdf_part = pages.filter(is_pdf)
 
-    out_schema = EXTRACT_SCHEMA
-    for c in keep_cols:
-        out_schema = out_schema.add(pages.schema[c])
+    # rebuild (never .add onto EXTRACT_SCHEMA: StructType.add MUTATES the
+    # shared module-level schema, so a second call would duplicate cols)
+    out_schema = StructType(EXTRACT_SCHEMA.fields + [pages.schema[c] for c in keep_cols])
 
     def run_pdf(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

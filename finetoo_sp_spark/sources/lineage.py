@@ -148,6 +148,7 @@ def run_resumable_extraction(
     strict_input_counts: bool = False,
     pre_partition: bool = False,
     hash_mode: str = "xxhash64",
+    extractor=None,
 ) -> dict:
     """Extract ``pages`` -> ``out_dir``, skipping buckets already committed.
 
@@ -223,7 +224,9 @@ def run_resumable_extraction(
     t = time.time()
     if pre_partition:
         todo = todo.repartition(n_buckets, "bucket")
-    extracted = extract_pages(
+    # extractor is pluggable (same signature as extract_pages): pass
+    # extraction.pdf.extract_pages_any for mixed HTML/PDF corpora
+    extracted = (extractor or extract_pages)(
         todo, repartition_buckets=None, keep_cols=(keep_cols or []) + ["bucket"]
     )
     write_with_manifests(

@@ -59,3 +59,45 @@ def test_spark_routing_union(spark):
     assert out["https://b/pdf"]["text"] == "pdf text block"
     assert out["https://a/html"]["text"].startswith("Hello Page")
     assert set(out["https://a/html"].asDict()) == set(out["https://b/pdf"].asDict())
+
+
+def test_mixed_corpus_resumable_byte_identical(spark, tmp_path):
+    """North-star e2e: a corpus with every 5th page as a FAKEPDF layout
+    doc runs through the FULL resumable pipeline (routing + lineage +
+    manifests) with ZERO byte-identical-text mismatches, including after
+    a simulated partial failure (deleted manifests -> resume)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from finetoo_sp_spark.datagen import gen_pages
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+    from finetoo_sp_spark.sources.lineage import run_resumable_extraction
+
+    out_dir = str(tmp_path / "mixed_out")
+    pages = gen_pages(spark, 400, partitions=4, pdf_every=5)
+    n_pdf = pages.filter(F.startswith(F.col("html"), F.lit(b"%PDF-"))).count()
+    assert n_pdf == 400 // 5
+
+    metrics = run_resumable_extraction(
+        pages, out_dir, n_buckets=8, extractor=extract_pages_any
+    )
+    assert metrics["rows_out"] == 400
+
+    result = spark.read.parquet(f"{out_dir}/data")
+    joined = result.select("url", "text").join(
+        pages.select("url", "expected_text"), "url"
+    )
+    assert joined.count() == 400
+    assert joined.filter(F.col("text") != F.col("expected_text")).count() == 0
+
+    # resume: drop two bucket manifests, re-run, still byte-identical
+    for b in (0, 3):
+        shutil.rmtree(f"{out_dir}/_manifests/bucket={b}", ignore_errors=True)
+    m2 = run_resumable_extraction(
+        pages, out_dir, n_buckets=8, extractor=extract_pages_any
+    )
+    assert m2["buckets_processed"] == 2
+    result2 = spark.read.parquet(f"{out_dir}/data")
+    j2 = result2.select("url", "text").join(pages.select("url", "expected_text"), "url")
+    assert j2.filter(F.col("text") != F.col("expected_text")).count() == 0
