@@ -81,16 +81,38 @@ def cmd_graph(spark, args: list[str]) -> None:
 
 
 def cmd_query(spark, args: list[str]) -> None:
-    """EP3 minus the LLM: plan JSON -> interpreter -> result sample."""
+    """EP3 minus the LLM: plan JSON -> QueryResponse (plan, steps,
+    answer, timing — reference: query_service.cc:208-268 ProcessQuery)."""
     from finetoo_sp_spark.extraction.graph import build_web_graph
-    from finetoo_sp_spark.plans.interpreter import execute_plan
+    from finetoo_sp_spark.plans.frontend import process_plan
 
     pages = _load_pages(spark, args[0])
     plan = open(args[1]).read()
-    g = build_web_graph(pages)
-    res = execute_plan(g, plan)
-    print("steps:", " -> ".join(res.steps))
-    res.df.show(20, truncate=60)
+    resp = process_plan(build_web_graph(pages), plan)
+    print("steps:", " -> ".join(resp.steps))
+    print(f"elapsed_ms: {resp.elapsed_ms:.1f}")
+    print(resp.answer)
+
+
+def cmd_prompt(spark, args: list[str]) -> None:
+    """EP3's BuildPrompt surface (reference: query_service.cc:18-101):
+    the deterministic planner prompt for the web-graph schema."""
+    from finetoo_sp_spark.plans.frontend import build_prompt
+    from finetoo_sp_spark.schema.registry import web_graph_schema
+
+    print(build_prompt(web_graph_schema()))
+
+
+def cmd_bom_text(spark, args: list[str]) -> None:
+    """FormatBOM text table (reference: query_service.cc:181-206)."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.divergence import bom_report
+    from finetoo_sp_spark.operators.sinks import format_bom_lines
+
+    pages = _load_pages(spark, args[0])
+    bom = bom_report(build_web_graph(pages), edge_type="LINKS_TO")
+    lines = format_bom_lines(bom).orderBy("line_no").limit(30).collect()
+    print("\n".join(r["line"] for r in lines))
 
 
 def cmd_extract(spark, args: list[str]) -> None:
@@ -103,7 +125,7 @@ def cmd_extract(spark, args: list[str]) -> None:
 
 
 def main() -> None:
-    if len(sys.argv) < 3:
+    if len(sys.argv) < 2 or (sys.argv[1] != "prompt" and len(sys.argv) < 3):
         print(__doc__)
         raise SystemExit(2)
     from finetoo_sp_spark.session import get_spark
@@ -114,6 +136,8 @@ def main() -> None:
         "report": cmd_report,
         "graph": cmd_graph,
         "query": cmd_query,
+        "prompt": cmd_prompt,
+        "bom-text": cmd_bom_text,
         "extract": cmd_extract,
     }[sys.argv[1]](spark, sys.argv[2:])
 
