@@ -1000,13 +1000,13 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"""
 
 
-_JACCARD_ORACLE = _jaccard_sql("doc_id < 150", 0.12)
+_JACCARD_ORACLE = _jaccard_sql("doc_id < 300", 0.05)
 
 
 @_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
 def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
 
 
 @_q(
@@ -1030,8 +1030,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle computes the same closure with a recursive CTE."""
     from finetoo_sp_spark.operators.components import connected_components
 
-    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
     return connected_components(pairs)
 
 
