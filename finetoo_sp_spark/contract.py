@@ -1529,6 +1529,215 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REP_WORDS_SQL = _WORDS_SQL.replace("lower(text)", "lower(rtext)")
+
+
+@_q(
+    "repetition_scores",
+    f"""
+WITH r AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || chr(10) || substr(text, 1, 40) || chr(10)
+      || substr(text, 41, 2000) AS rtext
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(rtext, chr(10)) AS lines, {_REP_WORDS_SQL} AS ws
+  FROM r
+), b AS (
+  SELECT doc_id, lines, ws,
+    list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM s
+), m AS (
+  SELECT doc_id, lines, ws,
+    coalesce(list_max(list_transform(list_distinct(bg),
+      x -> len(list_filter(bg, y -> y = x)))), 0) AS mode_n
+  FROM b
+)
+SELECT doc_id AS id,
+  round((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1), 4) AS dup_line_frac,
+  round(2 * mode_n / greatest(len(ws), 1), 4) AS top_bigram_frac,
+  ((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1) < 0.3
+   AND 2 * mode_n / greatest(len(ws), 1) < 0.18) AS keep_repetition
+FROM m""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.3: duplicate-line
+    fraction, top-bigram word fraction) over a corpus with injected line
+    duplication so the dup path is actually exercised."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 2000),
+        ).alias("rtext"),
+    )
+    return ts.repetition_scores(docs, "doc_id", "rtext")
+
+
+@_q(
+    "embedding_centroids",
+    f"""
+WITH e AS (
+  SELECT {_BUCKET_SQL.format(side='embeddings').replace('[1:8]', '[1:4]')} AS bucket,
+    embedding[CAST(i AS BIGINT)]::DOUBLE AS v, i AS pos
+  FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+), c AS (
+  SELECT bucket, pos, avg(v::DOUBLE) AS m, count(*) AS n
+  FROM e GROUP BY 1, 2
+)
+SELECT bucket,
+  CAST(min(n) AS BIGINT) AS n_members,
+  array_to_string(list(CAST(round(m * 1000000) AS BIGINT) ORDER BY pos), ',') AS centroid_micro
+FROM c GROUP BY bucket""",
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket embedding centroids (the vector-mean primitive Spark
+    lacks natively — the assignment step of k-means / cluster summaries
+    for embedding dedup): posexplode -> (bucket, dim) partial-agg mean
+    -> reassemble ordered via sort_array. Values serialized as exact
+    micro-units for the cross-engine hash."""
+    emb = T(spark, sf_dir, "embeddings")
+    e = emb.select(
+        sim.sign_bucket("embedding", 4).alias("bucket"),
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    c = e.groupBy("bucket", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        c.groupBy("bucket")
+        .agg(
+            F.min("n").alias("n_members"),
+            F.sort_array(F.collect_list(F.struct("pos", "m"))).alias("pl"),
+        )
+        .select(
+            "bucket",
+            "n_members",
+            F.concat_ws(
+                ",", F.transform("pl", lambda x: F.round(x["m"] * 1e6).cast("long"))
+            ).alias("centroid_micro"),
+        )
+    )
+
+
+@_q(
+    "q14_type_revenue_share",
+    """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+  / sum(l_extendedprice * (1 - l_discount)), 4) AS economy_share
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregation ratio (CASE inside SUM)
+    over a broadcast part join."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-03-01").cast("timestamp"))
+    )
+    part = T(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("economy_share")
+        )
+    )
+
+
+@_q(
+    "q19_or_of_ands",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates across both
+    join sides — the classic OR-pushdown/CNF-conversion stressor."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("l_quantity").between(1, 11) & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("l_quantity").between(10, 20) & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("l_quantity").between(20, 30) & F.col("p_size").between(1, 15))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@_q(
+    "q12_priority_lines",
+    """
+SELECT l_linestatus,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: pivoted conditional counts after an equi-join."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = T(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_q(
+    "q17_small_quantity_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_weekly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#23' AND l_quantity < half_avg""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    decorrelated into an aggregate-then-join — the classic rewrite that
+    keeps the plan a pair of hash joins instead of a per-row subquery."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_weekly"))
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 

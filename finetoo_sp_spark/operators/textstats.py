@@ -251,3 +251,57 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("id", "term", "tf", "df", F.round("score", 6).alias("score"), "rk")
     )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.3): the
+    fraction of duplicate lines and the fraction of words inside the
+    most frequent word bigram. Heavily repeated boilerplate/spam shows
+    up as high values of either; the standard filters drop docs above
+    ~0.3 dup-line or ~0.18 top-bigram fractions.
+
+    Pure per-row array ops (no shuffle): lines via split on newline,
+    bigrams via zip of the word array with its tail; frequency of the
+    mode via aggregate over the distinct array. Staged projections keep
+    every lambda over bound attributes (the expression-inlining trap).
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
+        _words(text_col).alias("_w"),
+    )
+    bigrams = F.zip_with(
+        F.slice("_w", 1, F.greatest(F.size("_w") - 1, F.lit(0))),
+        F.slice("_w", 2, F.greatest(F.size("_w") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    staged = staged.select("id", "_lines", "_w", bigrams.alias("_bg"))
+
+    def mode_count(arr_col: str) -> "F.Column":
+        # occurrences of the most frequent element: max over the distinct
+        # elements of their counts (size - size(removed)); O(distinct^2)
+        # worst case but documents are row-bounded
+        arr = F.col(arr_col)
+        return F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(arr),
+                    lambda x: F.size(F.filter(arr, lambda y: y == x)),
+                )
+            ),
+            F.lit(0),
+        )
+
+    n_lines = F.size("_lines")
+    dup_lines = n_lines - F.size(F.array_distinct("_lines"))
+    return staged.select(
+        "id",
+        F.round(dup_lines / F.greatest(n_lines, F.lit(1)), 4).alias("dup_line_frac"),
+        F.round(
+            F.lit(2) * mode_count("_bg") / F.greatest(F.size("_w"), F.lit(1)), 4
+        ).alias("top_bigram_frac"),
+        (
+            (dup_lines / F.greatest(n_lines, F.lit(1)) < 0.3)
+            & (F.lit(2) * mode_count("_bg") / F.greatest(F.size("_w"), F.lit(1)) < 0.18)
+        ).alias("keep_repetition"),
+    )
