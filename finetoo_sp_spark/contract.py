@@ -1738,6 +1738,100 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "canonical_urls",
+    """
+SELECT doc_id,
+  'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || doc_id
+    || '?id=' || doc_id AS canonical_url
+FROM documents""",
+)
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (dedup-key normalization): mixed-case
+    scheme/host, default port, tracking params and fragment are all
+    normalized away. The oracle recomputes the EXPECTED canonical form
+    independently from the components — not by mirroring the regex
+    chain — so it checks the semantics, not the implementation."""
+    messy = F.concat(
+        F.lit("HTTPS://SRC"),
+        (F.col("doc_id") % 20).cast("string"),
+        F.lit(".Example.COM:443/doc/"),
+        F.col("doc_id"),
+        F.lit("?utm_source=x&id="),
+        F.col("doc_id"),
+        F.lit("&utm_campaign=y#frag"),
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", ts.canonicalize_url(messy).alias("canonical_url")
+    )
+
+
+@_q(
+    "containment_pairs",
+    f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, CAST(floor(n_chars / 2) AS BIGINT)) FROM documents
+), w AS (
+  SELECT id, {_WORDS_SQL} AS ws FROM corpus
+), sh AS (
+  SELECT id, i AS pos,
+    sha256(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) AS h
+  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
+), win AS (
+  SELECT id, pos,
+    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+  FROM sh
+), fp AS (
+  SELECT DISTINCT id, fingerprint FROM win WHERE pos >= 3
+), sizes AS (
+  SELECT id, count(*) AS n_fp FROM fp GROUP BY id
+), inter AS (
+  SELECT a.id AS id_small, b.id AS id_big, count(*) AS n
+  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id != b.id
+  GROUP BY 1, 2
+)
+SELECT id_small, id_big, round(n / s.n_fp, 6) AS containment
+FROM inter JOIN sizes s ON s.id = id_small
+WHERE round(n / s.n_fp, 6) >= 0.6""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (winnowing fingerprint overlap /
+    |fp(small)|): half-prefix fragments of every document are injected
+    as extra docs, and the operator must find fragment-in-original
+    containments that symmetric Jaccard would score low."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.substring("text", 1, F.floor(F.col("n_chars") / 2).cast("int")).alias("text"),
+        )
+    )
+    return ts.containment_pairs(corpus, "id", "text", k=3, window=4, threshold=0.6)
+
+
+@_q(
+    "stratified_sample",
+    """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 <
+  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+    WHEN 'src2' THEN 250000 ELSE 100000 END""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sampling: per-source keep
+    rates (100%/50%/25%, 10% default) as a pure function of the row id —
+    identical samples across runs, partitionings and cluster sizes
+    (resumable pipelines cannot tolerate task-order-dependent RNG)."""
+    docs = T(spark, sf_dir, "documents")
+    out = ts.stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", default_rate=0.1
+    )
+    return out.select("doc_id", "source")
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 

@@ -305,3 +305,87 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             & (F.lit(2) * mode_count("_bg") / F.greatest(F.size("_w"), F.lit(1)) < 0.18)
         ).alias("keep_repetition"),
     )
+
+
+def canonicalize_url(col) -> "F.Column":
+    """Canonical URL normalization for corpus dedup keys: lowercase
+    scheme+host, strip the fragment, drop utm_*/fbclid/gclid tracking
+    params (removing a now-empty query entirely), strip default ports
+    and a trailing slash on bare paths. Pure regexp chain — JVM-side,
+    identical semantics expressible in any SQL engine.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # lowercase scheme://host (leave path/query case alone)
+    c = F.regexp_replace(c, r"^([A-Za-z]+://[^/]+)", F.lower(F.regexp_extract(c, r"^([A-Za-z]+://[^/]+)", 1)))
+    c = F.regexp_replace(c, r"#.*$", "")  # fragment
+    c = F.regexp_replace(c, r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "$1")
+    c = F.regexp_replace(c, r"[?&]+$", "")  # dangling separators
+    c = F.regexp_replace(c, r"\?&", "?")
+    c = F.regexp_replace(c, r"&&+", "&")
+    c = F.regexp_replace(c, r":(80|443)(/|$)", "$2")  # default ports
+    c = F.regexp_replace(c, r"^(https?://[^/?]+)/$", "$1")  # bare trailing slash
+    return c
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_df: int | None = 100_000,
+) -> DataFrame:
+    """Asymmetric near-dup CONTAINMENT via winnowing fingerprints
+    (Schleimer et al., SIGMOD'03): containment(A in B) =
+    |fp(A) ∩ fp(B)| / |fp(A)| — catches a document copied INTO a larger
+    one, which symmetric Jaccard misses when sizes differ a lot.
+
+    Same scale shape as the shingle inverted index: one join keyed on
+    the fingerprint (stop-fingerprint pruning via ``max_df``), sizes
+    from the unpruned sets, both directions emitted (containment is
+    asymmetric). Returns (id_small, id_big, containment) rounded 6dp
+    where containment >= threshold.
+    """
+    fps = winnowing_fingerprints(df, id_col, text_col, k, window)
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
+    idx = fps
+    if max_df is not None:
+        hot = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+            .filter(F.col("dfreq") > max_df)
+        )
+        idx = fps.join(F.broadcast(hot), "fingerprint", "left_anti")
+    a = idx.select(F.col("id").alias("id_a"), "fingerprint")
+    b = idx.select(F.col("id").alias("id_b"), "fingerprint")
+    inter = (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"id": "id_a", "n_fp": "n_a"}), "id_a")
+        .withColumn("containment", F.round(F.col("n_inter") / F.col("n_a"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select(F.col("id_a").alias("id_small"), F.col("id_b").alias("id_big"), "containment")
+    )
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, rates: dict[str, float], id_col: str, default_rate: float = 0.0
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff
+    sha60(id) mod 10^6 < rate * 10^6 for its stratum's configured rate.
+    Hash-based (no RNG state): the SAME rows are kept across runs,
+    partitionings and cluster sizes — resumable pipelines need sampling
+    to be a pure function of the row, never of task order. The rate map
+    is compiled into a literal CASE chain (broadcast-free).
+    """
+    from finetoo_sp_spark.operators.dedup import sha60
+
+    gate = F.lit(int(default_rate * 1_000_000))
+    for stratum, rate in sorted(rates.items()):
+        gate = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 1_000_000))).otherwise(gate)
+    return df.filter(F.pmod(sha60(F.col(id_col).cast("string")), F.lit(1_000_000)) < gate)
