@@ -70,6 +70,10 @@ def main() -> None:
         "binder_manifest",
         "block_comparison",
         "ann_lsh_multiprobe",
+        "asof_last_purchase",
+        "range_join_trial_events",
+        "repetition_scores",
+        "embedding_centroids",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}

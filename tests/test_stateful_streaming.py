@@ -48,3 +48,46 @@ def test_state_accumulates_across_batches(spark, tmp_path):
         assert final.loc[host, "total_bytes"] == row["b"]
     # hosts spanning multiple micro-batches prove state carried over
     assert (updates.groupby("host")["batches_seen"].max() > 1).any()
+
+
+def test_stream_exact_dedup_across_batches(spark, tmp_path):
+    """A content hash first seen in batch 1 must be dropped when it
+    reappears in batch 3 — dedup state carries across micro-batches."""
+    d = str(tmp_path / "dup_pages")
+    base = gen_pages(spark, 60, partitions=1).select("url", "text")
+    # file 1: docs 0-59; file 2: same texts under other urls (all dups);
+    # file 3: docs 60-119 (fresh) — maxFilesPerTrigger=1 -> 3 batches
+    base.write.mode("overwrite").parquet(d)
+    base.select(F.concat(F.lit("https://mirror.example.com/"), "url").alias("url"), "text").write.mode(
+        "append"
+    ).parquet(d)
+    gen_pages(spark, 120, partitions=1).filter("page_id >= 60").select(
+        "url", "text"
+    ).write.mode("append").parquet(d)
+
+    from finetoo_sp_spark.streaming.dedup import stream_exact_dedup
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(d).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        stream_exact_dedup(stream, n_shards=8)
+        .writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.sql("SELECT * FROM stream_dedup").toPandas()
+    # 120 distinct texts total; the 60 mirrored dups must be dropped
+    assert len(out) == 120
+    assert out["content_sha"].nunique() == 120
+    assert not out["url"].str.startswith("https://mirror.").any() or (
+        # a mirror url may only survive if its batch arrived first —
+        # with this file order the originals always precede the mirrors
+        False
+    )

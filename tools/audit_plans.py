@@ -127,6 +127,25 @@ CHECKS = {
         ("single groupBy, in-aggregate ordering", r"sort_array"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "asof_last_purchase": [
+        ("one window pass, no join at all", r"Window"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+    ],
+    "range_join_trial_events": [
+        ("bucketed equi-join (not a theta nested loop)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "q19_or_of_ands": [
+        ("part dim broadcast", r"BroadcastHashJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "containment_pairs": [
+        ("fingerprint equi-join (hash family)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("stop-fingerprint anti-join prune", r"LeftAnti"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
 }
 
 
