@@ -1832,6 +1832,177 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "source")
 
 
+def _ngram_cte(alias: str, source: str, words_expr: str, n: int) -> str:
+    return f"""{alias} AS (
+  SELECT DISTINCT id,
+    array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + {n} AS BIGINT)], ' ') AS shingle
+  FROM (SELECT {source}, {words_expr} AS ws FROM documents {{where}}) src,
+    UNNEST(generate_series(0, greatest(len(ws) - {n}, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + {n} AS BIGINT)], ' ')) > 0
+)"""
+
+
+_BENCH_WORDS_SQL = _WORDS_SQL.replace("lower(text)", "lower(substr(text, 1, 200))")
+
+
+@_q(
+    "contamination_flags",
+    f"""
+WITH {_ngram_cte('bsh', 'doc_id AS id', _BENCH_WORDS_SQL, 13).format(where='WHERE doc_id % 50 = 0')},
+{_ngram_cte('dsh', 'doc_id AS id', _WORDS_SQL, 13).format(where='')},
+hits AS (
+  SELECT d.id, count(*) AS n FROM dsh d
+  JOIN (SELECT DISTINCT shingle FROM bsh) b USING (shingle)
+  GROUP BY d.id
+)
+SELECT doc_id AS id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+  coalesce(n, 0) > 0 AS contaminated
+FROM documents LEFT JOIN hits ON hits.id = documents.doc_id""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C protocol: 13-gram
+    overlap with the eval set). The 'benchmark' is the 200-char prefix
+    of every 50th document, so the flagged set is non-trivial (the
+    source docs themselves plus any near-dups) and the expected flags
+    are independently recomputable."""
+    docs = T(spark, sf_dir, "documents")
+    benchmarks = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("btext"),
+    )
+    return dd.contamination_flags(
+        docs, benchmarks, "doc_id", "text", "bench_id", "btext", n=13
+    )
+
+
+@_q(
+    "top_ngrams",
+    f"""
+WITH {_ngram_cte('sh', 'doc_id AS id', _WORDS_SQL, 2).format(where='')},
+d AS (SELECT shingle AS ngram, count(*) AS df_docs FROM sh GROUP BY 1)
+SELECT ngram, df_docs FROM d ORDER BY df_docs DESC, ngram LIMIT 20""",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram document-frequency top-20 — the boilerplate
+    discovery / max_df tuning surface."""
+    return dd.top_ngrams(T(spark, sf_dir, "documents"), "doc_id", "text", n=2, k=20)
+
+
+@_q(
+    "q7_nation_volume",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3""",
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two roles of the same dimension (supplier nation
+    vs customer nation) with a cross-role inequality, yearly rollup."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@_q(
+    "q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_rev
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: view + scalar max subquery -> the top revenue
+    supplier(s). The scalar lands as a one-row broadcast, never a
+    driver collect."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    supp = T(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@_q(
+    "q22_idle_customers",
+    """
+WITH ab AS (SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar average subquery + NOT EXISTS anti-join
+    (above-average-balance customers with no urgent orders)."""
+    cust = T(spark, sf_dir, "customer")
+    ab = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    urgent = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.crossJoin(F.broadcast(ab))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 

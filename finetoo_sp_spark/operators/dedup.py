@@ -516,3 +516,56 @@ def embedding_near_dup_pairs_bucketed(
         pairs.select("id_a", "id_b", F.round(dot, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / PaLM protocol):
+    flag every training document sharing at least one n-gram (n=13 is
+    the published convention) with an evaluation benchmark.
+
+    Scale shape: the benchmark side is dimension-sized (eval suites are
+    thousands of examples, the corpus is billions of docs), so its
+    distinct shingle set BROADCASTS and the corpus-side join is a
+    map-side hash probe — the 100 TB scan never shuffles. Returns one
+    row per doc: (id, n_hits, contaminated).
+    """
+    bsh = shingles(benchmarks, bench_id_col, bench_text_col, n).select("shingle").distinct()
+    dsh = shingles(docs, id_col, text_col, n)
+    hits = (
+        dsh.join(F.broadcast(bsh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level n-gram document-frequency table, top k by df — the
+    inspection surface for boilerplate discovery and stop-shingle
+    tuning (what max_df should be set to). Deterministic tie-break on
+    the ngram string."""
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("df_docs"))
+        .orderBy(F.desc("df_docs"), F.asc("ngram"))
+        .limit(k)
+    )
