@@ -80,3 +80,57 @@ def test_exact_dedup_partitions_ids(spark, docs):
     assert sum(r["n_copies"] for r in groups) == len(docs)
     keeps = [r["keep_id"] for r in groups]
     assert len(keeps) == len(set(keeps))
+
+
+def _py_shingles(text: str, n: int) -> set:
+    import re as _re
+
+    ws = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    out = set()
+    for i in range(max(len(ws) - n, 0) + 1):
+        s = " ".join(ws[i : i + n])
+        if s:
+            out.add(s)
+    return out
+
+
+def test_contamination_flags_matches_bruteforce(spark):
+    from finetoo_sp_spark.operators.dedup import contamination_flags
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "one two three four five six seven"),
+        (2, "alpha beta gamma delta nine ten"),  # shares 4-gram with doc 0? n=3 shares
+        (3, "totally unrelated words here indeed friend"),
+    ]
+    bench = [(100, "alpha beta gamma delta epsilon")]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    bdf = spark.createDataFrame(bench, ["bid", "btext"])
+    out = {
+        r["id"]: (r["n_hits"], r["contaminated"])
+        for r in contamination_flags(ddf, bdf, "doc_id", "text", "bid", "btext", n=3).collect()
+    }
+    bsh = set().union(*[_py_shingles(t, 3) for _, t in bench])
+    for i, t in docs:
+        hits = len(_py_shingles(t, 3) & bsh)
+        assert out[i] == (hits, hits > 0), (i, out[i], hits)
+
+
+def test_containment_pairs_matches_bruteforce(spark):
+    from finetoo_sp_spark.operators.textstats import containment_pairs
+
+    full = "w%d " * 40 % tuple(range(40))
+    frag = "w%d " * 18 % tuple(range(18))  # prefix fragment
+    other = "x%d " * 30 % tuple(range(30))
+    df = spark.createDataFrame(
+        [(1, full), (2, frag), (3, other)], ["id", "text"]
+    )
+    out = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in containment_pairs(df, "id", "text", k=3, window=4, threshold=0.5).collect()
+    }
+    # fragment's fingerprints are a subset of the full doc's -> containment 1.0
+    assert out.get((2, 1)) == 1.0
+    # the full doc is NOT contained in the fragment at threshold 0.5
+    assert (1, 2) not in out
+    assert all(k[0] != 3 and k[1] != 3 for k in out)

@@ -141,6 +141,10 @@ CHECKS = {
         ("part dim broadcast", r"BroadcastHashJoin"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "contamination_flags": [
+        ("benchmark shingles broadcast (corpus never shuffles for the probe)", r"BroadcastHashJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "containment_pairs": [
         ("fingerprint equi-join (hash family)", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
         ("stop-fingerprint anti-join prune", r"LeftAnti"),
