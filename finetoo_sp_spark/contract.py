@@ -2657,6 +2657,51 @@ def q_binder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_binder_manifest(extracted, BinderConfig(group_col="source"))
 
 
+@_q(
+    "schema_discovery",
+    """
+SELECT * FROM (VALUES
+  ('block', 'block_key',    'string', true,  true,  false, false),
+  ('block', 'url',          'string', false, true,  false, false),
+  ('block', 'tag',          'string', false, true,  false, false),
+  ('block', 'text',         'string', false, true,  true,  false),
+  ('block', 'n_words',      'int64',  false, true,  true,  true),
+  ('block', 'n_chars',      'int64',  false, false, true,  true),
+  ('block', 'link_density', 'double', false, false, true,  true),
+  ('block', 'is_content',   'bool',   false, true,  false, false),
+  ('block', 'content_hash', 'string', false, true,  true,  false),
+  ('page', 'url',              'string', true,  true,  false, false),
+  ('page', 'title',            'string', false, true,  true,  false),
+  ('page', 'h1',               'string', false, true,  true,  false),
+  ('page', 'lang_attr',        'string', false, true,  false, false),
+  ('page', 'n_blocks',         'int64',  false, false, true,  true),
+  ('page', 'n_content_blocks', 'int64',  false, false, true,  true),
+  ('page', 'content_chars',    'int64',  false, false, true,  true),
+  ('page', 'content_hash',     'string', false, true,  true,  false)
+) AS t(node_type, property, dtype, is_unique, is_indexed, is_comparable, is_aggregable)""",
+)
+def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-driven operator-discovery table AS DATA (reference:
+    schema_analyzer.cc:103-184 capability finders + the discovery-thesis
+    test, schema_analyzer_test.cc): the Spark side derives every row
+    from the live registry object; the oracle hand-restates the expected
+    capability matrix, so a silent registry regression fails the
+    correctness gate, not just a pytest."""
+    from finetoo_sp_spark.schema.registry import web_graph_schema
+
+    s = web_graph_schema()
+    rows = [
+        (t, p.name, p.dtype, p.unique, p.indexed, p.comparable, p.aggregable)
+        for t, nt in sorted(s.node_types.items())
+        for p in nt.properties.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node_type string, property string, dtype string, is_unique boolean, "
+        "is_indexed boolean, is_comparable boolean, is_aggregable boolean",
+    )
+
+
 # --- capstone: end-to-end curation pipeline -------------------------------
 
 # stop-shingle pruning ON (max_df=100): a shingle in >100 of the 500
