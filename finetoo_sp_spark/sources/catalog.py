@@ -55,7 +55,10 @@ def write_table(
     spark = df.sparkSession
     if iceberg_available(spark, catalog) and not name_or_path.startswith("/"):
         writer = df.writeTo(f"{catalog}.{name_or_path}")
-        if partition_by:
+        # DSv2 semantics: partitionedBy is a table-CREATION property; an
+        # existing table already defines its partitioning, and passing it
+        # with append()/overwritePartitions() is an analysis error.
+        if partition_by and mode not in ("append", "overwrite_partitions"):
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
