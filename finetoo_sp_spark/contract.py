@@ -852,6 +852,45 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_with_tolerance",
+    """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type <> 'purchase'
+), j AS (
+  SELECT l.event_id, l.ts, l.user_id, r.ts AS rts, r.v
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+)
+SELECT event_id, ts, user_id,
+  CASE WHEN rts IS NOT NULL AND date_diff('second', rts, ts) <= 86400 THEN v END AS asof_value,
+  CASE WHEN rts IS NOT NULL AND date_diff('second', rts, ts) <= 86400 THEN rts END AS asof_ts
+FROM j""",
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (merge_asof tolerance): matches
+    older than 24h become null, and the matched timestamp is emitted so
+    downstream logic can reason about snapshot age."""
+    from finetoo_sp_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    right = ev.filter(F.col("event_type") == "purchase")
+    return asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        value_col="value",
+        tolerance_seconds=86400,
+        ts_out_col="asof_ts",
+    )
+
+
+@_q(
     "q10_returned_items",
     """
 SELECT c_custkey, c_name,

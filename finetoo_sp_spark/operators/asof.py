@@ -31,25 +31,40 @@ def asof_join(
     on: str,
     value_col: str,
     out_col: str | None = None,
+    tolerance_seconds: int | None = None,
+    ts_out_col: str | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row + the ``value_col`` of the most
     recent right row with ``right.on <= left.on`` for the same ``by``
     key (null when no prior right row exists).
 
+    ``tolerance_seconds``: pandas merge_asof-style staleness bound — a
+    match older than the tolerance becomes null (a crawl-policy snapshot
+    from last year should not silently apply to today's fetch).
+    ``ts_out_col``: also emit the matched right row's timestamp.
+
     The right side is deduplicated to one row per (by, on) first
-    (keeping max(value_col)) so the match is deterministic.
+    (keeping max(value_col)) so the match is deterministic. One shuffle
+    on ``by``; the match state travels as a (ts, value) struct through a
+    single ordered window pass.
     """
     from pyspark.sql.window import Window
 
     out_col = out_col or f"asof_{value_col}"
     r = (
         right.groupBy(by, on)
-        .agg(F.max(value_col).alias(out_col))
-        .select(by, on, out_col, F.lit(0).alias("_side"))
+        .agg(F.max(value_col).alias("_v"))
+        .select(
+            by,
+            on,
+            F.struct(F.col(on).alias("ts"), F.col("_v").alias("v")).alias("_m"),
+            F.lit(0).alias("_side"),
+        )
     )
     left_cols = [c for c in left.columns]
     l = left.select(
-        *left_cols, F.lit(None).cast(r.schema[out_col].dataType).alias(out_col),
+        *left_cols,
+        F.lit(None).cast(r.schema["_m"].dataType).alias("_m"),
         F.lit(1).alias("_side"),
     )
     # align schemas for the union: right rows carry nulls for the other
@@ -57,18 +72,27 @@ def asof_join(
     for c in left_cols:
         if c not in (by, on):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = l.unionByName(r.select(*left_cols, out_col, "_side"))
+    unioned = l.unionByName(r.select(*left_cols, "_m", "_side"))
 
     w = (
         Window.partitionBy(by)
         .orderBy(F.col(on).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return (
-        unioned.withColumn(out_col, F.last(out_col, ignorenulls=True).over(w))
+    matched = (
+        unioned.withColumn("_m", F.last("_m", ignorenulls=True).over(w))
         .filter(F.col("_side") == 1)
-        .select(*left_cols, out_col)
     )
+    m = F.col("_m")
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp(F.col(on)) - F.unix_timestamp(m["ts"])
+        ) <= tolerance_seconds
+        m = F.when(m.isNotNull() & fresh, F.col("_m"))
+    out_cols = [*left_cols, m["v"].alias(out_col)]
+    if ts_out_col:
+        out_cols.append(m["ts"].alias(ts_out_col))
+    return matched.select(*out_cols)
 
 
 def range_join(

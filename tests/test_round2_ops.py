@@ -110,3 +110,22 @@ def test_range_join_hand_case(spark):
     got = {r["tag"] for r in range_join(edge, right, "t", "s", "e", by="k",
                                         bucket_seconds=3600).collect()}
     assert got == {"lo"}
+
+
+def test_asof_join_tolerance_and_ts(spark):
+    from datetime import datetime
+
+    from finetoo_sp_spark.operators.asof import asof_join
+
+    t = lambda h: datetime(2025, 1, 1, h)
+    left = spark.createDataFrame([(1, t(10), "fresh"), (1, t(20), "stale")], ["k", "t", "tag"])
+    right = spark.createDataFrame([(1, t(9), 5.0)], ["k", "t", "v"])
+    out = {
+        r["tag"]: (r["asof_v"], r["asof_ts"])
+        for r in asof_join(
+            left, right, by="k", on="t", value_col="v",
+            tolerance_seconds=3600 * 2, ts_out_col="asof_ts",
+        ).collect()
+    }
+    assert out["fresh"] == (5.0, t(9))  # 1h old: within tolerance
+    assert out["stale"] == (None, None)  # 11h old: nulled
