@@ -1377,6 +1377,57 @@ def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_health",
+    f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+  FROM documents
+), lc AS (
+  SELECT doc_id, n_chars, n_words,
+    (n_words >= 10
+     AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+     AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01) AS keep,
+    {_LANG_COUNTS_SQL}
+  FROM w
+), b AS (
+  SELECT *, greatest(c_de, c_en, c_es, c_fr) AS best FROM lc
+), lang AS (
+  SELECT doc_id, n_chars, n_words, keep,
+    CASE WHEN c_de > 0 AND c_de = best THEN 'de'
+         WHEN c_en > 0 AND c_en = best THEN 'en'
+         WHEN c_es > 0 AND c_es = best THEN 'es'
+         WHEN c_fr > 0 AND c_fr = best THEN 'fr'
+         ELSE 'und' END AS pred_lang
+  FROM b
+)
+SELECT pred_lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(n_words) AS BIGINT) AS total_words,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality
+FROM lang GROUP BY pred_lang""",
+)
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health dashboard: per predicted language, document count,
+    char/word volume and the quality-gate pass count — the one-stop
+    rollup a curation run reports. Composes lang_id + quality_scores
+    (one join on id, one groupBy)."""
+    docs = T(spark, sf_dir, "documents")
+    lang = ts.lang_id(docs, "doc_id", "text")
+    qual = ts.quality_scores(docs, "doc_id", "text")
+    return (
+        lang.join(qual, "id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep_quality"),
+        )
+    )
+
+
+@_q(
     "fingerprint_summary",
     f"""
 WITH w AS (
