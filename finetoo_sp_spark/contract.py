@@ -1039,6 +1039,22 @@ JOIN sizes sb ON sb.doc_id = id_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"""
 
 
+@_q(
+    "dedup_apply_exact",
+    """
+WITH k AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN k USING (doc_id)""",
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized deduplicated corpus (min-id survivors of exact
+    groups) — the operator a pipeline actually writes back out."""
+    out = dd.apply_exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("doc_id", "source", "n_chars")
+
+
 _JACCARD_ORACLE = _jaccard_sql("doc_id < 300", 0.05)
 
 

@@ -116,6 +116,17 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def apply_exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The materialized deduplicated corpus: keep exactly the min-id
+    survivor of every exact-duplicate group (one shuffle for the groups,
+    one semi-join back — the corpus columns never leave the executors).
+    """
+    keepers = exact_dedup(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
