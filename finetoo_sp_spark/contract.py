@@ -1281,6 +1281,80 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pii_detect_stats",
+    """
+WITH m AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || ' contact u' || doc_id || '@example.com or +1-555-0'
+      || doc_id || ' and u' || doc_id || '@alt.example.org' AS mtext
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(mtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(mtext, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS INTEGER) AS n_phones,
+  (len(regexp_extract_all(mtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(mtext, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]'))) > 0 AS has_pii
+FROM m""",
+)
+def q_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection statistics (the measurement half of the scrub op):
+    per-doc email/phone match counts over text with synthesized PII —
+    what a privacy audit reports before deciding to scrub or drop."""
+    mtext = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-0"),
+        F.col("doc_id"),
+        F.lit(" and u"),
+        F.col("doc_id"),
+        F.lit("@alt.example.org"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    n_em = F.regexp_count(mtext, F.lit(email))
+    n_ph = F.regexp_count(mtext, F.lit(phone))
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        ((n_em + n_ph) > 0).alias("has_pii"),
+    )
+
+
+@_q(
+    "outlink_stats",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  CAST(8 AS BIGINT) AS n_links,
+  CAST(6
+    + CASE WHEN CAST(CAST(floor(doc_id / 2) AS BIGINT) % 20 AS VARCHAR) = replace(source, 'src', '') THEN 1 ELSE 0 END
+    + CASE WHEN CAST(CAST(floor(doc_id / 3) AS BIGINT) % 20 AS VARCHAR) = replace(source, 'src', '') THEN 1 ELSE 0 END
+    AS BIGINT) AS n_internal
+FROM documents""",
+)
+def q_outlink_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page outlink statistics over REAL extracted anchors: total
+    resolved links and same-host (internal) links — the link-graph
+    features domain-level spam/quality policies consume. The oracle
+    derives the expectation from the template's 8-anchor layout and the
+    parent-link host rule."""
+    from finetoo_sp_spark.extraction.graph import extract_link_pairs
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    links = extract_link_pairs(pages)
+    host = F.regexp_extract("url", r"https?://([^/]+)", 1)
+    thost = F.regexp_extract("target", r"https?://([^/]+)", 1)
+    return (
+        links.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.sum(F.when(host == thost, 1).otherwise(0)).alias("n_internal"),
+        )
+    )
+
+
+@_q(
     "ann_topk_bruteforce",
     f"""
 WITH scored AS (
