@@ -74,6 +74,8 @@ def main() -> None:
         "range_join_trial_events",
         "repetition_scores",
         "embedding_centroids",
+        "dedup_minhash_salted",
+        "dedup_simhash_salted",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}
@@ -104,6 +106,16 @@ def main() -> None:
         fn().write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # -- regression gate: compare per-query times vs the last recorded
+    # round (BENCH_r{N}.json) and flag >1.3x slowdowns in the output so
+    # a regression can never ship silently (VERDICT r02 item 10).
+    regressions: dict[str, dict] = {}
+    prev_queries = _previous_round_queries()
+    for name, now in times.items():
+        prev = prev_queries.get(name)
+        if prev and prev > 0 and now > 1.3 * prev:
+            regressions[name] = {"prev": prev, "now": now, "ratio": round(now / prev, 2)}
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -112,6 +124,7 @@ def main() -> None:
                 "value": round(pages_per_sec, 1),
                 "unit": "pages/sec",
                 "queries": times,
+                "regressions": regressions,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_pages": n_pages,
                 "extract_sec": round(extract_s, 3),
@@ -119,6 +132,31 @@ def main() -> None:
             }
         )
     )
+
+
+def _previous_round_queries() -> dict[str, float]:
+    """Per-query seconds from the newest committed BENCH_r{N}.json
+    (driver-recorded), empty when none exists or parsing fails."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            n = int(m.group(1))
+            if best is None or n > best[0]:
+                best = (n, p)
+    if best is None:
+        return {}
+    try:
+        with open(best[1]) as f:
+            doc = json.load(f)
+        q = doc.get("parsed", doc).get("queries", {})
+        return {k: float(v) for k, v in q.items()}
+    except Exception:  # noqa: BLE001 — a corrupt record must not break the bench
+        return {}
 
 
 if __name__ == "__main__":

@@ -997,11 +997,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-def _shingle_ctes(where: str) -> str:
+def _shingle_ctes(where: str, src: str = "documents") -> str:
     """Shared DuckDB CTEs: distinct 3-word shingles per doc (twin of
     dd.shingles)."""
     return f"""w AS (
-  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents WHERE {where}
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM {src} WHERE {where}
 ), sh AS (
   SELECT DISTINCT doc_id,
     array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ') AS shingle
@@ -1094,7 +1094,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _H60 = "CAST('0x' || substr(sha256({x}), 1, 15) AS BIGINT)"
 
 
-def _minhash_oracle(where: str, k: int, bands: int, threshold: float) -> str:
+def _minhash_oracle(
+    where: str,
+    k: int,
+    bands: int,
+    threshold: float,
+    src: str = "documents",
+    prelude: str = "",
+) -> str:
     """Full-value oracle for minhash_lsh_pairs(hash_mode='sha'):
     identical permutations (minhash_params), banding, candidate join and
     exact-Jaccard verification, recomputed in plain SQL."""
@@ -1112,7 +1119,7 @@ def _minhash_oracle(where: str, k: int, bands: int, threshold: float) -> str:
         for bi in range(bands)
     )
     return f"""
-WITH {_shingle_ctes(where)},
+WITH {prelude}{_shingle_ctes(where, src)},
 hh AS (SELECT doc_id, {_H60.format(x='shingle')} % {_MERSENNE} AS h FROM sh),
 sig AS (SELECT doc_id,
     {mins}
@@ -1135,7 +1142,7 @@ JOIN sizes sb ON sb.doc_id = c.id_b
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) >= {threshold}"""
 
 
-def _simhash_oracle(max_hamming: int) -> str:
+def _simhash_oracle(max_hamming: int, src: str = "documents", prelude: str = "") -> str:
     """Full-value oracle for simhash_pairs(hash_mode='sha'): 60-bit
     fingerprint from per-bit +-1 sums, pigeonhole banding, xor/bit_count
     verify — all recomputed in SQL."""
@@ -1154,7 +1161,7 @@ def _simhash_oracle(max_hamming: int) -> str:
         for bi in range(nb)
     )
     return f"""
-WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+WITH {prelude}w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM {src}),
 wd AS (SELECT doc_id, u.w AS w FROM w, UNNEST(ws) AS u(w) WHERE length(u.w) > 0),
 hh AS (SELECT doc_id, {_H60.format(x='w')} AS h FROM wd),
 s AS (SELECT doc_id,
@@ -1191,6 +1198,73 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint mode; production uses the 64-bit xxhash64 mode)."""
     return dd.simhash_pairs(
         T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, hash_mode="sha"
+    )
+
+
+# Template-heavy corpus for exercising the hot-bucket salting branch
+# UNDER the value oracle: 60 injected copies of doc 0's text (three
+# near-identical ' v0/v1/v2' variants of 20 exact copies each) flood
+# every LSH band bucket far past bucket_cap=16, so the registered plan
+# executes the triangular-cell split (_bucket_self_pairs hot branch) —
+# and the oracle, which knows nothing about salting, proves the split
+# is output-identical to the logical uncapped self-join.
+_TEMPLATE_CORPUS_SQL = """tmpl AS (SELECT text FROM documents WHERE doc_id = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT 100000 + i, t.text || ' v' || CAST(i % 3 AS VARCHAR)
+  FROM tmpl t, UNNEST(generate_series(0, 59)) AS g(i)
+),
+"""
+
+
+def _template_heavy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    tmpl = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("_t"))
+    copies = (
+        spark.range(60)
+        .crossJoin(F.broadcast(tmpl))  # broadcast-scalar: one template row
+        .select(
+            (F.lit(100000) + F.col("id")).alias("doc_id"),
+            F.concat("_t", F.lit(" v"), (F.col("id") % 3).cast("string")).alias("text"),
+        )
+    )
+    return base.unionByName(copies)
+
+
+@_q(
+    "dedup_minhash_salted",
+    _minhash_oracle(
+        "TRUE", k=32, bands=8, threshold=0.12, src="corpus", prelude=_TEMPLATE_CORPUS_SQL
+    ),
+)
+def q_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with the hot-bucket defense ENGAGED (bucket_cap=16 on
+    a template-flooded corpus): every band bucket of the injected copies
+    holds 60 rows > cap, so the candidate join runs through the
+    triangular-cell salt split. Oracle = the same banding/verify SQL
+    with no salting — output identity is the check."""
+    corpus = _template_heavy_corpus(spark, sf_dir)
+    return dd.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=32, bands=8, threshold=0.12,
+        bucket_cap=16, hash_mode="sha",
+    )
+
+
+@_q(
+    "dedup_simhash_salted",
+    _simhash_oracle(max_hamming=3, src="corpus", prelude=_TEMPLATE_CORPUS_SQL),
+)
+def q_simhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding with the hot-bucket defense ENGAGED (bucket_cap=16,
+    template-flooded corpus; payload-carrying variant of the triangular
+    split — fingerprints travel through the salt cells). Oracle is the
+    uncapped banding SQL: output identity proves the split drops and
+    duplicates nothing."""
+    corpus = _template_heavy_corpus(spark, sf_dir)
+    return dd.simhash_pairs(
+        corpus, "doc_id", "text", max_hamming=3, bucket_cap=16, hash_mode="sha"
     )
 
 
@@ -1589,6 +1663,62 @@ SELECT query_id, neighbor_id, cosine,
   CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= {k}"""
+
+
+def _recall_curve_oracle(k: int, n_bits: int, n_tables_list: tuple[int, ...], n_q: int) -> str:
+    """Oracle twin of sim.ann_recall_curve: exact top-k truth, per-table
+    multiprobe ANN top-k, hits-join recall — all recomputed in SQL."""
+    cos = _COSINE_SQL.replace("a.embedding", "q.embedding").replace(
+        "b.embedding", "c.embedding"
+    )
+    ann_ctes = []
+    for t in n_tables_list:
+        cond = " OR ".join(
+            f"{_SLICE_BUCKET_SQL.format(side='q', lo=i * n_bits + 1, hi=(i + 1) * n_bits)}"
+            f" = {_SLICE_BUCKET_SQL.format(side='c', lo=i * n_bits + 1, hi=(i + 1) * n_bits)}"
+            for i in range(t)
+        )
+        ann_ctes.append(
+            f"""ann{t} AS (
+  SELECT {t} AS n_tables, query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < {n_q} AND c.vec_id != q.vec_id AND ({cond})
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= {k}
+)"""
+        )
+    union = "\nUNION ALL ".join(f"SELECT * FROM ann{t}" for t in n_tables_list)
+    return f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+    FROM embeddings q JOIN embeddings c ON q.vec_id < {n_q} AND c.vec_id != q.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) <= {k}
+),
+{",".join(ann_ctes)},
+ann AS ({union}),
+hits AS (
+  SELECT n_tables, count(*) AS n_hit
+  FROM ann JOIN truth USING (query_id, neighbor_id) GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_truth FROM truth)
+SELECT n_tables, round(n_hit / n_truth, 6) AS recall FROM hits, tot"""
+
+
+@_q("ann_recall_curve", _recall_curve_oracle(k=10, n_bits=8, n_tables_list=(1, 2, 3), n_q=50))
+def q_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall adequacy measurement for multi-probe ANN (the number the
+    superset-recall property test can't give): recall@10 of 1/2/3 probe
+    tables vs exact brute-force truth over 50 query vectors. On this
+    near-random corpus the measured curve (0.016/0.034/0.046) matches
+    sign-LSH theory ((1-θ/π)^8 at median top-10 θ≈73°) and composes
+    near-additively across tables — the basis for the n_tables=3
+    default; see sim.ann_recall_curve docstring for the high-cosine
+    operating-point numbers."""
+    emb = T(spark, sf_dir, "embeddings")
+    return sim.ann_recall_curve(
+        emb, emb.filter(F.col("vec_id") < 50), k=10, n_bits=8, n_tables_list=(1, 2, 3)
+    )
 
 
 @_q("ann_lsh_multiprobe", _multiprobe_oracle(k=5, n_bits=8, n_tables=3))

@@ -122,6 +122,14 @@ def range_join(
 
     w = F.lit(bucket_seconds)
     lb = left.withColumn("_bkt", F.floor(F.unix_timestamp(point_col) / w))
+    # Dirty interval data (null bounds, end < start) would make
+    # F.sequence throw and fail the whole job; such rows can match no
+    # point under the half-open [start, end) contract, so drop them.
+    right = right.filter(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) >= F.col(start_col))
+    )
     rb = right.withColumn(
         "_bkt",
         F.explode(

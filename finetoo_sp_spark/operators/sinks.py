@@ -67,14 +67,19 @@ def format_bom_lines(
     part_width: int = 40,
     qty_width: int = 8,
 ) -> DataFrame:
-    """Fixed-width BOM text rendering as (line_no, line) rows (reference:
-    query_service.cc:181-206 FormatBOM — padded part/qty table, sorted by
-    quantity desc). line_no 0 = header, 1 = separator, 2.. = entries;
-    ties broken on part name so the rendering is byte-deterministic.
+    """Fixed-width BOM text rendering as (line_no, line) rows — an
+    analogue of the reference's FormatBOM (query_service.cc:181-206:
+    padded part/qty table, quantity-desc order), not a byte-for-byte
+    clone of its exact header/separator layout. line_no 0 = header,
+    1 = separator, 2.. = entries; ties broken on part name so the
+    rendering is byte-deterministic. Part names wider than
+    ``part_width`` are truncated to ``part_width - 3`` + '...' (the
+    reference's over-width rule) so fixed-width rows stay unambiguous
+    instead of silently rpad-truncating.
 
     Kept as a DataFrame (not a collected string) so the renderer
     distributes; a driver-side `"\\n".join` over `.collect()` gives the
-    reference's exact text artifact for dimension-sized BOMs.
+    full text artifact for dimension-sized BOMs.
     """
     from pyspark.sql.window import Window
 
@@ -87,10 +92,14 @@ def format_bom_lines(
         ["line_no", "line"],
     )
     w = Window.orderBy(F.desc(qty_col), F.asc(part_col))
+    shown_part = F.when(
+        F.length(part_col) > part_width,
+        F.concat(F.substring(part_col, 1, part_width - 3), F.lit("...")),
+    ).otherwise(F.col(part_col))
     body = bom.select(
         (F.row_number().over(w) + 1).cast("long").alias("line_no"),
         F.concat(
-            F.rpad(F.col(part_col), part_width, " "),
+            F.rpad(shown_part, part_width, " "),
             F.lpad(F.col(qty_col).cast("string"), qty_width, " "),
         ).alias("line"),
     )

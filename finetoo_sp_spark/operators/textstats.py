@@ -315,14 +315,23 @@ def canonicalize_url(col) -> "F.Column":
     identical semantics expressible in any SQL engine.
     """
     c = F.col(col) if isinstance(col, str) else col
-    # lowercase scheme://host (leave path/query case alone)
-    c = F.regexp_replace(c, r"^([A-Za-z]+://[^/]+)", F.lower(F.regexp_extract(c, r"^([A-Za-z]+://[^/]+)", 1)))
+    # lowercase scheme://host (leave path/query case alone). Built with
+    # concat of the extracted authority + the remainder, NOT a
+    # regexp_replace with a column replacement — '$'/'\\' inside the
+    # extracted text would otherwise be read as group references.
+    head = F.lower(F.regexp_extract(c, r"^([A-Za-z]+://[^/?#]+)", 1))
+    tail = F.regexp_replace(c, r"^[A-Za-z]+://[^/?#]+", "")
+    c = F.when(head != F.lit(""), F.concat(head, tail)).otherwise(c)
     c = F.regexp_replace(c, r"#.*$", "")  # fragment
     c = F.regexp_replace(c, r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&]*", "$1")
     c = F.regexp_replace(c, r"[?&]+$", "")  # dangling separators
     c = F.regexp_replace(c, r"\?&", "?")
     c = F.regexp_replace(c, r"&&+", "&")
-    c = F.regexp_replace(c, r":(80|443)(/|$)", "$2")  # default ports
+    # default ports: anchored to the authority and scheme-aware — a
+    # ':80' later in the path must survive, and :443 is only default
+    # for https (stripping it on http would merge distinct origins)
+    c = F.regexp_replace(c, r"^(http://[^/:?#]+):80([/?]|$)", "$1$2")
+    c = F.regexp_replace(c, r"^(https://[^/:?#]+):443([/?]|$)", "$1$2")
     c = F.regexp_replace(c, r"^(https?://[^/?]+)/$", "$1")  # bare trailing slash
     return c
 

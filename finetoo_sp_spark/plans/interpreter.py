@@ -21,7 +21,6 @@ query_service.cc:103-176, minus the LLM — plans are deterministic inputs):
 from __future__ import annotations
 
 import json
-import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -39,14 +38,31 @@ from finetoo_sp_spark.operators.primitives import (
 )
 from finetoo_sp_spark.schema.registry import CapabilityError
 
-_FENCE_RE = re.compile(r"^```(?:json)?\s*|\s*```$", re.M)
+def strip_fences(raw: str) -> str:
+    """Find-based fence strip matching the reference exactly
+    (query_service.cc:108-130 ParseOperationPlan): take everything after
+    a leading ```json (or bare ```) marker, cut at the next ```, trim —
+    which also tolerates planner prose before/after the fenced block,
+    not just fences at the string boundaries."""
+    s = raw
+    i = s.find("```json")
+    if i != -1:
+        s = s[i + 7 :]
+    else:
+        i = s.find("```")
+        if i != -1:
+            s = s[i + 3 :]
+    j = s.find("```")
+    if j != -1:
+        s = s[:j]
+    return s.strip()
 
 
 def parse_plan_json(raw: str) -> list[dict]:
-    """Parse a plan, tolerating markdown code fences (reference:
-    query_service.cc:103-140 strips ``` fences before JSON parse)."""
-    cleaned = _FENCE_RE.sub("", raw.strip())
-    doc = json.loads(cleaned)
+    """Parse a plan, tolerating markdown code fences and surrounding
+    prose (reference: query_service.cc:103-140 strips ``` fences before
+    the JSON parse)."""
+    doc = json.loads(strip_fences(raw))
     ops = doc["operations"] if isinstance(doc, dict) else doc
     if not isinstance(ops, list):
         raise ValueError("plan must be a list of operations")

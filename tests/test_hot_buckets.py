@@ -85,3 +85,60 @@ def test_bucket_self_pairs_payload(spark):
         (a, b, a * 2.0, b * 2.0) for a in range(40) for b in range(40) if a < b
     }
     assert got == expect
+
+
+def test_registered_salted_queries_engage_hot_branch(spark, sf_dir):
+    """The contract's dedup_*_salted queries must actually EXECUTE the
+    triangular-cell split at the driver's sf: their template-flooded
+    corpus puts >bucket_cap rows into the injected copies' band buckets,
+    so the green CORRECTNESS rows exercise the 100 TB defense branch."""
+    from finetoo_sp_spark.contract import _template_heavy_corpus
+
+    corpus = _template_heavy_corpus(spark, sf_dir)
+    # simhash banding (the registered query's exact parameters)
+    fps = dd.simhash(corpus, "doc_id", "text", hash_mode="sha")
+    nb, width = 4, 15
+    banded = fps.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned("simhash", bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for bi in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bits")
+    max_bucket = (
+        banded.groupBy("band", "bits").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_bucket > 16, f"salting branch would NOT engage (max bucket {max_bucket})"
+
+    sig = dd.minhash_signatures(corpus, "doc_id", "text", n=3, k=32, hash_mode="sha")
+    r = 4
+    mh_banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[F.element_at("sig", bi * r + j + 1).cast("string") for j in range(r)],
+                        ).alias("bucket"),
+                    )
+                    for bi in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    mh_max = (
+        mh_banded.groupBy("band", "bucket").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert mh_max > 16, f"minhash salting would NOT engage (max bucket {mh_max})"

@@ -92,3 +92,20 @@ def test_dim_type_decode(spark):
     assert [r["t"] for r in df.collect()] == [
         "LINEAR", "ALIGNED", "ANGULAR", "DIAMETER", "RADIUS", "OTHER", "OTHER",
     ]
+
+
+def test_format_bom_overwidth_ellipsis(spark):
+    """Part names wider than part_width are truncated to width-3 + '...'
+    (reference over-width rule) instead of being silently rpad-cut."""
+    from finetoo_sp_spark.operators.sinks import format_bom_lines
+
+    bom = spark.createDataFrame(
+        [("A-VERY-LONG-PART-NAME", 7), ("SHORT", 1)], ["part", "quantity"]
+    )
+    lines = {
+        r["line_no"]: r["line"]
+        for r in format_bom_lines(bom, part_width=12, qty_width=5).collect()
+    }
+    assert lines[2] == "A-VERY-LO...    7"
+    assert lines[3] == "SHORT           1"
+    assert all(len(v) == 17 for v in lines.values())

@@ -91,3 +91,107 @@ def test_stream_exact_dedup_across_batches(spark, tmp_path):
         # with this file order the originals always precede the mirrors
         False
     )
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the group fn."""
+
+    def __init__(self):
+        self.exists = False
+        self._row = None
+
+    @property
+    def get(self):
+        return self._row
+
+    def update(self, row):
+        self._row = row
+        self.exists = True
+
+
+def _run_batch(fn, state, frames):
+    import pandas as pd
+
+    out = list(fn((0,), iter(frames), state))
+    return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["url", "content_sha", "shard", "tier"]
+    )
+
+
+def test_stream_dedup_batch_determinism_across_chunks():
+    """The min-url survivor rule must hold across Arrow chunks of one
+    micro-batch: a hash split over two chunks keeps the batch-global
+    min url, not the first chunk's."""
+    import pandas as pd
+
+    from finetoo_sp_spark.streaming.dedup import _make_dedup_group
+
+    fn = _make_dedup_group(state_cap=100, bloom_bits=1 << 10, k_hashes=3)
+    c1 = pd.DataFrame({"url": ["https://z.example.com/1"], "content_sha": ["ab" * 32], "shard": [0]})
+    c2 = pd.DataFrame({"url": ["https://a.example.com/1"], "content_sha": ["ab" * 32], "shard": [0]})
+    out = _run_batch(fn, _FakeState(), [c1, c2])
+    assert len(out) == 1
+    assert out["url"].iloc[0] == "https://a.example.com/1"  # batch-global min
+
+
+def test_stream_dedup_bloom_tier_bounded_state():
+    """Past state_cap the shard migrates to the Bloom tier: duplicates
+    are STILL dropped (no false negatives), novel-page false drops stay
+    under the design bound, and state memory is fixed."""
+    import hashlib
+
+    import pandas as pd
+
+    from finetoo_sp_spark.streaming.dedup import _make_dedup_group
+
+    bloom_bits = 1 << 16  # 8 KiB; n=600, k=5 -> theoretical FP ~ 2e-6
+    fn = _make_dedup_group(state_cap=50, bloom_bits=bloom_bits, k_hashes=5)
+    state = _FakeState()
+
+    def sha(i):
+        return hashlib.sha256(f"doc-{i}".encode()).hexdigest()
+
+    def frame(ids):
+        return pd.DataFrame(
+            {"url": [f"https://h/{i}" for i in ids], "content_sha": [sha(i) for i in ids], "shard": 0}
+        )
+
+    out1 = _run_batch(fn, state, [frame(range(200))])  # overflows cap=50
+    assert len(out1) == 200 and (out1["tier"] == "exact").all()
+    seen_arr, bloom_bytes, n_seen = state.get
+    assert seen_arr == [] and bloom_bytes is not None and n_seen == 200
+    assert len(bloom_bytes) == bloom_bits // 8  # fixed-size state
+
+    # batch 2: 200 exact repeats + 400 novel — repeats must ALL drop
+    out2 = _run_batch(fn, state, [frame(list(range(200)) + list(range(200, 600)))])
+    assert (out2["tier"] == "bloom").all()
+    assert not set(out2["content_sha"]) & set(out1["content_sha"])  # no dup passed
+    false_drops = 400 - len(out2)
+    assert 0 <= false_drops <= 4  # <=1% observed vs ~2e-6 theoretical
+
+    # batch 3: all 600 again -> nothing survives
+    out3 = _run_batch(fn, state, [frame(range(600))])
+    assert len(out3) == 0
+    _, bloom2, n2 = state.get
+    assert len(bloom2) == bloom_bits // 8 and n2 == 200 + len(out2)
+
+
+def test_bloom_helpers_deterministic():
+    import hashlib
+
+    import numpy as np
+
+    from finetoo_sp_spark.streaming.dedup import _bloom_add, _bloom_contains, _bloom_indexes
+
+    shas = [hashlib.sha256(str(i).encode()).hexdigest() for i in range(50)]
+    m = 1 << 12
+    a = _bloom_indexes(shas, m, 5)
+    b = _bloom_indexes(shas, m, 5)
+    assert (a == b).all() and a.max() < m and a.min() >= 0
+    bloom = np.zeros(m // 8, dtype=np.uint8)
+    _bloom_add(bloom, shas[:25], m, 5)
+    assert _bloom_contains(bloom, shas[:25], m, 5).all()  # no false negatives
+    # insertion order independence (bitwise OR)
+    bloom2 = np.zeros(m // 8, dtype=np.uint8)
+    _bloom_add(bloom2, list(reversed(shas[:25])), m, 5)
+    assert (bloom == bloom2).all()
