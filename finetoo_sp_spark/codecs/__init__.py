@@ -1,0 +1,6 @@
+"""Pure-stdlib codecs for multimodal payloads (no PIL/ffmpeg in the
+target environment — zlib + struct + numpy only)."""
+
+from finetoo_sp_spark.codecs.png import decode_png, encode_png
+
+__all__ = ["decode_png", "encode_png"]

@@ -2395,6 +2395,79 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "pdf_real_extract",
+    """
+SELECT 'https://pdf.example.com/' || doc_id AS url,
+  'real heading ' || doc_id || chr(10) || 'body block for ' || doc_id AS text,
+  CAST(2 AS BIGINT) AS n_blocks,
+  CAST(length('real heading ' || doc_id || 'body block for ' || doc_id) AS BIGINT)
+    AS content_chars
+FROM documents WHERE doc_id < 200""",
+)
+def q_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (spec-conformant, Flate-compressed) PDF payloads through the
+    layout path under a full value oracle: make_real_pdf writes actual
+    PDF 1.4 files per doc, the vendored pure-stdlib extractor
+    (extraction/pdfmini.py) inflates/parses them inside the Arrow
+    kernel, and the oracle recomputes the expected text from the
+    fragment formula alone — it never sees a PDF byte."""
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(batches):
+        from finetoo_sp_spark.extraction.pdfmini import make_real_pdf
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = make_real_pdf(
+                    [
+                        (0, 72.0, 700.0, f"real heading {i}"),
+                        (0, 72.0, 600.0, f"body block for {i}"),
+                    ]
+                )
+                rows.append((f"https://pdf.example.com/{i}", payload))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, "url string, html binary")
+    out = extract_pages_any(pages)
+    return out.select("url", "text", "n_blocks", "content_chars")
+
+
+@_q(
+    "multimodal_image_stats",
+    """
+SELECT i AS asset_id,
+  CAST(16 + i % 8 AS BIGINT) AS width,
+  CAST(12 + i % 5 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  sum((i + 3*r + 5*c) % 256) AS sum_r,
+  sum((i + 3*r + 5*c + 11) % 256) AS sum_g,
+  sum((i + 3*r + 5*c + 22) % 256) AS sum_b
+FROM range(0, 64) t(i), range(0, 16) rr(r), range(0, 23) cc(c)
+WHERE r < 12 + i % 5 AND c < 16 + i % 8
+GROUP BY i""",
+)
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under a per-pixel-exact oracle: synthetic PNGs
+    (closed-form pixels, every scanline filter type across the corpus)
+    are decoded by the pure-stdlib codec inside the Arrow kernel; the
+    DuckDB twin recomputes the per-channel pixel SUMS from the pixel
+    formula alone — it never sees a PNG, so agreement proves zlib
+    inflate + de-filtering + geometry are all byte-correct."""
+    from finetoo_sp_spark.datagen import gen_image_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_image_assets(spark, 64))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx

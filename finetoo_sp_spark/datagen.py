@@ -245,3 +245,45 @@ def write_pages(
     gen_pages(spark, n_pages, partitions, page_scale, pdf_every).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+IMAGE_ASSETS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def gen_image_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic synthetic PNG assets: pixel(r, c, ch) =
+    (asset_id + 3r + 5c + 11ch) % 256 over a per-id geometry
+    (w = 16 + id%8, h = 12 + id%5), encoded with scanline filter
+    id % 5 — so a corpus of these exercises every PNG de-filter path,
+    and every decoded pixel has a closed form an SQL oracle can
+    recompute exactly."""
+    from finetoo_sp_spark.codecs.png import encode_png
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 16 + i % 8, 12 + i % 5
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((i + 3 * r + 5 * c + 11 * ch) % 256).astype(np.uint8)
+        rows.append((i, "image", encode_png(img, filter_type=i % 5)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_image_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic PNG corpus: spark.range -> mapInPandas."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_image_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

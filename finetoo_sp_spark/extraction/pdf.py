@@ -13,12 +13,15 @@ Layout analysis = order text fragments by (page, y desc, x asc) — the
 standard reading-order reconstruction — then group fragments into blocks
 on y-gaps, join block texts with newlines.
 
-Codec gating (this container ships no pdfminer/pypdf): a real
-``pdfminer.six`` code path is attempted first; absent that, payloads in
-the deterministic FAKEPDF format (our synthetic layout fixture format,
-produced by :func:`make_fake_pdf`) are parsed natively; anything else
-yields an empty extraction with n_blocks=0 rather than an error —
-at 10^12 scale a malformed payload must never kill the job.
+Codec routing: ``pdfminer.six`` is used when importable; otherwise REAL
+%PDF- payloads go through the vendored pure-stdlib extractor
+(extraction/pdfmini.py — Flate streams, BT/ET text objects, ToUnicode
+CMaps; verified against the reference's 7 *-Model.pdf payloads and
+against spec-conformant PDFs written by pdfmini.make_real_pdf). The
+deterministic FAKEPDF fixture format (:func:`make_fake_pdf`) parses
+natively. A malformed payload yields an empty extraction with
+n_blocks=0 rather than an error — at 10^12 scale a bad payload must
+never kill the job.
 
 FAKEPDF format (text, utf-8)::
 
@@ -105,10 +108,19 @@ def extract_pdf_batch(urls: pd.Series, payload: pd.Series) -> pd.DataFrame:
         raw = bytes(raw) if raw is not None else b""
         if raw.startswith(FAKE_MAGIC):
             frags = _parse_fake(raw)
-        elif use_real and raw.startswith(PDF_MAGIC):
+        elif raw.startswith(PDF_MAGIC):
+            # real PDFs: pdfminer when the library exists, else the
+            # vendored pure-stdlib extractor (pdfmini) — same fragment
+            # schema either way; malformed payloads emit empty rows,
+            # never an exception (a bad payload must not kill the task)
             try:
-                frags = _parse_pdfminer(raw)
-            except Exception:  # malformed pdf: emit empty, never fail the task
+                if use_real:
+                    frags = _parse_pdfminer(raw)
+                else:
+                    from finetoo_sp_spark.extraction.pdfmini import parse_pdf_fragments
+
+                    frags = parse_pdf_fragments(raw)
+            except Exception:
                 frags = pd.DataFrame(columns=["page", "x", "y", "text"])
         else:
             frags = pd.DataFrame(columns=["page", "x", "y", "text"])

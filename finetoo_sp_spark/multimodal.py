@@ -54,12 +54,21 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode hook — requires an image codec (PIL), absent here.
+    """Decode an image payload to an (H, W, C) uint8 array.
 
-    Swap point for production; everything else in the pipeline is real.
+    PNG decodes for real via the pure-stdlib codec (codecs/png.py: zlib
+    inflate, chunk CRCs, all five scanline filters). Other formats
+    (JPEG et al.) still need a codec library absent from this
+    environment — they raise, and ``fake_features`` remains the
+    deterministic plumbing fallback.
     """
+    b = bytes(payload)
+    if b.startswith(b"\x89PNG\r\n\x1a\n"):
+        from finetoo_sp_spark.codecs.png import decode_png
+
+        return decode_png(b)
     raise NotImplementedError(
-        "image codec not available in this environment; "
+        "only PNG decodes without a codec library in this environment; "
         "use fake_features (deterministic) for plumbing tests"
     )
 
@@ -118,6 +127,50 @@ def extract_features(assets: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     return assets.select("asset_id", "modality", "payload").mapInPandas(
         run, schema=FEATURE_SCHEMA
     )
+
+
+IMAGE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("sum_r", LongType(), False),
+        StructField("sum_g", LongType(), False),
+        StructField("sum_b", LongType(), False),
+    ]
+)
+
+
+def image_stats(assets: DataFrame) -> DataFrame:
+    """REAL image decode over the binary column: per asset, the decoded
+    dimensions and exact per-channel pixel sums (integer sums, not
+    means, so an external oracle reproduces them with no float-rounding
+    ambiguity). Arrow-batched mapInPandas; payload bytes cross into
+    Python once per batch, the decode is the pure-stdlib PNG codec.
+    Grayscale sums repeat the single channel across r/g/b.
+    """
+    from finetoo_sp_spark.codecs.png import decode_png
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                h, w, ch = img.shape
+                sums = img.reshape(-1, ch).sum(axis=0, dtype=np.int64)
+                r, g, b = (
+                    (sums[0], sums[1], sums[2]) if ch >= 3 else (sums[0], sums[0], sums[0])
+                )
+                recs.append((asset_id, w, h, ch, int(r), int(g), int(b)))
+            yield pd.DataFrame(
+                recs,
+                columns=["asset_id", "width", "height", "channels", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
 
 
 def frame_sample_plan(assets: DataFrame, every_n: int = 10) -> DataFrame:
