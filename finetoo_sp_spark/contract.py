@@ -3147,6 +3147,62 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHA60_ID = "CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+@_q(
+    "curation_lineage",
+    f"""
+WITH RECURSIVE pairs AS ({_CURATION_JACCARD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+w AS (
+  SELECT doc_id, text, {{_ws}} AS ws,
+    CAST(len({{_ws}}) AS INTEGER) AS n_words
+  FROM documents
+),
+surv AS (
+  SELECT w.doc_id FROM w LEFT JOIN cc ON cc.doc_id = w.doc_id
+  WHERE (n_words >= 10
+     AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+     AND round(len(list_filter(ws, x -> list_contains({{_stop}}, x))) / greatest(n_words, 1), 4) >= 0.01)
+    AND coalesce(cc.component, w.doc_id) = w.doc_id
+)
+SELECT CAST({_SHA60_ID} % 16 AS INTEGER) AS bucket,
+  count(*) AS output_count,
+  bit_xor({_SHA60_ID}) AS content_checksum,
+  'committed' AS status
+FROM surv GROUP BY 1""".replace("{_ws}", _WORDS_SQL).replace("{_stop}", _STOP_LIST_SQL),
+)
+def q_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resumable-curation manifest table itself under a value oracle
+    (sources/curation.py, VERDICT r02 #9): run the two-phase
+    checkpointed curation in hash_mode='sha' (DuckDB-reproducible bucket
+    ids and xor-fold checksums), read the survivors manifests back; the
+    oracle recomputes every bucket's count and checksum from the
+    curation semantics alone — it never sees a manifest file."""
+    import os as _os
+
+    from finetoo_sp_spark.sources.curation import run_resumable_curation
+    from finetoo_sp_spark.sources.lineage import read_manifests
+
+    docs = T(spark, sf_dir, "documents")
+    out_dir = _tmp_out("curation_lineage")
+    run_resumable_curation(
+        docs, out_dir, n_buckets=16, max_df=_CURATION_MAX_DF, hash_mode="sha"
+    )
+    man = read_manifests(spark, _os.path.join(out_dir, "survivors"))
+    return man.select("bucket", "output_count", "content_checksum", "status")
+
+
 # --- late-bound oracles (need _blocks_cte, defined above) -----------------
 
 _PLACEHOLDER_ORACLES = {

@@ -40,12 +40,33 @@ from finetoo_sp_spark.sources.lineage import MANIFEST_DIRNAME, read_manifests
 PAIRS_MARKER = "_PHASE_COMPLETE"
 
 
+def _sha60(col):
+    return F.conv(F.substring(F.sha2(col, 256), 1, 15), 16, 10).cast("long")
+
+
+def _bucket_of(col: str, n_buckets: int, hash_mode: str):
+    """Bucket id for resume partitioning. 'sha' mode hashes the id's
+    string form so DuckDB reproduces it exactly (the manifest-oracle
+    mode, as in sources/lineage.py); production uses xxhash64."""
+    if hash_mode == "sha":
+        return F.pmod(_sha60(F.col(col).cast("string")), F.lit(n_buckets)).cast("int")
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _checksum_of(key_cols: list[str], hash_mode: str):
+    cols = [F.col(c).cast("string") for c in key_cols]
+    if hash_mode == "sha":
+        return F.bit_xor(_sha60(F.concat_ws("\x01", *cols)))
+    return F.bit_xor(F.xxhash64(*key_cols))
+
+
 def _write_bucketed(
     df: DataFrame,
     out_dir: str,
     key_cols: list[str],
     n_buckets: int,
     exclude_buckets: DataFrame | None = None,
+    hash_mode: str = "xxhash64",
 ) -> None:
     """Generic bucketed write + per-bucket manifests (counts + xor-fold
     checksum over ``key_cols``); manifests land only after the data
@@ -64,7 +85,7 @@ def _write_bucketed(
         written = written.join(F.broadcast(exclude_buckets), "bucket", "left_anti")
     manifest = written.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("output_count"),
-        F.bit_xor(F.xxhash64(*key_cols)).alias("content_checksum"),
+        _checksum_of(key_cols, hash_mode).alias("content_checksum"),
         F.lit("committed").alias("status"),
     )
     manifest.repartition(32, "bucket").write.mode("append").partitionBy("bucket").parquet(
@@ -81,6 +102,7 @@ def run_resumable_curation(
     threshold: float = 0.5,
     max_df: int | None = 100,
     n_buckets: int = 32,
+    hash_mode: str = "xxhash64",
 ) -> dict:
     """Quality gate + near-dup clustering + survivor materialization,
     resumable from the two checkpoints described in the module
@@ -105,8 +127,8 @@ def run_resumable_curation(
     else:
         fresh = ngram_jaccard_pairs(
             docs, id_col, text_col, n=n, threshold=threshold, max_df=max_df
-        ).withColumn("bucket", F.pmod(F.xxhash64("id_a"), F.lit(n_buckets)).cast("int"))
-        _write_bucketed(fresh, pairs_dir, ["id_a", "id_b"], n_buckets)
+        ).withColumn("bucket", _bucket_of("id_a", n_buckets, hash_mode))
+        _write_bucketed(fresh, pairs_dir, ["id_a", "id_b"], n_buckets, hash_mode=hash_mode)
         n_pairs = spark.read.parquet(os.path.join(pairs_dir, "data")).count()
         with open(marker, "w") as f:  # commit marker AFTER data+manifests
             json.dump({"n_pairs": n_pairs, "threshold": threshold, "n": n}, f)
@@ -127,14 +149,17 @@ def run_resumable_curation(
         docs.withColumnRenamed(id_col, "id")
         .join(quality, "id", "left_semi")
         .join(keep.select("id"), "id", "left_semi")
-        .withColumn("bucket", F.pmod(F.xxhash64("id"), F.lit(n_buckets)).cast("int"))
+        .withColumn("bucket", _bucket_of("id", n_buckets, hash_mode))
     )
     todo = survivors
     if done_buckets is not None:
         todo = survivors.join(F.broadcast(done_buckets), "bucket", "left_anti")
     # empty-todo fast path: count the manifest (tiny), not the corpus
     if n_done < n_buckets:
-        _write_bucketed(todo, surv_dir, ["id"], n_buckets, exclude_buckets=done_buckets)
+        _write_bucketed(
+            todo, surv_dir, ["id"], n_buckets,
+            exclude_buckets=done_buckets, hash_mode=hash_mode,
+        )
     phases["survivors"] = round(time.time() - t, 2)
 
     man = read_manifests(spark, surv_dir)

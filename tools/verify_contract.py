@@ -3,7 +3,7 @@ and its oracle_sql() twin on DuckDB, compare row count + sorted-column
 value multiset. Mirrors the driver's CORRECTNESS gate so mismatches are
 caught before a round ends.
 
-Usage: python tools/verify_contract.py [sf_dir] [query ...]
+Usage: python tools/verify_contract.py [--json out.json] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -44,8 +44,14 @@ def frame_sig(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    record: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from finetoo_sp_spark.session import get_spark
@@ -69,11 +75,13 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record[name] = {"ok": False, "err": str(e)[:200]}
             continue
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(srows)} rows  [{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 print(f"  WARN {name}: 0 rows")
+            record[name] = {"ok": True, "rows_only": True, "rows": len(srows)}
             continue
         try:
             res = con.execute(oracles[name])
@@ -82,6 +90,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            record[name] = {"ok": False, "err": str(e)[:200]}
             continue
         sn, sv = frame_sig(scols, srows)
         on, ov = frame_sig(ocols, orows)
@@ -105,8 +114,23 @@ def main() -> int:
             print(f"ok {name}: {len(srows)} rows match  [{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 print(f"  WARN {name}: 0 rows (matching, but trivially)")
+        record[name] = {
+            "ok": name not in failures,
+            "rows": len(srows),
+            "oracle_rows": len(orows),
+            "sec": round(time.time() - t0, 2),
+        }
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n_queries": len(record), "failures": failures,
+                 "queries": record},
+                f, indent=1,
+            )
     return 1 if failures else 0
 
 
