@@ -3147,6 +3147,78 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "rarity_scores",
+    f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+wd AS (
+  SELECT doc_id, i AS pos, ws[CAST(i AS BIGINT)] AS w
+  FROM w, UNNEST(generate_series(1, len(ws))) t(i)
+  WHERE length(ws[CAST(i AS BIGINT)]) > 0
+),
+counts AS (SELECT w, count(*) AS cnt FROM wd GROUP BY w),
+tot AS (SELECT sum(cnt) AS n_total FROM counts),
+j AS (
+  SELECT doc_id, pos, (t.n_total / c.cnt) AS inv
+  FROM wd JOIN counts c USING (w), tot t
+),
+arr AS (SELECT doc_id, list(inv ORDER BY pos) AS invs FROM j GROUP BY doc_id)
+SELECT doc_id AS id, CAST(len(invs) AS INTEGER) AS n_words,
+  round(list_sum(invs) / len(invs), 6) AS rarity
+FROM arr""",
+)
+def q_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy rarity score (mean inverse corpus unigram
+    frequency — the CCNet LM-filter idea without an external model)
+    under a full value oracle: the per-doc mean is an ORDERED left fold
+    over the word sequence, so both engines sum identical IEEE doubles
+    in identical order and the 6dp values match exactly."""
+    return ts.rarity_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "dedup_lines_c4",
+    """
+WITH corpus AS (
+  SELECT doc_id,
+    'SHARED FOOTER NAVIGATION' || chr(10) || text || chr(10)
+      || 'cookie banner variant ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+), l AS (
+  SELECT doc_id, i AS pos, ls[CAST(i AS BIGINT)] AS ln
+  FROM s, UNNEST(generate_series(1, len(ls))) t(i)
+), counts AS (
+  SELECT ln, count(*) AS c FROM l GROUP BY ln
+), kept AS (
+  SELECT doc_id, pos, ln FROM l JOIN counts USING (ln) WHERE c <= 2
+)
+SELECT doc_id, array_to_string(list(ln ORDER BY pos), chr(10)) AS text
+FROM kept GROUP BY doc_id""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (the boilerplate killer document-level
+    dedup can't touch): a shared footer line and three cookie-banner
+    variants are injected into every document; lines occurring more than
+    twice corpus-wide must vanish from every doc while each document's
+    own text lines survive in order. Documents whose every line is
+    boilerplate would drop entirely (none here — each body is unique or
+    near-unique)."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SHARED FOOTER NAVIGATION\n"),
+            F.col("text"),
+            F.lit("\ncookie banner variant "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    out = dd.line_dedup(corpus, "doc_id", "text", max_line_df=2)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
 _SHA60_ID = "CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
 
 

@@ -580,3 +580,44 @@ def top_ngrams(
         .orderBy(F.desc("df_docs"), F.asc("ngram"))
         .limit(k)
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_line_df: int = 2,
+) -> DataFrame:
+    """C4-style line-level deduplication (Raffel et al. 2020 §2.2:
+    "discarded any line that occurred more than X times in the corpus"):
+    lines whose corpus-wide occurrence count exceeds ``max_line_df`` are
+    removed from every document; surviving lines keep their original
+    order. The boilerplate killer exact-document dedup can't touch —
+    shared footers/cookie banners repeat across otherwise-distinct pages.
+
+    Scale shape: explode to (id, pos, line_sha) — the join/count key is
+    the 256-bit line hash, not the line text, so the shuffle carries 32
+    bytes/line and the key is uniform; hot lines concentrate their COUNT
+    via map-side partial agg (never their rows). Reassembly is one
+    groupBy(id) with an order-preserving sort_array over (pos, line)
+    structs. Returns (id, text) with the filtered text.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_sha", F.sha2("line", 256))
+    hot = (
+        lines.groupBy("line_sha")
+        .agg(F.count(F.lit(1)).alias("line_count"))
+        .filter(F.col("line_count") > max_line_df)
+        .select("line_sha")
+    )
+    kept = lines.join(hot, "line_sha", "left_anti")
+    return kept.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+        ).alias("text")
+    )

@@ -398,3 +398,45 @@ def stratified_sample(
     for stratum, rate in sorted(rates.items()):
         gate = F.when(F.col(stratum_col) == stratum, F.lit(int(rate * 1_000_000))).otherwise(gate)
     return df.filter(F.pmod(sha60(F.col(id_col).cast("string")), F.lit(1_000_000)) < gate)
+
+
+def rarity_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality signal from corpus unigram statistics
+    (the CCNet/Gopher LM-filter idea without an external LM): per doc,
+    the mean INVERSE corpus frequency of its words —
+    avg_w(N_total / count(w)). Common-vocabulary boilerplate scores near
+    its low bound; rare-vocabulary (or garbage) text scores high; both
+    tails are filter candidates.
+
+    Determinism discipline: the per-doc mean is an ORDERED left fold
+    over the document's word sequence (collect (pos, inv) -> sort ->
+    F.aggregate), not a groupBy sum — float addition is order-dependent,
+    and the fixed order is what lets an external engine reproduce the
+    double bit-for-bit. All ops are IEEE exact-rounded (div, add); no
+    transcendentals. Scale: one shuffle for corpus counts (uniform word
+    key, map-side combine), one join words->counts, one groupBy(id).
+
+    Returns (id, n_words, rarity) with rarity rounded to 6dp.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_words(text_col)).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+    scored = (
+        words.join(counts, "w")
+        .crossJoin(F.broadcast(total))  # broadcast-scalar: one total row
+        .select("id", "pos", (F.col("n_total") / F.col("cnt")).alias("inv"))
+    )
+    arr = scored.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "inv"))), lambda s: s["inv"]
+        ).alias("invs")
+    )
+    fold = F.aggregate("invs", F.lit(0.0), lambda acc, x: acc + x)
+    return arr.select(
+        "id",
+        F.size("invs").alias("n_words"),
+        F.round(fold / F.size("invs"), 6).alias("rarity"),
+    )
