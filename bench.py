@@ -33,7 +33,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # -- headline: extraction pages/sec (generate once, cache input) -----
-    pages = gen_pages(spark, n_pages).select("url", "html").cache()
+    # one task wave across all cores: the datagen default (n/2000 parts)
+    # leaves a third of the slots idle at 40k pages / 32 cpus (measured
+    # 59k -> 70k pages/s from this alone); more waves only add overhead
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    pages = gen_pages(spark, n_pages, partitions=cpus).select("url", "html").cache()
     pages.count()  # materialize: time extraction, not generation
     extract_s = float("inf")
     # best-of-3: the sandbox shares a host whose spare CPU fluctuates;

@@ -89,6 +89,37 @@ CHECKS = {
         ("NO cartesian product", r"!CartesianProduct"),
         ("signature min-aggregates partial", r"HashAggregate"),
     ],
+    "dedup_minhash_salted": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("hot-bucket keys broadcast", r"BroadcastHashJoin"),
+        ("triangular cell explode present", r"Explode|Generate"),
+    ],
+    "dedup_simhash_salted": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("hot-bucket keys broadcast", r"BroadcastHashJoin"),
+    ],
+    "dedup_lines_c4": [
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("hot-line anti-join is a hash join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*LeftAnti|LeftAnti.*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+        ("count partial-aggregates", r"HashAggregate"),
+    ],
+    "rarity_scores": [
+        ("NO nested-loop except broadcast-scalar total", r"!CartesianProduct"),
+        ("word-count partial agg", r"HashAggregate"),
+        ("only doc_id+text read", r"ReadSchema: struct<doc_id:bigint,text:string>"),
+    ],
+    "ann_recall_curve": [
+        ("NO cartesian between corpus sides", r"!CartesianProduct"),
+        ("bucket equi-joins", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "multimodal_image_stats": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "pdf_real_extract": [
+        ("magic-byte routing stays JVM-side", r"(?i)startswith"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "dedup_simhash": [
         ("NO cartesian product", r"!CartesianProduct"),
         ("band equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
