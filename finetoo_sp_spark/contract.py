@@ -3147,6 +3147,57 @@ def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iterations: int) -> str:
+    """Unrolled fixed-point PageRank twin (recursive CTEs can't hold the
+    per-round aggregation, so the rounds unroll as chained CTEs). The
+    edge rule is the docpages parent-link rule, as in the traverse
+    oracle; integer fixed-point makes every round exactly portable."""
+    scale, damp = 1_000_000_000, 85
+    base = (100 - damp) * scale // 100
+    ctes = [f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank_fp FROM nodes)"]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""r{i} AS (
+  SELECT n.id, {base} + ({damp} * COALESCE(s.s, 0)) // 100 AS rank_fp
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(r.rank_fp // d.deg) AS s
+    FROM e JOIN deg d USING (src) JOIN r{i - 1} r ON r.id = e.src
+    GROUP BY e.dst) s ON s.id = n.id)"""
+        )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+e AS (
+  SELECT DISTINCT s.url AS src, t.url AS dst
+  FROM u s JOIN u t
+    ON t.doc_id IN (CAST(floor(s.doc_id / 2) AS BIGINT), CAST(floor(s.doc_id / 3) AS BIGINT))
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+{",".join(ctes)}
+SELECT id AS url, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iterations}"""
+
+
+@_q("pagerank_links", _pagerank_oracle(5))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority prior for corpus curation: 5 rounds of fixed-point
+    PageRank over the REAL extracted LINKS_TO graph. Integer fixed-point
+    (rank 1.0 = 1e9, integer div, integer sums) makes the whole
+    iteration order-independent and hence exactly reproducible by the
+    SQL oracle — float PageRank could never value-match across engines."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.pagerank import pagerank_fixed_point
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    edges = g.edges.filter(F.col("edge_type") == "LINKS_TO")
+    pr = pagerank_fixed_point(edges, iterations=5)
+    return pr.select(F.col("id").alias("url"), "rank_fp")
+
+
 @_q(
     "rarity_scores",
     f"""

@@ -58,6 +58,11 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
     (projection collapse inlines aliases used once), which measured ~6x
     slower on the driver corpus.
     """
+    # NOTE: no ensure_parallelism here — the shingle stage feeds straight
+    # into shuffles (groupBy/self-join), and a pre-repartition measurably
+    # LOST time on the bench (extra full shuffle of the text column >
+    # the single-core narrow work it spreads); pure-narrow ops like
+    # repetition_scores are where that rescue pays.
     w = df.select(F.col(id_col).alias("id"), _norm_words(text_col).alias("_w"))
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_w") - n, F.lit(0))),

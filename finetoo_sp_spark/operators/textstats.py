@@ -146,9 +146,13 @@ def _winnowed(
     # on size(fps) > 0 is a trap — predicate pushdown drags the filter
     # below every staged projection and inlines the ENTIRE winnowing
     # tree into the per-row condition (measured 50-90x slower).
-    staged = df.select(F.col(id_col).alias("id"), _words(text_col).alias("_t")).filter(
-        F.size("_t") >= k + window - 1
-    )
+    from finetoo_sp_spark.session import ensure_parallelism
+
+    # the whole winnowing chain is shuffle-free narrow work: spread a
+    # single-partition local scan across cores first (no-op at scale)
+    staged = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _words(text_col).alias("_t")
+    ).filter(F.size("_t") >= k + window - 1)
     sh = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_t") - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k)),
@@ -265,7 +269,9 @@ def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     mode via aggregate over the distinct array. Staged projections keep
     every lambda over bound attributes (the expression-inlining trap).
     """
-    staged = df.select(
+    from finetoo_sp_spark.session import ensure_parallelism
+
+    staged = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), r"\n").alias("_lines"),
         _words(text_col).alias("_w"),
@@ -418,7 +424,9 @@ def rarity_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Returns (id, n_words, rarity) with rarity rounded to 6dp.
     """
-    words = df.select(
+    from finetoo_sp_spark.session import ensure_parallelism
+
+    words = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.posexplode(_words(text_col)).alias("pos", "w"),
     ).filter(F.length("w") > 0)
