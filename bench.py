@@ -80,6 +80,11 @@ def main() -> None:
         "embedding_centroids",
         "dedup_minhash_salted",
         "dedup_simhash_salted",
+        "pagerank_links",
+        "rarity_scores",
+        "dedup_lines_c4",
+        "multimodal_image_stats",
+        "pdf_real_extract",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}

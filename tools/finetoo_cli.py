@@ -115,6 +115,26 @@ def cmd_bom_text(spark, args: list[str]) -> None:
     print("\n".join(r["line"] for r in lines))
 
 
+def cmd_ask(spark, args: list[str]) -> None:
+    """The full demo_llm_bom loop (tools/demo_llm_bom.cc /
+    query_service.cc:208-268 ProcessQuery) with a pluggable planner:
+    ``ask <pages> "<question>" <planner_response.txt>`` — the third arg
+    is the planner's canned reply (possibly fenced JSON with prose, as a
+    real LLM would return); swap StaticPlanner for an HTTP-backed client
+    to go live, nothing else changes."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.plans.client import StaticPlanner, answer_query
+    from finetoo_sp_spark.schema.registry import web_graph_schema
+
+    pages, question = _load_pages(spark, args[0]), args[1]
+    client = StaticPlanner(default=open(args[2]).read())
+    resp = answer_query(build_web_graph(pages), web_graph_schema(), question, client)
+    print("question:", question)
+    print("steps:", " -> ".join(resp.steps))
+    print(f"elapsed_ms: {resp.elapsed_ms:.1f}")
+    print(resp.answer)
+
+
 def cmd_extract(spark, args: list[str]) -> None:
     """The flagship job: resumable extraction with lineage manifests."""
     from finetoo_sp_spark.sources.lineage import run_resumable_extraction
@@ -136,6 +156,7 @@ def main() -> None:
         "report": cmd_report,
         "graph": cmd_graph,
         "query": cmd_query,
+        "ask": cmd_ask,
         "prompt": cmd_prompt,
         "bom-text": cmd_bom_text,
         "extract": cmd_extract,
