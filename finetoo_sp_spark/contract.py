@@ -3270,6 +3270,120 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("id").alias("doc_id"), "text")
 
 
+@_q(
+    "pivot_line_status",
+    """
+SELECT l_returnflag,
+  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O,
+  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F
+FROM lineitem GROUP BY l_returnflag""",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native .pivot() (wide conditional aggregation): one shuffle, the
+    pivot columns become a map-side CASE fan-out — the guide's pivot
+    pattern with an explicit value list so the plan needs no extra
+    distinct-values job."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+
+
+@_q(
+    "cube_order_status",
+    """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 2^k subtotal combinations in ONE pass —
+    Expand + a single shuffle, vs 4 separate group-bys)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "unpivot_token_stats",
+    """
+SELECT doc_id AS id, 'n_chars' AS metric, CAST(length(text) AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT doc_id, 'n_words', CAST(len(regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS BIGINT) FROM documents
+UNION ALL
+SELECT doc_id, 'n_tokens_est', CAST(ceil(length(text) / 4.0) AS BIGINT) FROM documents""",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native .unpivot()/melt (wide -> long without a UNION of scans:
+    one Expand over the already-computed wide frame)."""
+    tc = ts.token_counts(T(spark, sf_dir, "documents"), "doc_id", "text")
+    wide = tc.select(
+        "id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_tokens_est").cast("long").alias("n_tokens_est"),
+    )
+    return wide.unpivot("id", ["n_chars", "n_words", "n_tokens_est"], "metric", "value")
+
+
+@_q(
+    "cdc_upsert_latest",
+    """
+WITH updates AS (
+  SELECT event_id, user_id, event_type, ts + INTERVAL 1 HOUR AS ts,
+    round(value + 100, 2) AS value
+  FROM events WHERE event_id % 7 = 0
+),
+unioned AS (
+  SELECT event_id, user_id, event_type, ts, value FROM events
+  UNION ALL SELECT * FROM updates
+)
+SELECT event_id, user_id, event_type, ts, value FROM unioned
+QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) = 1""",
+)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulation without a MERGE-capable table format (the
+    guide's CDC pattern): base ∪ updates -> keep_latest per business
+    key. Every 7th event arrives re-stated one hour later with a new
+    value; the merged view must show exactly the newest row per key."""
+    from finetoo_sp_spark.operators.windows import keep_latest
+
+    base = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    updates = base.filter(F.col("event_id") % 7 == 0).select(
+        "event_id", "user_id", "event_type",
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts"),
+        F.round(F.col("value") + 100, 2).alias("value"),
+    )
+    return keep_latest(base.unionByName(updates), ["event_id"], "ts")
+
+
+@_q(
+    "scd2_user_values",
+    """
+WITH o AS (
+  SELECT user_id, ts, value,
+    lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events
+),
+ch AS (SELECT user_id, ts, value FROM o WHERE prev IS NULL OR value != prev)
+SELECT user_id, value, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+FROM ch""",
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history from a change stream: per key each
+    observed value gets a half-open [valid_from, valid_to) interval,
+    consecutive duplicates collapse, NULL valid_to = current row."""
+    from finetoo_sp_spark.operators.windows import scd2_history
+
+    return scd2_history(T(spark, sf_dir, "events"), ["user_id"], "ts", "value")
+
+
 _SHA60_ID = "CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
 
 

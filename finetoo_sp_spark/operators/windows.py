@@ -82,3 +82,47 @@ def json_prop_rollup(events: DataFrame, key: str = "k") -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.avg(kv), 4).alias("avg_k"),
     )
+
+
+def keep_latest(df: DataFrame, key_cols: list[str], ts_col: str, tiebreak: str | None = None) -> DataFrame:
+    """CDC upsert / MERGE INTO emulation without a table format that has
+    MERGE (the pyspark-guide pattern: base ∪ updates → keep the newest
+    row per key). One window pass: row_number over (key) ordered by ts
+    desc (+ deterministic tiebreak column) keeps exactly one survivor
+    per key. At scale this is the standard recrawl-handling reduction —
+    the shuffle key is the business key, skew follows the key
+    distribution (salt upstream for a pathological hot key)."""
+    from pyspark.sql.window import Window
+
+    order = [F.desc(ts_col)] + ([F.desc(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def scd2_history(
+    df: DataFrame, key_cols: list[str], ts_col: str, value_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a change-event
+    stream: per key, each observed value gets a half-open validity
+    interval [valid_from, valid_to) with valid_to = the next change's
+    timestamp (NULL = current). Consecutive duplicate values collapse
+    (a re-crawl that observed the same value is not a new version).
+    One key-partitioned window pass: lag to detect changes, lead over
+    the change rows for the closing timestamp."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(ts_col))
+    changed = df.withColumn("_prev", F.lag(value_col).over(w)).filter(
+        F.col("_prev").isNull() | (F.col(value_col) != F.col("_prev"))
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(F.asc(ts_col))
+    return changed.select(
+        *key_cols,
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
