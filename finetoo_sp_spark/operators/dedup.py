@@ -396,10 +396,21 @@ def simhash(
     words = df.select(
         F.col(id_col).alias("id"), F.explode(_norm_words(text_col)).alias("w")
     ).filter(F.length("w") > 0)
-    # one hash evaluation per word row — the nbits sum-aggregates below
-    # must reference the materialized column, not the hash expression
-    # (else nbits hash calls per row)
-    words = words.select("id", _base_hash("w", hash_mode).alias("hw"))
+    if hash_mode == "sha":
+        # sha256 per OCCURRENCE is wasteful — hash once per DISTINCT
+        # word and broadcast-join back (the hash is a pure function of
+        # the word, so the result is identical; measured ~10% on the
+        # sf0.1 verify query, and the occurrence/vocab ratio only grows
+        # with corpus size). Confined to verification mode: production's
+        # xxhash64 is cheaper than a join, and at web scale the raw
+        # vocab outgrows a broadcast.
+        vocab = words.select("w").distinct().withColumn("hw", _base_hash("w", "sha"))
+        words = words.join(F.broadcast(vocab), "w").select("id", "hw")
+    else:
+        # one hash evaluation per word row — the nbits sum-aggregates
+        # below must reference the materialized column, not the hash
+        # expression (else nbits hash calls per row)
+        words = words.select("id", _base_hash("w", hash_mode).alias("hw"))
     h = F.col("hw")
     sums = [
         F.sum(
