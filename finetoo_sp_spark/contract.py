@@ -3271,6 +3271,54 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "host_cap_sources",
+    """
+SELECT doc_id, source FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10""",
+)
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-domination domain cap (C4/RefinedWeb rule): at most 10 docs
+    per source, deterministic priority = doc_id asc."""
+    from finetoo_sp_spark.operators.packing import host_cap
+
+    return host_cap(
+        T(spark, sf_dir, "documents").select("doc_id", "source"),
+        "source", "doc_id", max_per_host=10,
+    )
+
+
+@_q(
+    "pack_token_quota",
+    """
+WITH t AS (
+  SELECT doc_id AS id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens,
+    CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16
+      AS INTEGER) AS shard
+  FROM documents
+)
+SELECT id, n_tokens, shard,
+  CAST(floor(COALESCE(sum(n_tokens) OVER (
+      PARTITION BY shard ORDER BY id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+    AS BIGINT) AS bin
+FROM t""",
+)
+def q_pack_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (pretraining shard assembly):
+    quotient packing — shard by hash(id), bin = floor(exclusive token
+    cumsum / 2048) — fully declarative and engine-portable; the exact
+    greedy packer (sequential remainder reset) lives in
+    packing.pack_greedy_in_shards with a pytest contract."""
+    from finetoo_sp_spark.operators.packing import pack_token_quota
+
+    docs = T(spark, sf_dir, "documents")
+    toks = ts.token_counts(docs, "doc_id", "text").select("id", "n_tokens_est")
+    return pack_token_quota(
+        toks, "id", "n_tokens_est", budget=2048, n_shards=16, hash_mode="sha"
+    )
+
+
+@_q(
     "pivot_line_status",
     """
 SELECT l_returnflag,

@@ -1,0 +1,126 @@
+"""Corpus shaping for training runs: per-domain caps and token packing.
+
+Two standard final-mile curation steps between "deduped corpus" and
+"training shards":
+
+- ``host_cap``: bound any one domain's share of the corpus (the
+  C4/RefinedWeb-style anti-domination rule — without it a handful of
+  boilerplate-heavy hosts dominate the token budget). One window pass
+  per host, deterministic order.
+- ``pack_token_quota``: assign documents to fixed-token-budget bins
+  (sequence packing for pretraining shards). The exact greedy packer is
+  a sequential scan (remainder resets at each bin boundary), which does
+  not distribute; this uses the standard quotient relaxation —
+  bin = floor(exclusive-cumsum / budget) within each shard — which is a
+  pure window expression (one shuffle on the shard key), deterministic,
+  engine-portable, and overfills a bin only by the one document that
+  straddles the boundary (bounded by max doc tokens). For byte-exact
+  greedy semantics run :func:`pack_greedy_in_shards` (applyInPandas,
+  per-shard sequential — same shard partitioning, Python only touches
+  (id, n_tokens) pairs, never text).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def host_cap(
+    df: DataFrame,
+    host_col: str,
+    order_col: str,
+    max_per_host: int,
+) -> DataFrame:
+    """Keep at most ``max_per_host`` rows per host, deterministic
+    priority = ``order_col`` ascending (pass e.g. a quality rank or the
+    crawl id). One window shuffle on the host key; a pathologically hot
+    host costs one big partition ONCE and is then truncated — for
+    extreme skew, pre-filter with a salted approximate count."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_host)
+        .drop("_rn")
+    )
+
+
+def _shard_of(id_col: str, n_shards: int, hash_mode: str):
+    if hash_mode == "sha":  # DuckDB-reproducible (oracle mode)
+        h = F.conv(
+            F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 15), 16, 10
+        ).cast("long")
+        return F.pmod(h, F.lit(n_shards)).cast("int")
+    return F.pmod(F.xxhash64(id_col), F.lit(n_shards)).cast("int")
+
+
+def pack_token_quota(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 64,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, n_tokens, shard, bin) — quotient packing: docs are sharded
+    by hash(id) (uniform), ordered by id within the shard, and assigned
+    bin = floor(exclusive_cumsum / budget). Deterministic and fully
+    declarative; each (shard, bin) is one training sequence's doc set.
+    """
+    from pyspark.sql.window import Window
+
+    sharded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        _shard_of(id_col, n_shards, hash_mode).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sharded.select(
+        "id", "n_tokens", "shard", F.floor(excl / budget).cast("long").alias("bin")
+    )
+
+
+def pack_greedy_in_shards(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Exact greedy packing per shard (bin closes when the next doc
+    would overflow; oversized docs get their own bin). applyInPandas —
+    the per-shard scan is inherently sequential, but a shard holds only
+    (id, n_tokens) longs, never text, so the Python boundary stays
+    metadata-sized."""
+    import pandas as pd
+
+    sharded = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
+        F.pmod(F.xxhash64(id_col), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        bins, cur_bin, cur_fill = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cur_fill > 0 and cur_fill + t > budget:
+                cur_bin += 1
+                cur_fill = 0
+            bins.append(cur_bin)
+            cur_fill += t
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf[["id", "n_tokens", "shard", "bin"]]
+
+    return sharded.groupBy("shard").applyInPandas(
+        pack, schema="id long, n_tokens long, shard int, bin long"
+    )

@@ -129,3 +129,41 @@ def test_asof_join_tolerance_and_ts(spark):
     }
     assert out["fresh"] == (5.0, t(9))  # 1h old: within tolerance
     assert out["stale"] == (None, None)  # 11h old: nulled
+
+
+def test_pack_greedy_respects_budget_and_order(spark):
+    """Exact greedy packing: every multi-doc bin fits the budget, bins
+    are contiguous in id order within a shard, oversized docs isolate,
+    and the declarative quota packer agrees with greedy whenever no doc
+    straddles a quota boundary (the relaxation's only divergence)."""
+    from pyspark.sql import functions as F
+
+    from finetoo_sp_spark.operators.packing import pack_greedy_in_shards, pack_token_quota
+
+    rows = [(i, 100 + (i * 37) % 900) for i in range(400)] + [(1000, 5000)]
+    df = spark.createDataFrame(rows, ["id", "n_tokens"])
+    out = pack_greedy_in_shards(df, "id", "n_tokens", budget=2048, n_shards=4).toPandas()
+
+    g = out.groupby(["shard", "bin"])
+    fills = g["n_tokens"].sum()
+    sizes = g.size()
+    # multi-doc bins never exceed the budget
+    assert (fills[sizes > 1] <= 2048).all()
+    # the oversized doc sits alone in its bin
+    big = out[out["id"] == 1000].iloc[0]
+    assert sizes[(big["shard"], big["bin"])] == 1
+    # bins increase monotonically in id order within each shard
+    for _, grp in out.groupby("shard"):
+        assert grp.sort_values("id")["bin"].is_monotonic_increasing
+    # determinism across partitionings
+    out2 = (
+        pack_greedy_in_shards(df.repartition(7), "id", "n_tokens", budget=2048, n_shards=4)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    assert out2.equals(out.sort_values("id").reset_index(drop=True))
+
+    quota = pack_token_quota(df, "id", "n_tokens", budget=2048, n_shards=4).toPandas()
+    merged = out.merge(quota, on=["id", "shard"], suffixes=("_g", "_q"))
+    assert len(merged) == len(out)
+    # greedy bin index >= quota bin index (greedy closes bins early)
+    assert (merged["bin_g"] >= merged["bin_q"]).all()
