@@ -85,6 +85,7 @@ def main() -> None:
         "dedup_lines_c4",
         "multimodal_image_stats",
         "pdf_real_extract",
+        "training_shard_manifest",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}

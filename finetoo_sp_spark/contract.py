@@ -3319,6 +3319,68 @@ def q_pack_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "training_shard_manifest",
+    f"""
+WITH w AS (
+  SELECT doc_id, source, text, {{_ws}} AS ws,
+    length(text) AS n_chars, CAST(len({{_ws}}) AS INTEGER) AS n_words
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+  FROM w
+  WHERE n_words >= 10
+    AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+    AND round(len(list_filter(ws, x -> list_contains({{_stop}}, x))) / greatest(n_words, 1), 4) >= 0.01
+),
+capped AS (
+  SELECT doc_id, n_tokens FROM q
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+),
+t AS (
+  SELECT doc_id AS id, n_tokens,
+    CAST(CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8
+      AS INTEGER) AS shard
+  FROM capped
+),
+p AS (
+  SELECT id, n_tokens, shard,
+    CAST(floor(COALESCE(sum(n_tokens) OVER (
+        PARTITION BY shard ORDER BY id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048.0)
+      AS BIGINT) AS bin
+  FROM t
+)
+SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+FROM p GROUP BY shard, bin""".replace("{_ws}", _WORDS_SQL).replace("{_stop}", _STOP_LIST_SQL),
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-shard assembly, one lazy plan: quality gate ->
+    per-domain cap -> token-quota packing -> per-(shard, bin) manifest.
+    The user story the engine exists for — deduped/filtered corpus in,
+    training sequences out — with every stage's semantics recomputed by
+    the oracle."""
+    from finetoo_sp_spark.operators.packing import host_cap, pack_token_quota
+
+    docs = T(spark, sf_dir, "documents")
+    quality = (
+        ts.quality_scores(docs, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select(
+            "id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tokens")
+        )
+        .join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+    )
+    capped = host_cap(quality, "source", "id", max_per_host=10)
+    packed = pack_token_quota(
+        capped, "id", "n_tokens", budget=2048, n_shards=8, hash_mode="sha"
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("total_tokens")
+    )
+
+
+@_q(
     "pivot_line_status",
     """
 SELECT l_returnflag,
