@@ -3319,6 +3319,35 @@ def q_pack_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "zonemap_range_scan",
+    """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts < TIMESTAMP '2024-01-02 12:00:00'""",
+)
+def q_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map partition elimination (sources/zonemap.py — the Iceberg
+    manifest-stats idea): events are written range-bucketed on ts with
+    per-bucket min/max manifests, and the scan consults the manifest to
+    read only overlapping buckets. The result is boundary-independent
+    (the oracle is a plain range filter); the pruning itself is pinned
+    by tests/test_zonemap.py (buckets_scanned < buckets_total)."""
+    import datetime as _dt
+
+    from finetoo_sp_spark.sources.zonemap import scan_range, write_range_bucketed
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    out = _tmp_out("zonemap")
+    write_range_bucketed(ev, out, "ts", n_buckets=16)
+    df, _stats = scan_range(
+        spark, out, "ts",
+        _dt.datetime(2024, 1, 2, 0, 0, 0), _dt.datetime(2024, 1, 2, 12, 0, 0),
+    )
+    return df
+
+
+@_q(
     "training_shard_manifest",
     f"""
 WITH w AS (
