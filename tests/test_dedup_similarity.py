@@ -272,3 +272,28 @@ def test_decode_image_dispatch():
     assert (decode_image(encode_png(img, filter_type=4)) == img).all()
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+
+def test_png_codec_property_roundtrip():
+    """Hypothesis: encode->decode is the identity for arbitrary small
+    uint8 images across all channel counts and scanline filters."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 9),
+        w=st.integers(1, 9),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, ch, ft, seed):
+        rng = np.random.default_rng(seed)
+        a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+        assert (decode_png(encode_png(a, filter_type=ft)) == a).all()
+
+    check()

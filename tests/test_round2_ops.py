@@ -167,3 +167,21 @@ def test_pack_greedy_respects_budget_and_order(spark):
     assert len(merged) == len(out)
     # greedy bin index >= quota bin index (greedy closes bins early)
     assert (merged["bin_g"] >= merged["bin_q"]).all()
+
+
+def test_approx_sketches_within_error_bounds(spark, sf_dir):
+    """The at-scale statistics path: HLL++ approx distinct and quantile
+    sketches must land within their configured error of the exact
+    answers on the driver corpus (sketches can't value-match an external
+    engine bit-for-bit, so the contract is an error bound, not a hash)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("approx_p50"),
+    ).collect()[0]
+    assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
+    assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
