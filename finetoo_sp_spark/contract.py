@@ -164,7 +164,13 @@ _EXTRACT_ORACLE = _docpages_expected_sql("url, text, title, h1, doc_id")
 @_q("extract_main_text", _EXTRACT_ORACLE)
 def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = documents_to_pages(T(spark, sf_dir, "documents"))
-    out = extract_pages(pages, keep_cols=["doc_id"])
+    # hash(url) salt repartition before the kernel (the north-rule skew
+    # defense); locally it also rescues the single-file scan from a
+    # one-core kernel run (cold 3.7 -> 1.5 s at sf0.1)
+    out = extract_pages(
+        pages, repartition_buckets=spark.sparkContext.defaultParallelism,
+        keep_cols=["doc_id"],
+    )
     return out.select("url", "text", "title", "h1", "doc_id")
 
 
@@ -181,7 +187,9 @@ def q_extract_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-url block counts; the oracle recomputes content_chars from the
     template's known extraction (text = h1 || nl || body)."""
     pages = documents_to_pages(T(spark, sf_dir, "documents"))
-    out = extract_pages(pages)
+    out = extract_pages(
+        pages, repartition_buckets=spark.sparkContext.defaultParallelism
+    )
     return out.select("url", "n_content_blocks", "content_chars")
 
 
@@ -227,7 +235,9 @@ def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the kernel's exact token-offset arithmetic, not just the joined
     text, is value-checked."""
     pages = documents_to_pages(T(spark, sf_dir, "documents"))
-    out = extract_pages(pages)
+    out = extract_pages(
+        pages, repartition_buckets=spark.sparkContext.defaultParallelism
+    )
     return out.select("url", F.to_json("spans").alias("spans_json"))
 
 
