@@ -3329,6 +3329,57 @@ def q_pack_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "warc_roundtrip",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+  sha256(text) AS payload_sha
+FROM documents""",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl container parity (sources/warc.py): real WARC
+    archives (gzip-per-record members, HTTP response envelopes) are
+    written from the driver table, read back through the binaryFile +
+    Arrow-kernel parser, and every record's url / WARC-Date / payload
+    sha must match the oracle's recomputation — the archive format
+    itself is the thing under test."""
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.warc import make_warc, read_warc_pages
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = _tmp_out("warc")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(batches):
+        import datetime as _dt
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = [
+                (
+                    f"https://{r.source}.example.com/doc/{int(r.doc_id)}",
+                    _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+                    r.text.encode("utf-8"),
+                )
+                for r in pdf.itertuples()
+            ]
+            name = _hl.sha256(recs[0][0].encode()).hexdigest()[:16]
+            with open(_os.path.join(out, f"{name}.warc.gz"), "wb") as f:
+                f.write(make_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    # tiny action (one count row per file) drives the distributed write
+    docs.repartition(4).mapInPandas(write, "n long").collect()
+    pages = read_warc_pages(spark, out)
+    return pages.select("url", "warc_ts", F.sha2("html", 256).alias("payload_sha"))
+
+
+@_q(
     "zonemap_range_scan",
     """
 SELECT event_id, ts, user_id, event_type, value FROM events

@@ -1,0 +1,136 @@
+"""WARC source: read Common-Crawl-style web archives into the pages table.
+
+The north rule's corpus is "Common-Crawl-style web pages"; the container
+those actually arrive in is WARC (ISO 28500): a sequence of records,
+each a header block (``WARC/1.0`` + name:value lines, notably
+WARC-Target-URI / WARC-Date / Content-Length) and a body of exactly
+Content-Length bytes, separated by CRLF CRLF. Common Crawl ships them
+as ~1 GB gzip files where EVERY record is its own gzip member, so a
+stream can be decompressed record-at-a-time; Python's zlib handles
+concatenated members natively.
+
+Spark shape: ``spark.read.format("binaryFile")`` turns a WARC directory
+into (path, content) rows — one file per task, which is exactly how
+Common Crawl is processed at scale (the unit of parallelism is the
+archive file; a crawl is ~64k files, far more than any cluster's
+cores). The parser is an Arrow-batched ``mapInPandas`` kernel emitting
+the input_hint pages schema (url, warc_ts, html:binary); response
+records only, HTTP headers stripped from the payload.
+
+A deterministic writer (``make_warc``) exists so fixtures and oracle
+queries can build real archives from the driver tables — parity with
+datagen's role for HTML.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_CRLF = b"\r\n"
+
+
+def make_warc(
+    records: list[tuple[str, dt.datetime, bytes]], gzip_members: bool = False
+) -> bytes:
+    """Build a WARC file from (url, warc_date, payload) response records.
+    ``gzip_members=True`` writes the Common-Crawl layout (one gzip
+    member per record)."""
+    out = io.BytesIO()
+    for url, ts, payload in records:
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html" + _CRLF
+            + f"Content-Length: {len(payload)}".encode() + _CRLF
+            + _CRLF
+            + payload
+        )
+        header = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + f"WARC-Target-URI: {url}".encode() + _CRLF
+            + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
+            + b"Content-Type: application/http:msgtype=response" + _CRLF
+            + f"Content-Length: {len(http)}".encode() + _CRLF
+            + _CRLF
+        )
+        rec = header + http + _CRLF + _CRLF
+        out.write(gzip.compress(rec) if gzip_members else rec)
+    return out.getvalue()
+
+
+def parse_warc(data: bytes) -> list[tuple[str, dt.datetime | None, bytes]]:
+    """(url, warc_ts, html_payload) for every response record. Tolerant:
+    malformed records are skipped, never raised — a corrupt archive
+    must cost its records, not the task."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)  # handles concatenated members
+        except OSError:
+            return []
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[start:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts = None
+        raw_ts = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        try:
+            ts = dt.datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
+        except ValueError:
+            pass
+        # strip the HTTP response envelope if present
+        payload = body
+        if body[:5] in (b"HTTP/",):
+            sep = body.find(_CRLF + _CRLF)
+            if sep >= 0:
+                payload = body[sep + 4 :]
+        if url:
+            out.append((url, ts, payload))
+    return out
+
+
+PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
+
+
+def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
+    """WARC directory/glob -> pages(url, warc_ts, html). One archive
+    file per task (binaryFile source); the parse is an Arrow-batched
+    kernel, bytes never leave the JVM except as the per-file blob."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(parse_warc(bytes(blob)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
+
+    return files.select("content").mapInPandas(run, schema=PAGES_FROM_WARC_SCHEMA)
