@@ -144,6 +144,19 @@ def cmd_extract(spark, args: list[str]) -> None:
     print(json.dumps(metrics))
 
 
+def cmd_extract_warc(spark, args: list[str]) -> None:
+    """The Common-Crawl path end to end: ``extract-warc <warc_dir>
+    <out_dir>`` — WARC archives -> pages -> resumable extraction with
+    lineage manifests (mixed HTML/PDF routing included)."""
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+    from finetoo_sp_spark.sources.lineage import run_resumable_extraction
+    from finetoo_sp_spark.sources.warc import read_warc_pages
+
+    pages = read_warc_pages(spark, args[0])
+    metrics = run_resumable_extraction(pages, args[1], extractor=extract_pages_any)
+    print(json.dumps(metrics))
+
+
 def main() -> None:
     if len(sys.argv) < 2 or (sys.argv[1] != "prompt" and len(sys.argv) < 3):
         print(__doc__)
@@ -160,6 +173,7 @@ def main() -> None:
         "prompt": cmd_prompt,
         "bom-text": cmd_bom_text,
         "extract": cmd_extract,
+        "extract-warc": cmd_extract_warc,
     }[sys.argv[1]](spark, sys.argv[2:])
 
 
