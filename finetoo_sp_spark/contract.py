@@ -2323,6 +2323,389 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H optimizer-shape completion (q2/q8/q9/q11/q13/q16/q20/q21) -------
+# Completes the 22-query optimizer-shape suite.  The driver tables lack
+# partsupp and l_receiptdate/l_commitdate, so the four shapes that need
+# them (q2/q11/q16/q20) derive the part-supplier relation from lineitem,
+# and q21's "kept waiting" predicate maps to l_returnflag = 'R'.  The
+# optimizer shape under test — correlated min, scalar-threshold HAVING,
+# left-join histogram, distinct-count + NOT IN, nested semi-join, double
+# EXISTS/NOT EXISTS self-join — is preserved exactly.
+
+
+@_q(
+    "q2_min_cost_supplier",
+    """
+WITH pscost AS (
+  SELECT l_partkey, l_suppkey,
+    round(min(l_extendedprice / l_quantity), 2) AS unit_cost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT p_partkey, s_name, n_name, unit_cost
+  FROM pscost
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE' AND p_size = 5
+)
+SELECT p_partkey, s_name, n_name, unit_cost FROM eligible e
+WHERE unit_cost = (SELECT min(unit_cost) FROM eligible m
+                   WHERE m.p_partkey = e.p_partkey)""",
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part within a region via a
+    correlated-min subquery.  The part-supplier cost relation is derived
+    from lineitem (min observed unit price per (part, supplier)); the
+    correlated min collapses to one window pass over the already-joined
+    frame — a single shuffle on p_partkey instead of a re-join, and all
+    four dimension joins broadcast."""
+    from pyspark.sql.window import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    pscost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+            "unit_cost"
+        )
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_size") == 5)
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        pscost.join(F.broadcast(part), pscost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), pscost.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("p_partkey", "s_name", "n_name", "unit_cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("mc", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("mc"))
+        .drop("mc")
+    )
+
+
+@_q(
+    "q8_market_share",
+    """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+  round(sum(CASE WHEN n2.n_name = 'NATION_1'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2) AS nation_vol,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_vol,
+  round(round(sum(CASE WHEN n2.n_name = 'NATION_1'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+    / round(sum(l_extendedprice * (1 - l_discount)), 2), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n1.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+GROUP BY 1""",
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a part type within a
+    region, by order year.  The share divides the two ROUNDED sums so
+    the quotient is a pure function of values both engines agree on
+    (raw double sums differ in the last ulp with partition order)."""
+    li = T(spark, sf_dir, "lineitem")
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer")
+    supp = T(spark, sf_dir, "supplier")
+    part = T(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    grouped = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0))),
+            2,
+        ).alias("nation_vol"),
+        F.round(F.sum(rev), 2).alias("total_vol"),
+    )
+    return grouped.select(
+        "o_year",
+        "nation_vol",
+        "total_vol",
+        F.round(F.col("nation_vol") / F.col("total_vol"), 6).alias("mkt_share"),
+    )
+
+
+@_q(
+    "q9_product_type_profit",
+    """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+  round(sum(l_extendedprice * (1 - l_discount)
+            - 0.1 * p_retailprice * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2""",
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line by supplier nation and
+    year.  Supply cost is modeled as 10% of retail price per unit (the
+    driver tables have no partsupp); part/supplier/nation dims all
+    broadcast, so the only shuffle is the final two-key aggregate."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("profit"))
+    )
+
+
+@_q(
+    "q11_important_parts",
+    """
+WITH val AS (
+  SELECT l_partkey,
+    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  GROUP BY 1
+)
+SELECT l_partkey, round(cents / 100.0, 2) AS part_value FROM val
+WHERE cents > (SELECT CAST(floor(sum(cents) * 0.001) AS BIGINT) FROM val)""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value with a global scalar-subquery
+    threshold (parts worth > 0.1% of the group total).  The scalar
+    lands as a one-row broadcast cross join — never a driver collect —
+    and revenue is summed as integer cents so the threshold boundary is
+    exact (double summation order can flip round()'s last cent)."""
+    li = T(spark, sf_dir, "lineitem")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    val = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+    )
+    thr = val.agg(F.floor(F.sum("cents") * 0.001).cast("bigint").alias("thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("thr"))
+        .select("l_partkey", F.round(F.col("cents") / 100.0, 2).alias("part_value"))
+    )
+
+
+@_q(
+    "q13_order_count_distribution",
+    """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY 1
+)
+SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY 1""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram through a
+    filtered LEFT JOIN (customers with zero qualifying orders must
+    appear in the c_count = 0 bucket — an inner join would drop them).
+    All-integer output, exactly portable."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    c_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return c_orders.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_q(
+    "q16_supplier_part_variety",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier variety per part attribute triple with
+    a NOT IN exclusion list.  The exclusion is a broadcast LEFT ANTI
+    join (s_suppkey is non-null so NOT IN and anti-join agree), and the
+    distinct count shuffles once on the attribute triple."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_q(
+    "q20_excess_shippers",
+    """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+)
+SELECT s_suppkey, s_name FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM shipped JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%' AND qty > 30)""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved excess volume of a named
+    part family in one year — a nested aggregate semi-join.  Quantities
+    are small integers stored as doubles, so the sum is exact in both
+    engines and the > 30 threshold is portable."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    excess = (
+        shipped.join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+        )
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@_q(
+    "q21_waiting_suppliers",
+    """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4', 'NATION_5')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame self-join — lines that are 'late'
+    (mapped to l_returnflag = 'R'; the driver tables have no
+    receipt/commit dates) on multi-supplier finished orders where no
+    OTHER supplier was late.  EXISTS/NOT EXISTS become left-semi /
+    left-anti self-joins on l_orderkey with a supplier inequality in
+    the join condition — no cartesian expansion."""
+    li = T(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = T(spark, sf_dir, "supplier")
+    nation = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_1", "NATION_2", "NATION_3", "NATION_4", "NATION_5"
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("l2_orderkey"), F.col("l_suppkey").alias("l2_suppkey")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("l3_orderkey"), F.col("l_suppkey").alias("l3_suppkey")
+    )
+    return (
+        l1.join(orders, l1.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (l1.l_orderkey == F.col("l2_orderkey"))
+            & (l1.l_suppkey != F.col("l2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == F.col("l3_orderkey"))
+            & (l1.l_suppkey != F.col("l3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # --- multimodal plumbing ---------------------------------------------------
 
 
