@@ -2504,14 +2504,16 @@ WITH val AS (
   GROUP BY 1
 )
 SELECT l_partkey, round(cents / 100.0, 2) AS part_value FROM val
-WHERE cents > (SELECT CAST(floor(sum(cents) * 0.001) AS BIGINT) FROM val)""",
+WHERE cents * (SELECT count(*) FROM val) > 2 * (SELECT sum(cents) FROM val)""",
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part value with a global scalar-subquery
-    threshold (parts worth > 0.1% of the group total).  The scalar
-    lands as a one-row broadcast cross join — never a driver collect —
-    and revenue is summed as integer cents so the threshold boundary is
-    exact (double summation order can flip round()'s last cent)."""
+    threshold (parts worth > 2x the mean part value — scale-invariant,
+    so the query returns rows at every SF, unlike a fixed fraction of
+    the total).  The scalar lands as a one-row broadcast cross join —
+    never a driver collect — and the boundary test is all-integer
+    (cents * n_parts > 2 * total_cents), exact in both engines where
+    double summation order can flip round()'s last cent."""
     li = T(spark, sf_dir, "lineitem")
     supp = T(spark, sf_dir, "supplier")
     nation = T(spark, sf_dir, "nation").filter(
@@ -2529,10 +2531,12 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents")
         )
     )
-    thr = val.agg(F.floor(F.sum("cents") * 0.001).cast("bigint").alias("thr"))
+    thr = val.agg(
+        F.sum("cents").alias("total_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
     return (
         val.crossJoin(F.broadcast(thr))
-        .filter(F.col("cents") > F.col("thr"))
+        .filter(F.col("cents") * F.col("n_parts") > 2 * F.col("total_cents"))
         .select("l_partkey", F.round(F.col("cents") / 100.0, 2).alias("part_value"))
     )
 
