@@ -86,6 +86,7 @@ def main() -> None:
         "multimodal_image_stats",
         "pdf_real_extract",
         "training_shard_manifest",
+        "chunk_windows",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}

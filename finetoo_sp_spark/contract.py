@@ -3716,6 +3716,40 @@ def q_pack_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "chunk_windows",
+    """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE length(trim(text)) > 0
+),
+s AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+    GREATEST(CAST(0 AS BIGINT),
+             (CAST(len(toks) AS BIGINT) - 32 + 23) // 24) AS lastc
+  FROM d
+)
+SELECT doc_id AS id, i AS chunk_id,
+  i * 24 AS tok_start,
+  LEAST(i * 24 + 32, n) AS tok_end,
+  LEAST(i * 24 + 32, n) - i * 24 AS n_chunk_tokens,
+  array_to_string(toks[i * 24 + 1 : LEAST(i * 24 + 32, n)], ' ') AS chunk_text
+FROM s, UNNEST(generate_series(0, lastc)) AS t(i)""",
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (model-context slicing): every
+    document becomes overlapping 32-token windows at stride 24, each
+    chunk carrying its token span — the final fan-out step from curated
+    corpus to tokenizer input.  Map-only (split/sequence/explode/slice),
+    zero shuffles; the chunk count is integer `div` arithmetic so the
+    boundary is exact in both engines."""
+    from finetoo_sp_spark.operators.packing import chunk_token_windows
+
+    return chunk_token_windows(
+        T(spark, sf_dir, "documents"), "doc_id", "text", window=32, stride=24
+    )
+
+
+@_q(
     "warc_roundtrip",
     """
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,

@@ -124,3 +124,67 @@ def pack_greedy_in_shards(
     return sharded.groupBy("shard").applyInPandas(
         pack, schema="id long, n_tokens long, shard int, bin long"
     )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    step between "curated corpus" and "tokenizer input" when documents
+    are longer than the model context (every pretraining data pipeline
+    ends with some form of this).
+
+    Output: (id, chunk_id, tok_start, tok_end, n_chunk_tokens,
+    chunk_text).  Chunk i covers whitespace tokens
+    [i*stride, min(i*stride + window, n)); the chunk count is the
+    smallest q+1 whose last window reaches the document end, so every
+    token lands in at least one chunk, consecutive chunks overlap by
+    window - stride tokens, and no empty trailing window is emitted.
+
+    Scale: pure narrow column ops (split / sequence / explode / slice)
+    — no shuffle, no Python, no driver state; at 10^12 docs this is a
+    map-only stage that scales with the scan and fans out rows by the
+    mean chunks-per-doc factor.  The chunk count uses integer `div`
+    arithmetic (never floor of a double quotient), and the
+    greatest(0, .) guard also bridges the engine divergence on negative
+    division (Spark `div` truncates toward zero, DuckDB `//` floors).
+    """
+    if window <= 0 or stride <= 0:
+        raise ValueError("window and stride must be positive")
+    if stride > window:
+        raise ValueError("stride > window would skip tokens between chunks")
+    toks = F.split(F.col(text_col), " ")
+    base = (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            toks.alias("_toks"),
+            F.size(toks).cast("long").alias("_n"),
+        )
+    )
+    last = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr(f"(_n - {window} + {stride} - 1) div {stride}"),
+    )
+    chunks = base.select(
+        "id",
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(0).cast("long"), last)).alias("chunk_id"),
+    )
+    tok_start = F.col("chunk_id") * stride
+    tok_end = F.least(tok_start + window, F.col("_n"))
+    return chunks.select(
+        "id",
+        "chunk_id",
+        tok_start.alias("tok_start"),
+        tok_end.alias("tok_end"),
+        (tok_end - tok_start).alias("n_chunk_tokens"),
+        F.array_join(
+            F.slice("_toks", (tok_start + 1).cast("int"), F.lit(window)), " "
+        ).alias("chunk_text"),
+    )
