@@ -181,6 +181,52 @@ CHECKS = {
         ("stop-fingerprint anti-join prune", r"LeftAnti"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "q2_min_cost_supplier": [
+        ("p_size filter pushed", r"PushedFilters: \[.*EqualTo\(p_size,5"),
+        ("dimension joins broadcast", r"BroadcastHashJoin"),
+        ("correlated min as one window pass (no re-join)", r"Window"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "q8_market_share": [
+        ("p_type filter pushed", r"PushedFilters: \[.*EqualTo\(p_type,ECONOMY"),
+        ("dimension joins broadcast", r"BroadcastHashJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "q9_product_type_profit": [
+        ("p_name LIKE pushed as StringContains", r"PushedFilters: \[.*StringContains\(p_name,widget"),
+        ("all dims broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "q11_important_parts": [
+        ("scalar threshold is a one-row broadcast (not a cartesian shuffle)", r"BroadcastNestedLoopJoin"),
+        ("partial aggregation", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "q13_order_count_distribution": [
+        ("zero-order customers kept (left outer)", r"LeftOuter"),
+        ("priority exclusion pushed to orders scan", r"PushedFilters: \[.*Not\(EqualTo\(o_orderpriority"),
+    ],
+    "q16_supplier_part_variety": [
+        ("NOT IN as broadcast anti-join", r"LeftAnti"),
+        ("p_size IN pushed", r"PushedFilters: \[.*In\(p_size"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "q20_excess_shippers": [
+        ("shipdate range pushed", r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate"),
+        ("nested semi-join (IN subquery)", r"LeftSemi"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "q21_waiting_suppliers": [
+        ("returnflag filter pushed", r"PushedFilters: \[.*EqualTo\(l_returnflag,R"),
+        ("EXISTS as left-semi self-join", r"LeftSemi"),
+        ("NOT EXISTS as left-anti self-join", r"LeftAnti"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "chunk_windows": [
+        ("fan-out via Generate (explode), map-only", r"Generate"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO shuffle anywhere", r"!Exchange"),
+    ],
 }
 
 
