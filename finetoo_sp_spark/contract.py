@@ -3750,6 +3750,48 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mix_epochs",
+    """
+WITH w AS (
+  SELECT doc_id, source,
+    CASE WHEN CAST(substr(source, 4) AS BIGINT) < 5 THEN 2500000
+         WHEN CAST(substr(source, 4) AS BIGINT) < 10 THEN 1000000
+         WHEN CAST(substr(source, 4) AS BIGINT) < 15 THEN 500000
+         ELSE 250000 END AS w_ppm,
+    CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 AS gate
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+    w_ppm // 1000000
+      + CASE WHEN gate < w_ppm % 1000000 THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id AS id, source, i AS copy_id
+FROM (SELECT * FROM c WHERE n_copies > 0) f,
+  UNNEST(generate_series(0, n_copies - 1)) AS t(i)""",
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture re-weighting (epoch upsampling): sources 0-4 get 2.5
+    epochs, 5-9 get 1, 10-14 keep half, 15-19 keep a quarter.  Integer
+    ppm weights + a sha hash gate on the doc id make the fractional
+    copy decision exact, deterministic, and partition-order-proof; the
+    weight table broadcasts and the corpus never shuffles."""
+    from finetoo_sp_spark.operators.packing import mix_epoch_weights
+
+    weights = {
+        f"src{i}": (
+            2_500_000 if i < 5 else 1_000_000 if i < 10 else 500_000 if i < 15 else 250_000
+        )
+        for i in range(20)
+    }
+    return mix_epoch_weights(
+        T(spark, sf_dir, "documents"), "doc_id", "source", weights, hash_mode="sha"
+    )
+
+
+@_q(
     "warc_roundtrip",
     """
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,

@@ -188,3 +188,60 @@ def chunk_token_windows(
             F.slice("_toks", (tok_start + 1).cast("int"), F.lit(window)), " "
         ).alias("chunk_text"),
     )
+
+
+def mix_epoch_weights(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weights_ppm: dict,
+    hash_mode: str = "sha",
+) -> DataFrame:
+    """Deterministic mixture re-weighting: replicate (or drop) documents
+    so each group's expected share matches a target epoch weight — the
+    Pile/LLaMA-style "N epochs of source X" mixing step between curation
+    and shard assembly.
+
+    ``weights_ppm`` maps group value -> weight in integer parts-per-
+    million (2_500_000 = 2.5 epochs; 500_000 = keep half).  Each doc
+    gets ``w // 1e6`` guaranteed copies plus one more iff
+    ``hash_gate(id) < w % 1e6``, so the expected copy count is exactly
+    w/1e6, the decision is a pure function of the document id
+    (partition-order-proof and resume-safe — no rand()), and weights
+    below 1e6 downsample.  Groups absent from the table are dropped
+    (the mixture is explicit).  All arithmetic is integer, so the gate
+    boundary is identical in any engine.
+
+    Output: one row per copy — (id, group, copy_id) with copy_id in
+    [0, n_copies).  Scale: the weight table broadcasts (it is one row
+    per source), the gate is a map-side hash, and the fan-out is an
+    explode — the corpus itself never shuffles.
+    """
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(str(k), int(v)) for k, v in sorted(weights_ppm.items())],
+        f"{group_col} string, _w_ppm long",
+    )
+    if hash_mode == "sha":  # DuckDB-reproducible (oracle mode)
+        h = F.conv(
+            F.substring(F.sha2(F.col("id").cast("string"), 256), 1, 15), 16, 10
+        ).cast("long")
+    else:
+        h = F.abs(F.xxhash64(F.col("id")))
+    gate = h % F.lit(1_000_000)
+    n_copies = F.expr("_w_ppm div 1000000") + F.when(
+        gate < F.col("_w_ppm") % 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(group_col))
+        .join(F.broadcast(wdf), group_col)
+        .withColumn("_n_copies", n_copies.cast("long"))
+        .filter(F.col("_n_copies") > 0)
+        .select(
+            "id",
+            group_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_n_copies") - 1)).alias(
+                "copy_id"
+            ),
+        )
+    )

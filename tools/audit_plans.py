@@ -227,6 +227,11 @@ CHECKS = {
         ("whole-stage codegen", r"codegen id : "),
         ("NO shuffle anywhere", r"!Exchange"),
     ],
+    "mix_epochs": [
+        ("weight table broadcast (corpus never shuffles)", r"BroadcastHashJoin"),
+        ("fan-out via Generate (explode)", r"Generate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
 }
 
 
