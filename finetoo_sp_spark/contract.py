@@ -2865,6 +2865,32 @@ def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_resize",
+    """
+SELECT i AS asset_id,
+  CAST(12 AS BIGINT) AS width,
+  CAST(8 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  sum((i + 3*((r*(12 + i%5))//8) + 5*((c*(16 + i%8))//12)) % 256) AS sum_r,
+  sum((i + 3*((r*(12 + i%5))//8) + 5*((c*(16 + i%8))//12) + 11) % 256) AS sum_g,
+  sum((i + 3*((r*(12 + i%5))//8) + 5*((c*(16 + i%8))//12) + 22) % 256) AS sum_b
+FROM range(0, 64) t(i), range(0, 8) rr(r), range(0, 12) cc(c)
+GROUP BY i""",
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-neighbor resize under a per-pixel-exact
+    oracle: the kernel decodes each synthetic PNG and remaps it to an
+    8x12 grid with the integer floor rule src = (dst * src_dim) //
+    dst_dim; the DuckDB twin recomputes the resized per-channel sums
+    from the pixel formula and the same floor rule — it never sees a
+    PNG, so agreement proves decode AND the resize geometry."""
+    from finetoo_sp_spark.datagen import gen_image_assets
+    from finetoo_sp_spark.multimodal import resize_images
+
+    return resize_images(gen_image_assets(spark, 64), out_h=8, out_w=12)
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx
