@@ -1202,6 +1202,54 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Incremental (new-crawl-vs-existing-corpus) near-dup corpus: the new
+# batch is 20 edited copies of old docs (guaranteed cross hits) plus 50
+# fresh docs, id-offset so cross pairs are exactly {id_a < 100000 <=
+# id_b} in the combined self-join oracle.
+_INCR_CORPUS_SQL = """newdocs AS (
+  SELECT 100000 + doc_id AS doc_id, text || ' update' AS text
+  FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT 100000 + doc_id AS doc_id, text
+  FROM documents WHERE doc_id >= 150 AND doc_id < 200
+),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 100
+  UNION ALL SELECT doc_id, text FROM newdocs
+),
+"""
+
+
+@_q(
+    "dedup_incremental",
+    "SELECT id_b AS id_new, id_a AS id_old, jaccard FROM ("
+    + _minhash_oracle(
+        "TRUE", k=32, bands=8, threshold=0.5, src="corpus", prelude=_INCR_CORPUS_SQL
+    )
+    + ") WHERE id_a < 100000 AND id_b >= 100000",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: a new crawl batch checked against the
+    existing corpus WITHOUT regenerating old-vs-old pairs — the
+    per-snapshot workflow at 10^12 existing docs.  The oracle is the
+    full combined-corpus self-join restricted to cross pairs, so it
+    proves the bipartite plan finds exactly the pairs the (much more
+    expensive) self-join would."""
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    upd = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" update")).alias("text"),
+    )
+    fresh = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dd.minhash_lsh_pairs_between(
+        old, upd.unionByName(fresh), "doc_id", "text",
+        n=3, k=32, bands=8, threshold=0.5, hash_mode="sha",
+    )
+
+
 @_q("dedup_simhash", _simhash_oracle(max_hamming=3))
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup under a FULL value oracle (60-bit 'sha'

@@ -252,24 +252,8 @@ def minhash_lsh_pairs(
 
     Returns (id_a, id_b, jaccard) verified >= threshold.
     """
-    r = k // bands
     sig = minhash_signatures(df, id_col, text_col, n, k, hash_mode=hash_mode)
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1).cast("string") for j in range(r)])
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = _banded_sig(sig, k, bands)
 
     cand = _bucket_self_pairs(
         banded, ["band", "bucket"], bucket_cap=bucket_cap
@@ -294,6 +278,97 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _banded_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(id, band, bucket) — one row per band; bucket = xxhash64 of the
+    band's r-slice of the signature, so buckets distribute uniformly."""
+    r = k // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[F.element_at("sig", bi * r + j + 1).cast("string") for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_pairs_between(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Incremental near-dup detection: candidates between a NEW batch
+    and the EXISTING corpus only — the per-snapshot workflow at crawl
+    scale, where re-running the full self-join over 10^12 existing
+    documents for every new crawl would be absurd.  Old-vs-old pairs
+    are never generated; cost scales with |new| x bands plus the
+    candidate verification, not with |old|^2.
+
+    Same signatures/banding as :func:`minhash_lsh_pairs` (a pair found
+    here has the identical jaccard the self-join would report).  The
+    candidate join is a plain bipartite equi-join on (band, bucket):
+    unlike the self-join there is no quadratic same-side blow-up to
+    salt away, and a flooded bucket is an ordinary skewed join key that
+    AQE's skew-join split handles at runtime.  The old side's banded
+    signatures are a pure function of the old corpus — persist them
+    once and reuse across snapshots instead of recomputing.
+
+    Returns (id_new, id_old, jaccard) with jaccard >= threshold.
+    """
+    sig_old = minhash_signatures(old_df, id_col, text_col, n, k, hash_mode=hash_mode)
+    sig_new = minhash_signatures(new_df, id_col, text_col, n, k, hash_mode=hash_mode)
+    b_old = _banded_sig(sig_old, k, bands).withColumnsRenamed({"id": "id_old"})
+    b_new = _banded_sig(sig_new, k, bands).withColumnsRenamed({"id": "id_new"})
+    cand = (
+        b_new.join(b_old, ["band", "bucket"]).select("id_new", "id_old").distinct()
+    )
+    sh_old = shingles(old_df, id_col, text_col, n)
+    sh_new = shingles(new_df, id_col, text_col, n)
+    sizes_old = (
+        sh_old.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz_old"))
+        .withColumnsRenamed({"id": "id_old"})
+    )
+    sizes_new = (
+        sh_new.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("sz_new"))
+        .withColumnsRenamed({"id": "id_new"})
+    )
+    inter = (
+        cand.join(sh_new.withColumnsRenamed({"id": "id_new"}), "id_new")
+        .join(sh_old.withColumnsRenamed({"id": "id_old"}), ["id_old", "shingle"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes_new, "id_new")
+        .join(sizes_old, "id_old")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("sz_new") + F.col("sz_old") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
     )
 
 

@@ -134,3 +134,42 @@ def test_containment_pairs_matches_bruteforce(spark):
     # the full doc is NOT contained in the fragment at threshold 0.5
     assert (1, 2) not in out
     assert all(k[0] != 3 and k[1] != 3 for k in out)
+
+
+def test_incremental_equals_restricted_selfjoin(spark):
+    """minhash_lsh_pairs_between == the combined-corpus self-join
+    restricted to cross pairs (same signatures, banding, verify), and it
+    never emits old-vs-old pairs."""
+    from pyspark.sql import functions as F
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "one two three four five six seven eight nine ten",
+        "red green blue cyan magenta yellow black white grey pink",
+    ]
+    old = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(3, texts[0])],  # old dup pair (0,3)
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, texts[0] + " update"), (101, "totally fresh words nothing shared here at all ok")],
+        "doc_id long, text string",
+    )
+    kw = dict(n=3, k=16, bands=4, threshold=0.3, hash_mode="sha")
+    got = sorted(
+        (r.id_new, r.id_old, r.jaccard)
+        for r in dd.minhash_lsh_pairs_between(old, new, "doc_id", "text", **kw).collect()
+    )
+    # parity with the self-join on the union, restricted to cross pairs
+    combined = old.unionByName(new)
+    ref = sorted(
+        (r.id_b, r.id_a, r.jaccard)
+        for r in dd.minhash_lsh_pairs(combined, "doc_id", "text", **kw)
+        .filter((F.col("id_a") < 100) & (F.col("id_b") >= 100))
+        .collect()
+    )
+    assert got == ref
+    # the planted cross near-dup is found against BOTH old copies
+    assert {(g[0], g[1]) for g in got} == {(100, 0), (100, 3)}
+    # and no old-vs-old pair leaks into the output
+    assert all(idn >= 100 > ido for idn, ido, _ in got)
