@@ -3366,6 +3366,50 @@ def q_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "anchor_text_agg",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example.com' AS host,
+    'https://' || source || '.example.com/doc/' || doc_id AS url
+  FROM documents
+),
+a AS (
+  SELECT url, host || '/home' AS target, 'home' AS anchor FROM d
+  UNION ALL SELECT url, host || '/tags/' || source, source FROM d
+  UNION ALL SELECT url,
+    'https://src' || CAST(CAST(floor(doc_id / 2) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR),
+    'related' FROM d
+  UNION ALL SELECT url,
+    'https://src' || CAST(CAST(floor(doc_id / 3) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR),
+    'more' FROM d
+  UNION ALL SELECT url, host || '/about', 'about' FROM d
+  UNION ALL SELECT url, host || '/terms', 'terms' FROM d
+  UNION ALL SELECT url, host || '/contact', 'contact' FROM d
+  UNION ALL SELECT url, host || '/u', 'author ' || doc_id FROM d
+)
+SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_sources,
+  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors_cs
+FROM a GROUP BY target""",
+)
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profiles over the whole crawl (anchor text
+    describes the TARGET page — the retrieval / anchor-conditioned
+    pretraining signal). The oracle re-derives every one of the
+    template's 8 anchors per page (nav, tag, parent links, footer,
+    author) with its visible text, so this value-checks the anchor-pair
+    regex, nested-tag stripping, relative-href resolution AND the
+    aggregation in one query."""
+    from finetoo_sp_spark.extraction.graph import anchor_text_summary
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    return anchor_text_summary(pages)
+
+
+@_q(
     "graph_stats",
     """
 SELECT 'page' AS kind, 'node' AS entity, count(*) AS n FROM documents

@@ -91,6 +91,59 @@ def extract_link_pairs(pages: DataFrame) -> DataFrame:
     return pages.select("url", "html").mapInPandas(run, schema=LINKS_SCHEMA)
 
 
+ANCHORS_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("target", StringType(), False),
+        StructField("anchor", StringType(), False),
+    ]
+)
+
+
+def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
+    """(url, target, anchor) for every resolvable outbound anchor —
+    anchor text stripped of nested tags, whitespace-collapsed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not pdf.empty:
+                from finetoo_sp_spark.extraction.kernel import decode_html, extract_anchors
+
+                yield extract_anchors(pdf["url"], decode_html(pdf["html"]))
+
+    return pages.select("url", "html").mapInPandas(run, schema=ANCHORS_SCHEMA)
+
+
+def anchor_text_summary(pages: DataFrame) -> DataFrame:
+    """Per-target anchor-text aggregation over the whole crawl: how many
+    pages link to each target, from how many distinct sources, with
+    which (distinct, sorted) anchor phrases.
+
+    This is the corpus-construction view of the link graph — anchor
+    text describes the TARGET page better than the target's own
+    boilerplate, so per-target anchor profiles feed retrieval corpora
+    and anchor-conditioned pretraining sets.
+
+    Scale shape: the extraction is narrow (mapInPandas, no shuffle);
+    the rollup is ONE hash aggregation keyed on target with map-side
+    partials for all three aggregates. collect_set is safe here because
+    the anchor vocabulary per target is bounded (site templates repeat
+    a handful of phrases); a popularity-skewed target key (every page
+    links to /home) is an agg-key hot spot, not a join blow-up — AQE's
+    skewed-partition split or `operators.skew.salted_count` handles it
+    without changing this plan's semantics.
+    """
+    return (
+        extract_anchor_pairs(pages)
+        .groupBy("target")
+        .agg(
+            F.count(F.lit(1)).alias("n_refs"),
+            F.countDistinct("url").alias("n_sources"),
+            F.concat_ws("|", F.array_sort(F.collect_set("anchor"))).alias("anchors_cs"),
+        )
+    )
+
+
 def build_web_graph(pages: DataFrame) -> PropertyGraphFrames:
     schema = web_graph_schema()
 

@@ -76,6 +76,10 @@ _WS_RE = re.compile(r"\s+")
 _TITLE_PAT = r"(?is)<title[^>]*>(?P<t>.*?)</title>"
 _LANG_PAT = r'(?i)<html[^>]*\blang\s*=\s*["\']?(?P<t>[a-zA-Z-]+)'
 _HREF_RE = re.compile(r'<a\s[^>]*href\s*=\s*["\']?([^"\'>\s]+)', re.I)
+_ANCHOR_RE = re.compile(
+    r'<a\s[^>]*href\s*=\s*["\']?([^"\'>\s]+)[^>]*>(.*?)</a>', re.I | re.S
+)
+_TAG_RE = re.compile(r"<[^>]*>")
 _HOST_RE = re.compile(r"^(https?://[^/]+)", re.I)
 
 _STR = pa.large_string()
@@ -416,6 +420,41 @@ def extract_links(urls: pd.Series, html_text: pd.Series) -> pd.DataFrame:
     out["target"] = np.where(rel, host + out["target"], out["target"])
     out = out[out["target"].str.match(r"https?://", na=False)]
     return out.reset_index(drop=True)
+
+
+def extract_anchors(urls: pd.Series, html_text: pd.Series) -> pd.DataFrame:
+    """Per-page outbound links WITH their visible anchor text — the
+    classic web-corpus signal (anchor text describing the *target* page,
+    used for retrieval and anchor-conditioned pretraining data).
+
+    Same href resolution as :func:`extract_links` (relative -> page
+    host, non-http dropped); anchor text is the <a>...</a> inner HTML
+    with nested tags stripped and whitespace collapsed. Links whose
+    anchor is empty after stripping (image-only anchors) are kept with
+    anchor ''. Returns columns (url, target, anchor).
+    """
+    urls = urls.reset_index(drop=True)
+    html_text = html_text.reset_index(drop=True)
+    pairs = html_text.str.findall(_ANCHOR_RE)
+    out = pd.DataFrame({"url": urls, "pair": pairs}).explode("pair").dropna(
+        subset=["pair"]
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "url": pd.Series(dtype=object),
+                "target": pd.Series(dtype=object),
+                "anchor": pd.Series(dtype=object),
+            }
+        )
+    out["target"] = out["pair"].str[0]
+    anchor = out["pair"].str[1].str.replace(_TAG_RE, "", regex=True)
+    out["anchor"] = anchor.str.replace(_WS_RE, " ", regex=True).str.strip()
+    host = out["url"].str.extract(_HOST_RE, expand=False).fillna("")
+    rel = out["target"].str.startswith("/")
+    out["target"] = np.where(rel, host + out["target"], out["target"])
+    out = out[out["target"].str.match(r"https?://", na=False)]
+    return out[["url", "target", "anchor"]].reset_index(drop=True)
 
 
 def blocks_batch(urls: pd.Series, html: pd.Series) -> pd.DataFrame:

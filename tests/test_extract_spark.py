@@ -104,3 +104,58 @@ def test_lineage_write_and_resume(spark, pages, tmp_path):
     )
     for r in recomputed:
         assert stored[r["bucket"]] == r["c"]
+
+
+def test_anchor_extraction_edge_cases(spark):
+    """extract_anchors: nested tags stripped, whitespace collapsed,
+    relative hrefs resolved, non-http and empty anchors handled."""
+    html = (
+        '<html><body>'
+        '<a href="/a"><b>bold</b> <i>link</i></a>'
+        '<a href="https://other.example.com/x">abs\n  target</a>'
+        '<a href="mailto:x@y">mail</a>'
+        '<a href="/img"><img src="i.png"></a>'
+        '</body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://host.example.com/p", bytearray(html, "utf8"))], "url string, html binary"
+    )
+    from finetoo_sp_spark.extraction.graph import extract_anchor_pairs
+
+    rows = sorted(
+        (r.target, r.anchor) for r in extract_anchor_pairs(pages).collect()
+    )
+    assert rows == [
+        ("https://host.example.com/a", "bold link"),       # tags stripped, ws collapsed
+        ("https://host.example.com/img", ""),              # image-only anchor kept, empty text
+        ("https://other.example.com/x", "abs target"),     # absolute kept, newline collapsed
+    ]  # mailto: dropped
+
+
+def test_anchor_summary_matches_pairs(spark):
+    """anchor_text_summary aggregates exactly the extracted pairs."""
+    from finetoo_sp_spark.extraction.docpages import documents_to_pages
+    from finetoo_sp_spark.extraction.graph import anchor_text_summary, extract_anchor_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} " * 12, "en", f"src{i % 3}") for i in range(12)],
+        "doc_id long, text string, lang string, source string",
+    )
+    pages = documents_to_pages(docs)
+    pairs = extract_anchor_pairs(pages).toPandas()
+    got = {
+        r.target: (r.n_refs, r.n_sources, r.anchors_cs)
+        for r in anchor_text_summary(pages).collect()
+    }
+    g = pairs.groupby("target")
+    expect = {
+        t: (
+            len(sub),
+            sub["url"].nunique(),
+            "|".join(sorted(set(sub["anchor"]))),
+        )
+        for t, sub in g
+    }
+    assert got == expect
+    # every page contributes all 8 template anchors
+    assert len(pairs) == 12 * 8

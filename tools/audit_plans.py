@@ -77,6 +77,12 @@ CHECKS = {
         ("arrow-batched python stage", r"(MapInPandas|ArrowEvalPython)"),
         ("only url/html/doc_id scanned", r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
     ],
+    "anchor_text_agg": [
+        ("arrow-batched anchor extraction", r"MapInPandas"),
+        ("single hash agg on target with partials", r"HashAggregate"),
+        ("one shuffle keyed on target", r"hashpartitioning\(target"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     # round-2 scale paths: the registered embedding dedup must be the
     # bucket join (a cartesian here is the 100-TB scale-killer VERDICT
     # r1 flagged), and the banded dedups must keep partial aggregation.
