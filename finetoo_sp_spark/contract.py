@@ -3365,6 +3365,93 @@ def q_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- crawl-snapshot delta -----------------------------------------------
+# Snapshot B is derived from the documents table by fixed congruence
+# rules, so every status is recomputable in SQL: doc_id % 11 == 3 ->
+# removed, else doc_id % 7 == 0 -> changed (text || ' rev2'),
+# doc_id % 13 == 1 -> ALSO re-added under doc_id + 1000000 as a brand
+# new url; everything else unchanged.
+
+
+def _snapshot_b(docs: DataFrame) -> DataFrame:
+    kept = docs.filter(F.col("doc_id") % 11 != 3)
+    edited = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    added = (
+        docs.filter(F.col("doc_id") % 13 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat("text", F.lit(" brand new page")))
+    )
+    return documents_to_pages(edited.unionByName(added))
+
+
+@_q(
+    "snapshot_churn",
+    """
+WITH base AS (
+  SELECT source,
+    CASE WHEN doc_id % 11 = 3 THEN 'removed'
+         WHEN doc_id % 7 = 0 THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM documents
+),
+adds AS (SELECT source, 'added' AS status FROM documents WHERE doc_id % 13 = 1)
+SELECT source || '.example.com' AS host, status, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM base UNION ALL SELECT * FROM adds)
+GROUP BY host, status""",
+)
+def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl churn report: per-host counts of added /
+    removed / changed / unchanged urls between two snapshots. The delta
+    itself moves only (url, xxhash64) — never the payload — in one
+    full-outer equi-join (sources/snapshot.py)."""
+    from finetoo_sp_spark.sources.snapshot import snapshot_delta
+
+    docs = T(spark, sf_dir, "documents")
+    delta = snapshot_delta(documents_to_pages(docs), _snapshot_b(docs))
+    return delta.groupBy(
+        F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"), "status"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "incremental_extract",
+    """
+WITH work AS (
+  SELECT doc_id, source, text || ' rev2' AS text
+  FROM documents WHERE doc_id % 11 != 3 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' brand new page'
+  FROM documents WHERE doc_id % 13 = 1
+)
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  'heading for document ' || doc_id || chr(10)
+    || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+FROM work""",
+)
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-extraction: run the extraction kernel ONLY on
+    pages whose payload is new or changed vs the previous snapshot —
+    at 10^12 pages and few-percent crawl churn this is the difference
+    between paying for the churn and paying for the corpus. The oracle
+    is the expected extraction of exactly the changed+added rows, so a
+    false 'unchanged' (missed work) or false 'changed' (wasted work
+    would still extract correctly, but removed/unchanged rows appearing
+    here) both fail the value hash."""
+    from finetoo_sp_spark.sources.snapshot import changed_pages
+
+    docs = T(spark, sf_dir, "documents")
+    work = changed_pages(documents_to_pages(docs), _snapshot_b(docs))
+    out = extract_pages(
+        work, repartition_buckets=spark.sparkContext.defaultParallelism
+    )
+    return out.select("url", "text")
+
+
 @_q(
     "anchor_text_agg",
     """

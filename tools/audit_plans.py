@@ -77,6 +77,16 @@ CHECKS = {
         ("arrow-batched python stage", r"(MapInPandas|ArrowEvalPython)"),
         ("only url/html/doc_id scanned", r"ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string>"),
     ],
+    "snapshot_churn": [
+        ("full-outer delta join on url", r"SortMergeJoin.*FullOuter|ShuffledHashJoin.*FullOuter"),
+        ("payload hashed before the join (slim projection)", r"xxhash64"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "incremental_extract": [
+        ("old side joins as slim hash dimension", r"xxhash64"),
+        ("extraction kernel only after the delta filter", r"MapInPandas"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "anchor_text_agg": [
         ("arrow-batched anchor extraction", r"MapInPandas"),
         ("single hash agg on target with partials", r"HashAggregate"),
