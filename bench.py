@@ -87,6 +87,10 @@ def main() -> None:
         "pdf_real_extract",
         "training_shard_manifest",
         "chunk_windows",
+        "dedup_incremental",
+        "anchor_text_agg",
+        "snapshot_churn",
+        "incremental_extract",
     ]
     qs = contract.queries()
     times: dict[str, float] = {}
