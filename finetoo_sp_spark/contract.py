@@ -3890,6 +3890,31 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "split_assign",
+    """
+SELECT doc_id,
+  CASE WHEN h < 10000 THEN 'test'
+       WHEN h < 20000 THEN 'val'
+       ELSE 'train' END AS split
+FROM (
+  SELECT doc_id,
+    CAST('0x' || substr(sha256('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+      % 1000000 AS h
+  FROM documents
+)""",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-row train/val/test assignment (1%/1% at the
+    defaults): a pure salted-hash function of doc_id, so re-runs,
+    resumes and cluster-size changes can never move a document across
+    the split boundary. Full per-row value oracle."""
+    from finetoo_sp_spark.operators.packing import assign_splits
+
+    docs = T(spark, sf_dir, "documents")
+    return assign_splits(docs.select("doc_id"), "doc_id").select("doc_id", "split")
+
+
+@_q(
     "pack_token_quota",
     """
 WITH t AS (

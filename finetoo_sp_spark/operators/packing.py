@@ -245,3 +245,35 @@ def mix_epoch_weights(
             ),
         )
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    val_ppm: int = 10_000,
+    test_ppm: int = 10_000,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment as a pure function of the
+    row id: split = f(sha(salt:id)) — identical across runs,
+    partitionings and cluster sizes, so a resumed or re-run pipeline can
+    never leak a validation document into training. Rates are integer
+    parts-per-million (exact, engine-portable — no float thresholds).
+
+    The hash input is salted so the split gate is INDEPENDENT of the
+    sampling gate (textstats.stratified_sample hashes the bare id; an
+    unsalted split would correlate test membership with sample
+    membership). Narrow, shuffle-free; the sha is computed once per row.
+    """
+    from finetoo_sp_spark.operators.dedup import sha60
+
+    h = F.pmod(
+        sha60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    split = (
+        F.when(h < F.lit(test_ppm), F.lit("test"))
+        .when(h < F.lit(test_ppm + val_ppm), F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

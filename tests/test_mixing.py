@@ -53,3 +53,26 @@ def test_expected_share_converges(spark):
     df = _mk(spark, 2000, "a")
     n = mix_epoch_weights(df, "doc_id", "source", {"a": 2_500_000}).count()
     assert 2000 * 2.4 <= n <= 2000 * 2.6
+
+
+def test_assign_splits_deterministic_and_salted(spark):
+    from finetoo_sp_spark.operators.packing import assign_splits
+    from finetoo_sp_spark.operators.textstats import stratified_sample
+
+    df = spark.range(20000).withColumnRenamed("id", "doc_id")
+    a = assign_splits(df, "doc_id", val_ppm=100_000, test_ppm=100_000)
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    # 10%/10% gates land within a loose binomial envelope
+    assert 1700 < counts["val"] < 2300 and 1700 < counts["test"] < 2300
+    assert counts["train"] == 20000 - counts["val"] - counts["test"]
+
+    # pure function of the id: a second evaluation is identical
+    b = assign_splits(df, "doc_id", val_ppm=100_000, test_ppm=100_000)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # salting decorrelates from the sampling gate: among rows KEPT by a
+    # 10% hash sample, test-rate stays ~10% (unsalted it would be 0 or 100%)
+    sampled = stratified_sample(a.withColumn("s", F.lit("x")), "s", {"x": 0.1}, "doc_id")
+    n_s = sampled.count()
+    n_st = sampled.filter(F.col("split") == "test").count()
+    assert 0.05 < n_st / n_s < 0.2
