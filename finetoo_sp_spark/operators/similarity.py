@@ -110,6 +110,13 @@ def ann_lsh_bucketed(
     Scale: the corpus join key is the bucket id, so the cross product is
     per-bucket (expected corpus/2^n_bits per side); one shuffle on bucket
     + per-query window top-k.
+
+    Already incremental by construction: the query side is a separate
+    frame, so "new embeddings vs the existing corpus" is just
+    ``ann_lsh_bucketed(corpus, new_batch)`` — the corpus-side bucket ids
+    are a pure per-row function (persist them once and reuse across
+    batches), and no corpus-vs-corpus pairs are ever generated. Same
+    per-snapshot shape as dedup.minhash_lsh_pairs_between.
     """
     from pyspark.sql.window import Window
 
