@@ -4333,6 +4333,144 @@ def q_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return man.select("bucket", "output_count", "content_checksum", "status")
 
 
+# --- embedding clustering / SemDeDup / DSIR --------------------------------
+
+_KMEANS_CTE = """
+e AS (
+  SELECT vec_id,
+    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT 4),
+a1 AS (
+  SELECT e.vec_id,
+    CAST(min(CAST(list_sum(list_transform(range(1, 65),
+        i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) * 4 + c.cid) % 4 AS INT) AS cluster
+  FROM e CROSS JOIN c0 c
+  GROUP BY e.vec_id
+),
+u AS (
+  SELECT a1.cluster, gs.i AS dim,
+    CAST(sum(e.v[gs.i]) AS BIGINT) AS s, count(*) AS n
+  FROM a1 JOIN e USING (vec_id), generate_series(1, 64) AS gs(i)
+  GROUP BY 1, 2
+),
+c1 AS (SELECT cluster AS cid, dim, s // CAST(n AS BIGINT) AS cv FROM u),
+ev AS (
+  SELECT e.vec_id, gs.i AS dim, e.v[gs.i] AS val
+  FROM e, generate_series(1, 64) AS gs(i)
+),
+d2 AS (
+  SELECT ev.vec_id, c1.cid,
+    CAST(sum((ev.val - c1.cv) * (ev.val - c1.cv)) AS BIGINT) AS dist
+  FROM ev JOIN c1 USING (dim)
+  GROUP BY 1, 2
+),
+a2 AS (
+  SELECT vec_id, CAST(min(dist * 4 + cid) % 4 AS INT) AS cluster
+  FROM d2 GROUP BY vec_id
+)"""
+
+
+@_q("kmeans_clusters", f"WITH {_KMEANS_CTE}\nSELECT vec_id AS id, cluster FROM a2")
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 assignment passes) in integer fixed
+    point: the oracle reproduces every centroid exactly because sums of
+    scaled-long coordinates are partition-order independent. Per
+    iteration the assignment is a narrow map (centroids collected to the
+    driver, MLlib-style, and unrolled into a least() expression) and the
+    update shuffles only k*dims groups."""
+    from finetoo_sp_spark.operators import clustering as cl
+
+    return cl.kmeans_assign(
+        T(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=4, iters=2
+    )
+
+
+@_q(
+    "semdedup_survivors",
+    f"""
+WITH {_KMEANS_CTE},
+pairs AS (
+  SELECT b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+   AND {_BUCKET_SQL.format(side='a')} = {_BUCKET_SQL.format(side='b')}
+  JOIN a2 ca ON ca.vec_id = a.vec_id
+  JOIN a2 cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+  WHERE {_COSINE_SQL} >= 0.4
+)
+SELECT a2.vec_id AS id, a2.cluster FROM a2
+WHERE a2.vec_id NOT IN (SELECT id_b FROM pairs)""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means the embedding space, then
+    drop the larger id of every cosine-near-duplicate pair found WITHIN
+    (cluster, sign-LSH bucket). The pair join never leaves a cluster —
+    candidate sets shrink with both k and n_bits, so the 100 TB plan is
+    a bucket equi-join + anti-join, no cross join."""
+    from finetoo_sp_spark.operators import clustering as cl
+
+    return cl.semdedup_survivors(
+        T(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=4,
+        iters=2,
+        threshold=0.4,
+        n_bits=8,
+    )
+
+
+@_q(
+    "dsir_importance",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws, (source = 'src0') AS is_t FROM documents
+),
+bk AS (
+  SELECT doc_id, is_t,
+    ('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i + 1]), 1, 15))::BIGINT % 256 AS bucket
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+cnts AS (
+  SELECT bucket, count(*) AS cnt_raw,
+    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_target
+  FROM bk GROUP BY bucket
+),
+ratios AS (
+  SELECT bucket, ((cnt_target + 1) * 65536) // (CAST(cnt_raw AS BIGINT) + 1) AS ratio_fp
+  FROM cnts
+),
+sc AS (
+  SELECT bk.doc_id, count(*) AS n_bigrams, CAST(sum(ratio_fp) AS BIGINT) AS dsir_score
+  FROM bk JOIN ratios USING (bucket)
+  GROUP BY 1
+)
+SELECT d.doc_id AS id,
+  coalesce(sc.n_bigrams, 0) AS n_bigrams,
+  coalesce(sc.dsir_score, 0) AS dsir_score
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id""",
+)
+def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (arXiv:2302.03169) with src0 as the
+    target domain: hashed-bigram bucket distributions for target vs raw,
+    per-doc score = exact integer sum of fixed-point per-bucket ratios.
+    The 256-row ratio table broadcast-joins to the exploded bigram
+    stream — corpus-side work is explode -> map-side probe -> one
+    partial agg, nothing scales super-linearly."""
+    from finetoo_sp_spark.operators import importance as imp
+
+    return imp.dsir_scores(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("source") == "src0",
+        n_buckets=256,
+        scale=1 << 16,
+    )
+
+
 # --- late-bound oracles (need _blocks_cte, defined above) -----------------
 
 _PLACEHOLDER_ORACLES = {

@@ -248,6 +248,24 @@ CHECKS = {
         ("fan-out via Generate (explode)", r"Generate"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "kmeans_clusters": [
+        # centroids are driver-collected constants unrolled into least();
+        # the registered plan (final assignment pass) must be a pure map
+        ("assignment is narrow (no shuffle)", r"!Exchange"),
+        ("no join anywhere", r"!Join"),
+        ("whole-stage codegen", r"codegen id : "),
+    ],
+    "semdedup_survivors": [
+        ("pair search is a (cluster,bucket) equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("survivor filter is a left-anti join", r"LeftAnti"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+    ],
+    "dsir_importance": [
+        ("bucket-ratio table broadcast (corpus never shuffles for the probe)", r"BroadcastHashJoin"),
+        ("bigram fan-out via Generate (explode)", r"Generate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
 }
 
 
