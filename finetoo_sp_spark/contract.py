@@ -4471,6 +4471,55 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_TERMS = ("spark", "stream", "dup", "customer")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@_q(
+    "bm25_topk",
+    f"""
+WITH d AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+staged AS (SELECT id, len(ws) AS dl, ws FROM d),
+stats AS (
+  SELECT CAST(sum(dl) // count(*) AS BIGINT) AS avgdl,
+         count(*) AS n_docs
+  FROM staged
+),
+tf AS (
+  SELECT id, dl, t.term, count(*) AS tf
+  FROM staged, UNNEST(ws) AS t(term)
+  WHERE t.term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT id,
+    (((n_docs - df) * 1024) // (df + 1))
+    * ((2200 * tf * avgdl * 1024)
+       // (1000 * tf * avgdl + 300 * avgdl + 900 * dl)) AS term_score
+  FROM tf JOIN dfreq USING (term), stats
+),
+agg AS (SELECT id, CAST(sum(term_score) AS BIGINT) AS score FROM scored GROUP BY 1)
+SELECT id, score,
+  CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INT) AS rank
+FROM agg ORDER BY score DESC, id ASC LIMIT 10""",
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-BM25 keyword retrieval: top-10 documents for a fixed
+    4-term query. Integer fixed-point scoring (retrieval.py docstring has
+    the derivation) so the DuckDB twin reproduces scores bit-for-bit.
+    Corpus side is explode -> term filter -> one (doc, term) partial agg;
+    df/avgdl are broadcast dimensions; final top-k is a global limit
+    (TakeOrdered), never a full sort."""
+    from finetoo_sp_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(
+        T(spark, sf_dir, "documents"), "doc_id", "text", list(_BM25_TERMS), k=10
+    )
+
+
 # --- late-bound oracles (need _blocks_cte, defined above) -----------------
 
 _PLACEHOLDER_ORACLES = {

@@ -266,6 +266,11 @@ CHECKS = {
         ("bigram fan-out via Generate (explode)", r"Generate"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "bm25_topk": [
+        ("df dimension broadcast (corpus side never re-shuffles)", r"BroadcastHashJoin"),
+        ("global top-k is TakeOrdered, not a full sort", r"TakeOrderedAndProject"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
 }
 
 
