@@ -4471,6 +4471,50 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "classifier_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+f AS (
+  SELECT id, ws[g.i] AS feat
+  FROM w, UNNEST(generate_series(1, len(ws))) AS g(i)
+  UNION ALL
+  SELECT id, ws[g.i] || ' ' || ws[g.i + 1] AS feat
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+sw AS (
+  SELECT id,
+    ('0x' || substr(md5('w#' ||
+       (('0x' || substr(md5(feat), 1, 15))::BIGINT % 65536)), 1, 15)
+    )::BIGINT % 2001 - 1000 AS w
+  FROM f
+),
+agg AS (
+  SELECT id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS margin
+  FROM sw GROUP BY 1
+)
+SELECT id, n_feats,
+  (margin * 65536) // n_feats AS score_fp,
+  (margin * 65536) // n_feats >= 0 AS keep
+FROM agg""",
+)
+def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (CCNet/FineWeb-style model-based
+    filter, apply side) with the deterministic hash-derived weight
+    table: unigram+bigram feature instances, portable 60-bit md5 bucket
+    hash, integer fixed-point length-normalized margin, keep = score >= 0.
+    Default path has NO join — explode -> inline weight eval -> one
+    partial agg; with a trained weight table it is a broadcast probe."""
+    from finetoo_sp_spark.operators.classifier import hashed_linear_scores
+
+    return hashed_linear_scores(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        n_buckets=1 << 16, weight_span=1000, scale=1 << 16, threshold_fp=0,
+    )
+
+
 _BM25_TERMS = ("spark", "stream", "dup", "customer")
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
 

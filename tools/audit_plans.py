@@ -266,6 +266,12 @@ CHECKS = {
         ("bigram fan-out via Generate (explode)", r"Generate"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "classifier_scores": [
+        ("feature fan-out via Generate (explode)", r"Generate"),
+        ("partial aggregation before the shuffle", r"HashAggregate"),
+        ("default weight path has NO join at all", r"!Join"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "bm25_topk": [
         ("df dimension broadcast (corpus side never re-shuffles)", r"BroadcastHashJoin"),
         ("global top-k is TakeOrdered, not a full sort", r"TakeOrderedAndProject"),
