@@ -4472,6 +4472,69 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "table_extract",
+    """
+WITH p AS (
+  SELECT p_brand AS brand,
+    '<tr><td>' || p_partkey || '</td><td>' || p_type || '</td><td>'
+      || p_size || '</td></tr>' AS row_str,
+    CAST(p_partkey AS VARCHAR) AS c0, p_type AS c1,
+    CAST(p_size AS VARCHAR) AS c2
+  FROM part
+),
+r AS (
+  SELECT brand, c0, c1, c2,
+    CAST(row_number() OVER (PARTITION BY brand ORDER BY row_str) AS INT) AS row_idx
+  FROM p
+),
+hdr AS (SELECT DISTINCT brand FROM p),
+cells AS (
+  SELECT brand, 0 AS row_idx, 0 AS col_idx, 'partkey' AS cell FROM hdr
+  UNION ALL SELECT brand, 0, 1, 'type' FROM hdr
+  UNION ALL SELECT brand, 0, 2, 'size' FROM hdr
+  UNION ALL SELECT brand, row_idx, 0, c0 FROM r
+  UNION ALL SELECT brand, row_idx, 1, c1 FROM r
+  UNION ALL SELECT brand, row_idx, 2, c2 FROM r
+)
+SELECT 'https://catalog.example.com/brand/' || brand AS url,
+  0 AS table_idx, row_idx, col_idx, cell
+FROM cells""",
+)
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HTML table extraction: synthesize one catalog page per
+    p_brand (header row + one <tr> per part, rows sorted for
+    determinism), then parse every page back to (url, table_idx,
+    row_idx, col_idx, cell) with extraction/tables.py. The oracle
+    computes the expected cells RELATIONALLY from part — the HTML
+    round-trip must land byte-identical. Extraction itself is shuffle-
+    free narrow work; only the test-scaffold page synthesis aggregates."""
+    from finetoo_sp_spark.extraction.tables import extract_tables
+
+    p = T(spark, sf_dir, "part")
+    row_str = F.concat(
+        F.lit("<tr><td>"), F.col("p_partkey"), F.lit("</td><td>"),
+        F.col("p_type"), F.lit("</td><td>"), F.col("p_size"), F.lit("</td></tr>"),
+    )
+    pages = (
+        p.select(F.col("p_brand").alias("brand"), row_str.alias("row_str"))
+        .groupBy("brand")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("row_str"))).alias("rows_html"))
+        .select(
+            F.concat(F.lit("https://catalog.example.com/brand/"), F.col("brand")).alias("url"),
+            F.concat(
+                F.lit("<html><body><p>catalog</p><table>"
+                      "<tr><th>partkey</th><th>type</th><th>size</th></tr>"),
+                F.col("rows_html"),
+                F.lit("</table></body></html>"),
+            ).alias("html"),
+        )
+    )
+    out = extract_tables(pages)
+    # header row is row_idx 0; the sorted <tr>s are 1..n by construction
+    return out.select("url", "table_idx", "row_idx", "col_idx", "cell")
+
+
+@_q(
     "classifier_scores",
     f"""
 WITH w AS (

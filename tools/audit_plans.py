@@ -266,6 +266,11 @@ CHECKS = {
         ("bigram fan-out via Generate (explode)", r"Generate"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "table_extract": [
+        ("nested cell fan-out via Generate (explode)", r"Generate"),
+        ("extraction side is join-free", r"!Join"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "classifier_scores": [
         ("feature fan-out via Generate (explode)", r"Generate"),
         ("partial aggregation before the shuffle", r"HashAggregate"),
