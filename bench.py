@@ -93,11 +93,20 @@ def main() -> None:
         "incremental_extract",
     ]
     qs = contract.queries()
+    # best-of-N per query (default 2): a single cold sample on this
+    # shared-host sandbox can read 2-7x the warm time (BENCH.md round-3
+    # noise note) — the min of two passes reflects the engine, and the
+    # regression gate below stops flagging neighbor spikes.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    steal0, total0 = _cpu_steal_jiffies()
     times: dict[str, float] = {}
-    for name in bench_queries:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name in bench_queries:
+            t0 = time.time()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
 
     # production-hash variants: the registered minhash/simhash queries run
     # hash_mode='sha' (DuckDB-verifiable, slower hash); production uses
@@ -116,10 +125,19 @@ def main() -> None:
             docs, "doc_id", "text", max_hamming=3
         ),
     }
-    for name, fn in prod.items():
-        t0 = time.time()
-        fn().write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    for _ in range(reps):
+        for name, fn in prod.items():
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+    steal1, total1 = _cpu_steal_jiffies()
+    steal_pct = (
+        round(100.0 * (steal1 - steal0) / max(total1 - total0, 1), 2)
+        if total1 > total0
+        else None
+    )
 
     # -- regression gate: compare per-query times vs the last recorded
     # round (BENCH_r{N}.json) and flag >1.3x slowdowns in the output so
@@ -144,9 +162,24 @@ def main() -> None:
                 "n_pages": n_pages,
                 "extract_sec": round(extract_s, 3),
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "query_reps": reps,
+                "host_steal_pct": steal_pct,
             }
         )
     )
+
+
+def _cpu_steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line —
+    sampled around the timed section so each record carries its own
+    noise context ((0, 0) when unreadable)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except Exception:  # noqa: BLE001 — missing /proc must not break the bench
+        return (0, 0)
 
 
 def _previous_round_queries() -> dict[str, float]:
