@@ -4535,6 +4535,57 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "jsonld_extract",
+    """
+SELECT 'https://shop.example.com/order/' || o_orderkey AS url,
+  0 AS blob_idx,
+  o_orderkey AS order_number,
+  o_totalprice AS price,
+  o_orderstatus AS status
+FROM orders""",
+)
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JSON-LD extraction: synthesize one shop page per order
+    with an embedded schema.org Order blob (plus a decoy plain <script>),
+    lift the blob back out with extraction/jsonld.py and type the fields
+    via get_json_object. The oracle computes the expected values
+    RELATIONALLY from orders, so the double/long/string fields must
+    round-trip the HTML+JSON encoding byte-exactly. Narrow plan — no
+    shuffle anywhere."""
+    from finetoo_sp_spark.extraction.jsonld import extract_jsonld
+
+    o = T(spark, sf_dir, "orders")
+    pages = o.select(
+        F.concat(F.lit("https://shop.example.com/order/"), F.col("o_orderkey")).alias("url"),
+        F.concat(
+            F.lit('<html><head><script>var t = 1;</script>'
+                  '<script type="application/ld+json">{"@type":"Order","orderNumber":'),
+            F.col("o_orderkey"),
+            F.lit(',"price":'),
+            F.col("o_totalprice").cast("string"),
+            F.lit(',"status":"'),
+            F.col("o_orderstatus"),
+            F.lit('"}</script></head><body><p>order page</p></body></html>'),
+        ).alias("html"),
+    )
+    out = extract_jsonld(
+        pages,
+        fields={
+            "order_number": "$.orderNumber",
+            "price": "$.price",
+            "status": "$.status",
+        },
+    )
+    return out.select(
+        "url",
+        "blob_idx",
+        F.col("order_number").cast("long").alias("order_number"),
+        F.col("price").cast("double").alias("price"),
+        "status",
+    )
+
+
+@_q(
     "classifier_scores",
     f"""
 WITH w AS (

@@ -1,0 +1,41 @@
+"""JSON-LD structured-data extraction (extraction/jsonld.py)."""
+
+from finetoo_sp_spark.extraction.jsonld import extract_jsonld
+
+
+def test_blob_lift_and_decoy_scripts(spark):
+    html = (
+        '<html><head><script>var x=1;</script>'
+        '<script type="application/ld+json">{"@type":"Order","n":7}</script>'
+        "<script type = 'application/ld+json'>{\"@type\":\"Product\"}</script>"
+        "</head><body></body></html>"
+    )
+    df = spark.createDataFrame([("u", html)], "url string, html string")
+    out = sorted(map(tuple, extract_jsonld(df).collect()))
+    assert out == [
+        ("u", 0, '{"@type":"Order","n":7}'),
+        ("u", 1, '{"@type":"Product"}'),
+    ]
+
+
+def test_typed_fields_and_malformed_blob_yields_nulls(spark):
+    rows = [
+        ("u1", '<script type="application/ld+json">{"@type":"A","p":1.5}</script>'),
+        ("u2", '<script type="application/ld+json">not json</script>'),
+        ("u3", "<p>no blobs</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    out = extract_jsonld(df, fields={"otype": "$['@type']", "p": "$.p"})
+    got = {r["url"]: (r["otype"], r["p"]) for r in out.collect()}
+    # u2 survives with NULL fields (dirty-data-safe); u3 contributes nothing
+    assert got == {"u1": ("A", "1.5"), "u2": (None, None)}
+
+
+def test_binary_html_input(spark):
+    html = '<script type="application/ld+json">{"k":"v"}</script>'
+    df = spark.createDataFrame(
+        [("u", html.encode("utf-8"))], "url string, html binary"
+    )
+    assert [tuple(r) for r in extract_jsonld(df).collect()] == [
+        ("u", 0, '{"k":"v"}')
+    ]

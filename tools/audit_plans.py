@@ -271,6 +271,11 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "jsonld_extract": [
+        ("blob fan-out via Generate (explode)", r"Generate"),
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("NO join", r"!Join"),
+    ],
     "classifier_scores": [
         ("feature fan-out via Generate (explode)", r"Generate"),
         ("partial aggregation before the shuffle", r"HashAggregate"),
