@@ -4535,6 +4535,53 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "compliance_flags",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'noindex, nofollow'
+    WHEN 1 THEN 'index, follow'
+    WHEN 2 THEN 'noai' ELSE '' END AS robots,
+  doc_id % 4 = 0 AS noindex,
+  doc_id % 4 = 0 AS nofollow,
+  doc_id % 4 = 2 AS noai,
+  CASE WHEN doc_id % 2 = 0
+    THEN 'https://creativecommons.org/licenses/by/4.0/' ELSE '' END AS license
+FROM documents""",
+)
+def q_compliance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end opt-out signal extraction: synthesize doc pages where
+    doc_id % 4 picks the robots directive (noindex+nofollow / index /
+    noai / no meta at all) and doc_id % 2 adds a rel=license link, then
+    recover every signal with extraction/compliance.py. Oracle computes
+    the expected flags relationally. Narrow plan, no shuffle."""
+    from finetoo_sp_spark.extraction.compliance import compliance_flags
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).cast("int")
+    robots_meta = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(m == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="noai">'))
+        .otherwise(F.lit(""))
+    )
+    license_link = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit('<link rel="license" href="https://creativecommons.org/licenses/by/4.0/">'),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), robots_meta, license_link,
+            F.lit("<title>t</title></head><body><p>body</p></body></html>"),
+        ).alias("html"),
+    )
+    return compliance_flags(pages)
+
+
+@_q(
     "jsonld_extract",
     """
 SELECT 'https://shop.example.com/order/' || o_orderkey AS url,

@@ -1,0 +1,65 @@
+"""Compliance-signal extraction: robots meta, AI opt-out, license link.
+
+Extraction-tier extension: before any page enters a training corpus the
+pipeline must honor the page's own machine-readable opt-outs —
+``<meta name="robots">`` directives (noindex/nofollow), the emerging
+``noai``/``noimageai`` opt-out tokens carried in the same meta, and the
+``<link rel="license">`` declaration. This operator surfaces all of
+them as typed columns so a single filter gates the corpus.
+
+Shape: pure JVM column ops — two anchored ``regexp_extract`` passes
+(first robots meta, first license link) + token containment tests on
+the lowered directive list. No Python per row, no shuffle: narrow over
+the page scan, same scale story as the main-text kernel.
+
+Limits (documented): only the ``name= ... content=`` attribute order is
+recognized (the overwhelmingly common form); multiple robots metas
+beyond the first are ignored; HTTP-header signals (X-Robots-Tag) are
+out of band for an HTML-only operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType
+
+_ROBOTS_RE = (
+    r'(?i)<meta[^>]*name\\s*=\\s*["\\x27]robots["\\x27][^>]*'
+    r'content\\s*=\\s*["\\x27]([^"\\x27]*)["\\x27]'
+)
+_LICENSE_RE = (
+    r'(?i)<link[^>]*rel\\s*=\\s*["\\x27]license["\\x27][^>]*'
+    r'href\\s*=\\s*["\\x27]([^"\\x27]*)["\\x27]'
+)
+
+
+def _has_token(directives, token: str):
+    """True when ``token`` appears in the comma/space-separated
+    directive list (substring tests would confuse noai/noimageai)."""
+    toks = F.split(F.regexp_replace(F.lower(directives), r"[,\s]+", ","), ",")
+    return F.array_contains(toks, token)
+
+
+def compliance_flags(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, robots, noindex, nofollow, noai, license) — robots is the
+    raw directive string ('' when no robots meta), license the first
+    rel=license href ('' when absent), flags are token-exact."""
+    html = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, BinaryType):
+        html = F.decode(html, "UTF-8")
+
+    d = pages.select(F.col(url_col).alias("url"), html.alias("_html")).select(
+        "url",
+        F.expr(f"regexp_extract(_html, '{_ROBOTS_RE}', 1)").alias("robots"),
+        "_html",
+    )
+    return d.select(
+        "url",
+        "robots",
+        _has_token("robots", "noindex").alias("noindex"),
+        _has_token("robots", "nofollow").alias("nofollow"),
+        (_has_token("robots", "noai") | _has_token("robots", "noimageai")).alias("noai"),
+        F.expr(f"regexp_extract(_html, '{_LICENSE_RE}', 1)").alias("license"),
+    )

@@ -271,6 +271,11 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "compliance_flags": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("NO join", r"!Join"),
+        ("whole-stage codegen", r"codegen id : "),
+    ],
     "jsonld_extract": [
         ("blob fan-out via Generate (explode)", r"Generate"),
         ("narrow plan: NO shuffle at all", r"!Exchange"),
