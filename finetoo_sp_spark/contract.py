@@ -4535,6 +4535,27 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "skew_report",
+    """
+WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1),
+t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total FROM c)
+SELECT key, n_rows,
+  (n_rows * 1000000) // total AS share_ppm,
+  CASE WHEN n_rows > 50 THEN (n_rows + 49) // 50 ELSE 1 END AS salt_buckets,
+  n_rows > 50 AS is_hot
+FROM c, t""",
+)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew advisor over events.user_id with target=50 rows/task (small
+    so the hot branch is exercised at test scale): per-key counts, exact
+    integer ppm share, recommended salt factor. One partially-aggregated
+    groupBy + a broadcast single-row total."""
+    from finetoo_sp_spark.operators.skew import skew_report
+
+    return skew_report(T(spark, sf_dir, "events"), "user_id", target_rows_per_task=50)
+
+
+@_q(
     "compliance_flags",
     """
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,

@@ -61,3 +61,32 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[mergers[how](name).alias(name) for name, (_, how) in aggs.items()]
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    target_rows_per_task: int = 100_000,
+) -> DataFrame:
+    """(key, n_rows, share_ppm, salt_buckets, is_hot) — the cheap
+    pre-pass that sizes the defenses above: per-key row counts, corpus
+    share in exact ppm (integer fixed point, partition-order-proof),
+    and the recommended salt factor ``ceil(n_rows / target)`` for keys
+    whose count exceeds ``target_rows_per_task`` (1 otherwise).
+
+    At 10^12 rows this is one partially-aggregated groupBy over the key
+    (the same shuffle the real job pays anyway) plus a broadcast of a
+    single total row — run it on a sample or yesterday's partition to
+    pick ``n_salts``/``bucket_cap`` before the expensive job."""
+    t = target_rows_per_task
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count("*").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_rows",
+        F.expr("(n_rows * 1000000) div total").alias("share_ppm"),
+        F.expr(f"CASE WHEN n_rows > {t} THEN (n_rows + {t - 1}) div {t} ELSE 1 END").alias(
+            "salt_buckets"
+        ),
+        (F.col("n_rows") > t).alias("is_hot"),
+    )

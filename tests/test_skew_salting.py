@@ -71,3 +71,26 @@ def test_salt_bounds_partition_share(pages):
     hot_rows = by_key[by_key["host"] == hot]["count"]
     # no single (host, salt) cell holds more than ~3x the fair 1/16 share
     assert hot_rows.max() <= 3 * hot_rows.sum() / n_salts
+
+
+def test_skew_report_values_and_advice(spark):
+    from finetoo_sp_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 25 + [("warm",)] * 10 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["key"]: tuple(r)[1:] for r in skew_report(df, "k", 10).collect()}
+    # 40 rows total: shares 625000/250000/125000 ppm exactly
+    assert got["hot"] == (25, 625000, 3, True)   # ceil(25/10) = 3 salts
+    assert got["warm"] == (10, 250000, 1, False)  # at target, not over
+    assert got["cold"] == (5, 125000, 1, False)
+
+
+def test_skew_report_feeds_salted_agg(pages):
+    from finetoo_sp_spark.operators.skew import skew_report
+
+    rep = skew_report(pages.select("host"), "host", 100)
+    hot = rep.filter("is_hot").collect()
+    assert hot, "generator corpus must have hot hosts at target=100"
+    # the advisor's worst key sizes n_salts such that n/salts <= target
+    worst = max(hot, key=lambda r: r["n_rows"])
+    assert worst["n_rows"] <= worst["salt_buckets"] * 100
