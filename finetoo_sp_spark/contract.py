@@ -4535,6 +4535,34 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "normalize_mojibake",
+    """
+SELECT doc_id AS id,
+  CASE WHEN doc_id % 3 = 0 THEN '"' || text || '"' ELSE text END AS text,
+  doc_id % 3 IN (0, 1) AS changed
+FROM documents""",
+)
+def q_normalize_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mojibake repair: corrupt each document deterministically
+    (doc_id%3==0 -> wrapped in CP1252-mojibake curly quotes, %3==1 ->
+    every space becomes NBSP, else untouched), run the repair chain, and
+    check against the relational expectation — repaired text must be
+    byte-identical to the clean original (+ folded ascii quotes) and the
+    changed flag exact. Pure codegen'd replace chain, no shuffle."""
+    from finetoo_sp_spark.operators.normalize import _mojibake, normalize_text
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    corrupted = (
+        F.when(m == 0, F.concat(F.lit(_mojibake("“")), F.col("text"), F.lit(_mojibake("”"))))
+        .when(m == 1, F.replace(F.col("text"), F.lit(" "), F.lit("\u00a0")))
+        .otherwise(F.col("text"))
+    )
+    pages = d.select("doc_id", corrupted.alias("text"))
+    return normalize_text(pages, "doc_id", "text")
+
+
+@_q(
     "skew_report",
     """
 WITH c AS (SELECT user_id AS key, count(*) AS n_rows FROM events GROUP BY 1),

@@ -271,6 +271,11 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "normalize_mojibake": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("whole-stage codegen (replace chain fused)", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
     "compliance_flags": [
         ("narrow plan: NO shuffle at all", r"!Exchange"),
         ("NO join", r"!Join"),
