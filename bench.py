@@ -91,6 +91,15 @@ def main() -> None:
         "anchor_text_agg",
         "snapshot_churn",
         "incremental_extract",
+        # round-3 late additions
+        "bm25_topk",
+        "classifier_scores",
+        "table_extract",
+        "jsonld_extract",
+        "compliance_flags",
+        "skew_report",
+        "normalize_mojibake",
+        "edit_verify",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

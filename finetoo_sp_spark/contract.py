@@ -4535,6 +4535,37 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "edit_verify",
+    """
+WITH p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b,
+  CAST(levenshtein(ta, tb) AS INT) AS lev,
+  (CAST(levenshtein(ta, tb) AS BIGINT) * 10000)
+    // greatest(length(ta), length(tb)) AS ratio_fp,
+  (CAST(levenshtein(ta, tb) AS BIGINT) * 10000)
+    // greatest(length(ta), length(tb)) <= 2000 AS is_dup
+FROM p""",
+)
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance confirm step over candidate pairs (here:
+    adjacent doc ids as a deterministic stand-in for LSH candidates):
+    JVM-side Levenshtein, integer fixed-point similarity ratio, is_dup
+    gate. Pairs broadcast so the corpus side never shuffles."""
+    from finetoo_sp_spark.operators.dedup import edit_verify_pairs
+
+    d = T(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return edit_verify_pairs(
+        d, pairs, "doc_id", "text", max_ratio_fp=2000, broadcast_pairs=True
+    )
+
+
+@_q(
     "normalize_mojibake",
     """
 SELECT doc_id AS id,

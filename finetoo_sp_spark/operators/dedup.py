@@ -712,3 +712,53 @@ def line_dedup(
             ),
         ).alias("text")
     )
+
+
+def edit_verify_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_ratio_fp: int = 2000,
+    broadcast_pairs: bool = False,
+) -> DataFrame:
+    """Exact edit-distance verification of candidate duplicate pairs.
+
+    The LSH/banding families above produce CANDIDATES; this is the
+    precise confirm step when Jaccard-over-shingles is too coarse —
+    (id_a, id_b, lev, ratio_fp, is_dup) with Levenshtein distance
+    computed JVM-side (F.levenshtein, classic DP) and
+    ``ratio_fp = lev * 10000 div max(len_a, len_b)`` in integer fixed
+    point; ``is_dup = ratio_fp <= max_ratio_fp``.
+
+    Scale story (100 TB): the candidate set is LSH-pruned and thus
+    orders of magnitude smaller than the corpus, so the two text
+    lookups are the cost — equi-joins on the id key (set
+    ``broadcast_pairs=True`` when candidates fit in memory to keep the
+    corpus shuffle-free). The DP is O(len_a * len_b) per pair; callers
+    bound it upstream via chunking or length caps, not here.
+    """
+    p = pairs.select(F.col("id_a"), F.col("id_b"))
+    if broadcast_pairs:
+        p = F.broadcast(p)
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    return (
+        p.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # materialize the DP result ONCE (re-evaluation trap: deriving
+            # ratio from the raw expression would run the DP twice)
+            F.levenshtein("_ta", "_tb").alias("lev"),
+            F.greatest(F.length("_ta"), F.length("_tb")).alias("_maxlen"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "lev",
+            F.expr("CAST(lev AS BIGINT) * 10000 div _maxlen").alias("ratio_fp"),
+        )
+        .withColumn("is_dup", F.col("ratio_fp") <= max_ratio_fp)
+    )

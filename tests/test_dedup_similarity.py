@@ -336,3 +336,31 @@ def test_resize_rejects_bad_dims(spark):
 
     with _pytest.raises(ValueError):
         resize_images(gen_image_assets(spark, 1), out_h=0, out_w=4)
+
+
+def test_edit_verify_pairs_confirms_planted_neardups(spark):
+    from finetoo_sp_spark.operators.dedup import edit_verify_pairs
+    from pyspark.sql import functions as F
+
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base[:-4] + "cat "),          # tiny edit -> near-dup
+            (3, "completely different text about spark shuffles"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a int, id_b int")
+    got = {
+        (r["id_a"], r["id_b"]): (r["lev"], r["is_dup"])
+        for r in edit_verify_pairs(
+            docs, pairs, "doc_id", "text", max_ratio_fp=2000
+        ).collect()
+    }
+    assert got[(1, 2)][0] == 3 and got[(1, 2)][1] is True
+    assert got[(1, 3)][1] is False
+    # ratio denominator is the LONGER side: swap order, same verdict
+    rev = spark.createDataFrame([(2, 1)], "id_a int, id_b int")
+    out = edit_verify_pairs(docs, rev, "doc_id", "text").collect()[0]
+    assert out["lev"] == 3 and out["is_dup"] is True

@@ -271,6 +271,11 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "edit_verify": [
+        ("pairs broadcast (corpus never shuffles)", r"BroadcastHashJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+    ],
     "normalize_mojibake": [
         ("narrow plan: NO shuffle at all", r"!Exchange"),
         ("whole-stage codegen (replace chain fused)", r"codegen id : "),
