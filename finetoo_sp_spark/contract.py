@@ -4535,6 +4535,39 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "template_ngrams",
+    f"""
+WITH w AS (
+  SELECT doc_id, source AS host, {_WORDS_SQL} AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT host, doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS shingle
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+dfc AS (SELECT host, shingle, count(*) AS n_docs FROM sh GROUP BY 1, 2),
+hp AS (
+  SELECT host, count(*) AS host_pages FROM w GROUP BY 1
+  HAVING count(*) >= 10
+)
+SELECT host, shingle, n_docs, host_pages,
+  (n_docs * 1000000) // host_pages AS share_ppm
+FROM dfc JOIN hp USING (host)
+WHERE (n_docs * 1000000) // host_pages >= 150000""",
+)
+def q_template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level template/boilerplate mining: bigram shingles recurring
+    on >= 15% of a host's pages (hosts with >= 10 pages). Per-doc
+    distinct shingles -> (host, shingle) counts -> host page-count
+    dimension equi-join; exact integer ppm share."""
+    from finetoo_sp_spark.operators.textstats import template_ngrams
+
+    return template_ngrams(
+        T(spark, sf_dir, "documents"), "source", "doc_id", "text",
+        n=2, min_pages=10, ratio_ppm=150_000,
+    )
+
+
+@_q(
     "edit_verify",
     """
 WITH p AS (

@@ -448,3 +448,61 @@ def rarity_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size("invs").alias("n_words"),
         F.round(fold / F.size("invs"), 6).alias("rarity"),
     )
+
+
+def template_ngrams(
+    docs: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    min_pages: int = 10,
+    ratio_ppm: int = 300_000,
+) -> DataFrame:
+    """(host, shingle, n_docs, host_pages, share_ppm) — host-level
+    template/boilerplate mining: the n-gram shingles that recur across
+    at least ``ratio_ppm`` (exact integer ppm) of a host's pages, for
+    hosts with ``min_pages``+ pages. These are the navigation/footer
+    phrases a site template stamps on every page; downstream filters
+    strip them from extracted text or down-weight the host.
+
+    Scale story (100 TB): per-doc DISTINCT shingles (one shuffle on the
+    (host, shingle, doc) key, partially aggregated) -> one count per
+    (host, shingle) -> equi-join of the per-host page-count dimension.
+    The per-host dimension is |hosts| rows, not |pages|; skewed hosts
+    split fine because the heavy key space is (host, shingle), not
+    host alone. No driver-side state.
+    """
+    from .dedup import _norm_words  # shared canonicalization contract
+
+    w = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("id"),
+        _norm_words(text_col).alias("_w"),
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_w") - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_w"), i + 1, n)),
+    )
+    per_doc = (
+        w.select("host", "id", F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+    df_counts = per_doc.groupBy("host", "shingle").agg(F.count("*").alias("n_docs"))
+    hp = (
+        docs.groupBy(F.col(host_col).alias("host"))
+        .agg(F.count("*").alias("host_pages"))
+        .filter(F.col("host_pages") >= min_pages)
+    )
+    return (
+        df_counts.join(hp, "host")
+        .select(
+            "host",
+            "shingle",
+            "n_docs",
+            "host_pages",
+            F.expr("(n_docs * 1000000) div host_pages").alias("share_ppm"),
+        )
+        .filter(F.col("share_ppm") >= ratio_ppm)
+    )

@@ -185,3 +185,30 @@ def test_approx_sketches_within_error_bounds(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) / row["exact_d"] < 0.05
     assert abs(row["approx_p50"] - row["exact_p50"]) / row["exact_p50"] < 0.01
+
+
+def test_template_ngrams_finds_planted_boilerplate(spark):
+    from finetoo_sp_spark.operators.textstats import template_ngrams
+
+    # every page on hostA carries the template footer; unique body text
+    rows = [
+        ("hostA", i, f"unique body words {i} zz{i} follow the template footer here")
+        for i in range(12)
+    ] + [("hostB", 100 + i, f"different site {i}") for i in range(12)]
+    df = spark.createDataFrame(rows, "host string, doc_id int, text string")
+    out = template_ngrams(df, "host", "doc_id", "text", n=2, min_pages=10,
+                          ratio_ppm=900_000)
+    got = {(r["host"], r["shingle"]): r["share_ppm"] for r in out.collect()}
+    # the planted footer bigrams recur on 100% of hostA pages
+    assert got[("hostA", "template footer")] == 1_000_000
+    assert got[("hostA", "footer here")] == 1_000_000
+    # per-page-unique bigrams (carrying the page number) never qualify
+    assert not any("zz" in s for (_, s) in got)
+
+
+def test_template_ngrams_min_pages_gate(spark):
+    from finetoo_sp_spark.operators.textstats import template_ngrams
+
+    rows = [("tiny", i, "same exact text") for i in range(5)]
+    df = spark.createDataFrame(rows, "host string, doc_id int, text string")
+    assert template_ngrams(df, "host", "doc_id", "text", min_pages=10).count() == 0
