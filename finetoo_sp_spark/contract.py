@@ -4534,6 +4534,96 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "table_idx", "row_idx", "col_idx", "cell")
 
 
+def _curation_v2_oracle() -> str:
+    """Composed DuckDB twin of the curation-v2 capstone: the corrupt
+    expression and the repair chain are GENERATED from the normalize
+    module's tables (single source of truth), then the classifier and
+    exact-dedup CTEs mirror their standalone oracles verbatim."""
+    from finetoo_sp_spark.operators.normalize import _mojibake, oracle_sql_chain
+
+    corrupt = (
+        f"CASE WHEN doc_id % 3 = 0 THEN '{_mojibake(chr(0x201C))}' || text || "
+        f"'{_mojibake(chr(0x201D))}' "
+        "WHEN doc_id % 3 = 1 THEN replace(text, ' ', chr(160)) ELSE text END"
+    )
+    repaired = oracle_sql_chain(corrupt)
+    return f"""
+WITH rep AS (
+  SELECT doc_id AS id, {repaired} AS text FROM documents
+),
+w AS (
+  SELECT id, regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM rep
+),
+f AS (
+  SELECT id, ws[g.i] AS feat
+  FROM w, UNNEST(generate_series(1, len(ws))) AS g(i)
+  UNION ALL
+  SELECT id, ws[g.i] || ' ' || ws[g.i + 1] AS feat
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+sw AS (
+  SELECT id,
+    ('0x' || substr(md5('w#' ||
+       (('0x' || substr(md5(feat), 1, 15))::BIGINT % 65536)), 1, 15)
+    )::BIGINT % 2001 - 1000 AS w
+  FROM f
+),
+agg AS (
+  SELECT id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS margin
+  FROM sw GROUP BY 1
+),
+kept AS (
+  SELECT rep.id, rep.text, (agg.margin * 65536) // agg.n_feats AS score_fp
+  FROM rep JOIN agg USING (id)
+  WHERE (agg.margin * 65536) // agg.n_feats >= 0
+),
+surv AS (SELECT min(id) AS id FROM kept GROUP BY sha256(text))
+SELECT k.id, length(k.text) AS n_chars, k.score_fp
+FROM kept k JOIN surv USING (id)"""
+
+
+@_q("curation_v2", _curation_v2_oracle())
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — the session-2 operators composed as one lazy plan:
+    deterministic corruption (mojibake wrap / NBSP flood by doc_id%3) ->
+    normalize_text repair chain -> hashed-linear classifier gate
+    (keep score_fp >= 0) -> exact-dedup survivor corpus. Output is the
+    surviving docs with repaired length + classifier score; the DuckDB
+    twin composes the SAME generated chains, so repair bytes, scores
+    and survivor choice all verify end to end. One equi-join of the
+    per-id score aggregate back to the text, then the dedup semi-join —
+    nothing quadratic, nothing driver-side."""
+    from finetoo_sp_spark.operators.classifier import hashed_linear_scores
+    from finetoo_sp_spark.operators.dedup import apply_exact_dedup
+    from finetoo_sp_spark.operators.normalize import _mojibake, normalize_text
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    corrupted = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(_mojibake(chr(0x201C))), F.col("text"), F.lit(_mojibake(chr(0x201D)))
+            ),
+        )
+        .when(m == 1, F.replace(F.col("text"), F.lit(" "), F.lit(" ")))
+        .otherwise(F.col("text"))
+    )
+    raw = d.select("doc_id", corrupted.alias("text"))
+    rep = normalize_text(raw, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    scores = hashed_linear_scores(rep, "doc_id", "text").filter("keep").select(
+        F.col("id").alias("doc_id"), "score_fp"
+    )
+    kept = rep.join(scores, "doc_id")
+    surv = apply_exact_dedup(kept, "doc_id", "text")
+    return surv.select(
+        F.col("doc_id").alias("id"), F.length("text").alias("n_chars"), "score_fp"
+    )
+
+
 @_q(
     "template_ngrams",
     f"""

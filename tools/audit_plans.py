@@ -271,6 +271,17 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "curation_v2": [
+        ("dedup survivor filter is a semi-join", r"LeftSemi"),
+        ("score joins back on the id key", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+    ],
+    "template_ngrams": [
+        ("host page-count dimension equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("partial aggregation", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "edit_verify": [
         ("pairs broadcast (corpus never shuffles)", r"BroadcastHashJoin"),
         ("NO cartesian product", r"!CartesianProduct"),
