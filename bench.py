@@ -100,6 +100,10 @@ def main() -> None:
         "skew_report",
         "normalize_mojibake",
         "edit_verify",
+        "template_ngrams",
+        "curation_v2",
+        "phrase_hits",
+        "shard_assign",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

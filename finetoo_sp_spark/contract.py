@@ -4534,6 +4534,64 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "table_idx", "row_idx", "col_idx", "cell")
 
 
+@_q(
+    "phrase_hits",
+    f"""
+WITH t AS (
+  SELECT doc_id AS id, array_to_string({_WORDS_SQL}, ' ') AS t FROM documents
+)
+SELECT id,
+  CAST((length(t) - length(replace(t, 'batch batch', ''))) / 11 AS BIGINT) AS n_hits,
+  CAST(strpos(t, 'batch batch') AS INT) AS first_pos
+FROM t
+WHERE length(t) - length(replace(t, 'batch batch', '')) >= 11""",
+)
+def q_phrase_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ('batch batch') via the replace-length
+    identity + instr — two JVM string ops, narrow plan, no shuffle;
+    the cheap complement to bm25_topk for quoted-phrase queries."""
+    from finetoo_sp_spark.operators.retrieval import phrase_hits
+
+    return phrase_hits(T(spark, sf_dir, "documents"), "doc_id", "text", "batch batch")
+
+
+@_q(
+    "shard_assign",
+    """
+WITH h AS (
+  SELECT doc_id AS id, s.g AS shard,
+    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s' || s.g), 1, 15))::BIGINT AS h
+  FROM documents, UNNEST(generate_series(0, 8)) AS s(g)
+),
+r8 AS (
+  SELECT id, shard FROM (
+    SELECT id, shard,
+      row_number() OVER (PARTITION BY id ORDER BY h DESC, shard DESC) AS rn
+    FROM h WHERE shard < 8) WHERE rn = 1
+),
+r9 AS (
+  SELECT id, shard FROM (
+    SELECT id, shard,
+      row_number() OVER (PARTITION BY id ORDER BY h DESC, shard DESC) AS rn
+    FROM h) WHERE rn = 1
+)
+SELECT r8.id, CAST(r8.shard AS INT) AS shard,
+  CAST(r9.shard AS INT) AS shard_after,
+  r8.shard != r9.shard AS moved
+FROM r8 JOIN r9 USING (id)""",
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous shard assignment at k=8 plus the k=9 reshard view:
+    pure array_max column expression (no explode, no shuffle, no UDF);
+    the moved flag demonstrates the minimal-movement property (~1/9 of
+    docs move when a shard is added, vs ~8/9 under hash-mod)."""
+    from finetoo_sp_spark.operators.sharding import shard_assign
+
+    return shard_assign(
+        T(spark, sf_dir, "documents"), "doc_id", n_shards=8, n_shards_after=9
+    )
+
+
 def _curation_v2_oracle() -> str:
     """Composed DuckDB twin of the curation-v2 capstone: the corrupt
     expression and the repair chain are GENERATED from the normalize

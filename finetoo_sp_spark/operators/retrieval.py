@@ -96,3 +96,39 @@ def bm25_topk(
 
     w = Window.orderBy(F.desc("score"), F.asc("id"))
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def phrase_hits(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """(id, n_hits, first_pos) — exact-phrase retrieval over the
+    canonicalized text (lowercase, whitespace collapsed — the shared
+    _words contract): non-overlapping occurrence count via the
+    replace-length identity ``(len(t) - len(replace(t, p, ''))) / len(p)``
+    and 1-based first character position via instr (0 = no hit). Both
+    are single JVM string ops with bit-identical DuckDB twins
+    (replace/length/strpos), so the whole operator oracles exactly.
+    Docs without a hit are filtered (n_hits >= 1).
+
+    Scale story: narrow scan -> two string ops -> filter; no shuffle,
+    no explode — the cheap complement to bm25_topk when the query is a
+    quoted phrase rather than a term bag."""
+    p = phrase.strip().lower()
+    if not p:
+        raise ValueError("phrase must be non-empty")
+    canon = F.concat_ws(" ", _words(text_col))
+    d = docs.select(F.col(id_col).alias("id"), canon.alias("_t"))
+    return (
+        d.select(
+            "id",
+            (
+                (F.length("_t") - F.length(F.replace(F.col("_t"), F.lit(p))))
+                / F.lit(len(p))
+            ).cast("long").alias("n_hits"),
+            F.instr(F.col("_t"), p).alias("first_pos"),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )

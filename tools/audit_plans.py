@@ -271,6 +271,16 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "phrase_hits": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
+    "shard_assign": [
+        ("pure column expression: NO shuffle", r"!Exchange"),
+        ("no explode needed (unrolled array_max)", r"!Generate"),
+        ("NO join", r"!Join"),
+    ],
     "curation_v2": [
         ("dedup survivor filter is a semi-join", r"LeftSemi"),
         ("score joins back on the id key", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
