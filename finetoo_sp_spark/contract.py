@@ -4535,6 +4535,49 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "robots_gate",
+    """
+SELECT source AS host,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN '/private/' || doc_id
+    WHEN 1 THEN '/private/ok/' || doc_id
+    WHEN 2 THEN '/public/' || doc_id
+    ELSE '/private' || doc_id END AS path,
+  doc_id % 4 IN (1, 2) AS allowed
+FROM documents""",
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end robots.txt policy gate: one synthesized robots.txt per
+    host (Disallow /private, Allow /private/ok, plus a gptbot group the
+    '*' gate must ignore), candidate paths fanned out from documents by
+    doc_id%4, then the full parse -> longest-prefix-match pipeline. The
+    oracle states the expected verdicts relationally — prefix semantics
+    (/privateN blocked), override semantics (/private/ok/N allowed) and
+    the no-match default all verify per URL."""
+    from finetoo_sp_spark.sources.robots import gate_urls, parse_robots
+
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(
+            "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+            "\nUser-agent: GPTBot\nDisallow: /"
+        ).alias("robots_txt"),
+    )
+    m = (F.col("doc_id") % 4).cast("int")
+    urls = d.select(
+        F.col("source").alias("host"),
+        F.when(m == 0, F.concat(F.lit("/private/"), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/private/ok/"), F.col("doc_id")))
+        .when(m == 2, F.concat(F.lit("/public/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/private"), F.col("doc_id")))
+        .alias("path"),
+    )
+    return gate_urls(urls, parse_robots(robots), agent="*")
+
+
+@_q(
     "phrase_hits",
     f"""
 WITH t AS (

@@ -1,0 +1,100 @@
+"""robots.txt parsing + URL gating (crawl-policy tier).
+
+Training-pipeline extension (no reference analogue): the corpus-build
+side of politeness — parse each host's robots.txt into typed rules and
+gate candidate URLs by longest-prefix match (RFC 9309 semantics:
+most-specific rule wins; on a length tie Allow wins; no matching rule
+means allowed).
+
+Parsing is declarative end to end: lines -> posexplode -> typed
+(kind, value) columns -> the group id of each line is a running count
+of preceding ``User-agent:`` lines (one window over (host, pos)) ->
+the group's agent name joins back on (host, group). No Python per row.
+The gate is an equi-join on host, a startswith filter, and a
+row_number over (url) ordered by prefix length / allow — URL-side work
+stays proportional to |urls| x matching-rules, never a cross join.
+
+Simplifications (documented): single ``User-agent`` line per group
+(the dominant form; multi-agent groups would need one extra explode),
+``$``/``*`` wildcards inside paths are treated literally, and empty
+``Disallow:`` (the RFC allow-all idiom) is dropped at parse time —
+equivalent to the default-allow verdict it encodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, rule_idx, allow, path_prefix) — one row per
+    Allow/Disallow rule, rule_idx = 0-based line position, agent = the
+    group's User-agent value (lowercased)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(text_col, "\n")).alias("pos", "line"),
+    ).select("host", "pos", F.trim("line").alias("line"))
+
+    kind = (
+        F.when(F.lower("line").startswith("user-agent:"), F.lit("ua"))
+        .when(F.lower("line").startswith("disallow:"), F.lit("dis"))
+        .when(F.lower("line").startswith("allow:"), F.lit("allow"))
+    )
+    value = F.trim(F.substring_index("line", ":", -1))
+    typed = lines.select("host", "pos", kind.alias("kind"), value.alias("value")).filter(
+        F.col("kind").isNotNull()
+    )
+
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    grouped = typed.withColumn(
+        "grp", F.sum(F.when(F.col("kind") == "ua", 1).otherwise(0)).over(w)
+    )
+    agents = (
+        grouped.filter(F.col("kind") == "ua")
+        .select("host", "grp", F.lower("value").alias("agent"))
+    )
+    rules = (
+        grouped.filter(F.col("kind") != "ua")
+        .select(
+            "host",
+            "grp",
+            F.col("pos").alias("rule_idx"),
+            (F.col("kind") == "allow").alias("allow"),
+            F.col("value").alias("path_prefix"),
+        )
+        # 'Disallow:' with no path is the RFC allow-all idiom — dropping
+        # the rule is exactly equivalent to the default-allow verdict
+        .filter(F.length("path_prefix") > 0)
+    )
+    return rules.join(agents, ["host", "grp"]).select(
+        "host", "agent", "rule_idx", "allow", "path_prefix"
+    )
+
+
+def gate_urls(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """(host, path, allowed) — longest-prefix-match verdict per URL for
+    ``agent``'s rule group; URLs with no matching rule are allowed."""
+    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
+        F.col("host").alias("_rh"), "allow", "path_prefix"
+    )
+    u = urls.select(F.col(host_col).alias("host"), F.col(path_col).alias("path"))
+    joined = u.join(
+        r, (F.col("host") == F.col("_rh")) & F.col("path").startswith(F.col("path_prefix")), "left"
+    )
+    w = Window.partitionBy("host", "path").orderBy(
+        F.length("path_prefix").desc(), F.col("allow").desc()
+    )
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "path", F.coalesce("allow", F.lit(True)).alias("allowed"))
+    )

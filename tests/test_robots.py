@@ -1,0 +1,61 @@
+"""robots.txt parsing + URL gating (sources/robots.py)."""
+
+from finetoo_sp_spark.sources.robots import gate_urls, parse_robots
+
+TXT = (
+    "User-agent: *\nDisallow: /private\nAllow: /private/ok\n\n"
+    "User-agent: GPTBot\nDisallow: /"
+)
+
+
+def _rules(spark, txt=TXT, host="h1"):
+    robots = spark.createDataFrame([(host, txt)], "host string, robots_txt string")
+    return parse_robots(robots)
+
+
+def test_parse_groups_and_rules(spark):
+    got = sorted(map(tuple, _rules(spark).collect()))
+    assert got == [
+        ("h1", "*", 1, False, "/private"),
+        ("h1", "*", 2, True, "/private/ok"),
+        ("h1", "gptbot", 5, False, "/"),
+    ]
+
+
+def test_gate_longest_prefix_and_default(spark):
+    urls = spark.createDataFrame(
+        [
+            ("h1", "/private/x"),     # blocked by /private
+            ("h1", "/private/ok/y"),  # longer Allow overrides
+            ("h1", "/privateX"),      # prefix semantics: still blocked
+            ("h1", "/pub"),           # no matching rule -> allowed
+            ("h2", "/anything"),      # host without robots -> allowed
+        ],
+        "host string, path string",
+    )
+    rules = _rules(spark)
+    got = {(r["host"], r["path"]): r["allowed"] for r in gate_urls(urls, rules, "*").collect()}
+    assert got == {
+        ("h1", "/private/x"): False,
+        ("h1", "/private/ok/y"): True,
+        ("h1", "/privateX"): False,
+        ("h1", "/pub"): True,
+        ("h2", "/anything"): True,
+    }
+    # the gptbot group blocks everything on h1, touches nothing on h2
+    bot = {(r["host"], r["path"]): r["allowed"] for r in gate_urls(urls, rules, "GPTBot").collect()}
+    assert all(not v for (h, _), v in bot.items() if h == "h1")
+    assert bot[("h2", "/anything")] is True
+
+
+def test_allow_wins_length_ties_and_empty_disallow(spark):
+    txt = "User-agent: *\nAllow: /a\nDisallow: /a\nDisallow:"
+    urls = spark.createDataFrame(
+        [("h1", "/a/x"), ("h1", "/b")], "host string, path string"
+    )
+    rules = _rules(spark, txt)
+    # the empty Disallow (allow-all idiom) is dropped at parse time
+    assert rules.count() == 2
+    got = {r["path"]: r["allowed"] for r in gate_urls(urls, rules, "*").collect()}
+    # RFC tie rule: Allow wins at equal length; /b matches nothing
+    assert got == {"/a/x": True, "/b": True}

@@ -271,6 +271,10 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "robots_gate": [
+        ("rule join is host-keyed (equi + prefix filter, no theta-only join)", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "phrase_hits": [
         ("narrow plan: NO shuffle at all", r"!Exchange"),
         ("whole-stage codegen", r"codegen id : "),
