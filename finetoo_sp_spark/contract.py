@@ -4535,6 +4535,43 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "compaction_plan",
+    """
+WITH f AS (
+  SELECT o_orderpriority AS part, o_orderkey AS file_id,
+    CAST(floor(o_totalprice) AS BIGINT) AS bytes
+  FROM orders
+),
+c AS (
+  SELECT part, file_id, bytes,
+    CAST(coalesce(sum(bytes) OVER (
+      PARTITION BY part ORDER BY file_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+  FROM f
+),
+b AS (SELECT part, file_id, bytes, cb // 1000000 AS bin FROM c)
+SELECT part, file_id, bytes, bin,
+  count(*) OVER (PARTITION BY part, bin) AS bin_files,
+  count(*) OVER (PARTITION BY part, bin) > 1 AS needs_compaction
+FROM b""",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-binpack-style compaction planning over a file manifest
+    modeled from orders (partition = priority, size = totalprice):
+    greedy 1 MB bins via one integer-exact cumulative-sum window, merge
+    tasks = bins holding >1 file. Metadata-sized input, two windows,
+    no join."""
+    from finetoo_sp_spark.sources.compaction import plan_compaction
+
+    files = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("part"),
+        F.col("o_orderkey").alias("fid"),
+        F.col("o_totalprice").alias("sz"),
+    )
+    return plan_compaction(files, "part", "fid", "sz", target_bytes=1_000_000)
+
+
+@_q(
     "robots_gate",
     """
 SELECT source AS host,
