@@ -40,26 +40,33 @@ def _has_token(directives, token: str):
     return F.array_contains(toks, token)
 
 
+def with_compliance_cols(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """``pages`` with (robots, noindex, nofollow, noai, license) columns
+    APPENDED — the no-join form streaming composition needs (flags are
+    plain expressions over the html column, never a self-join)."""
+    html = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, BinaryType):
+        html = F.decode(html, "UTF-8")
+    robots_sql = _ROBOTS_RE.replace("\\\\", "\\")
+    license_sql = _LICENSE_RE.replace("\\\\", "\\")
+    d = pages.withColumn("robots", F.regexp_extract(html, robots_sql, 1))
+    return (
+        d.withColumn("noindex", _has_token("robots", "noindex"))
+        .withColumn("nofollow", _has_token("robots", "nofollow"))
+        .withColumn(
+            "noai", _has_token("robots", "noai") | _has_token("robots", "noimageai")
+        )
+        .withColumn("license", F.regexp_extract(html, license_sql, 1))
+    )
+
+
 def compliance_flags(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:
     """(url, robots, noindex, nofollow, noai, license) — robots is the
     raw directive string ('' when no robots meta), license the first
     rel=license href ('' when absent), flags are token-exact."""
-    html = F.col(html_col)
-    if isinstance(pages.schema[html_col].dataType, BinaryType):
-        html = F.decode(html, "UTF-8")
-
-    d = pages.select(F.col(url_col).alias("url"), html.alias("_html")).select(
-        "url",
-        F.expr(f"regexp_extract(_html, '{_ROBOTS_RE}', 1)").alias("robots"),
-        "_html",
-    )
-    return d.select(
-        "url",
-        "robots",
-        _has_token("robots", "noindex").alias("noindex"),
-        _has_token("robots", "nofollow").alias("nofollow"),
-        (_has_token("robots", "noai") | _has_token("robots", "noimageai")).alias("noai"),
-        F.expr(f"regexp_extract(_html, '{_LICENSE_RE}', 1)").alias("license"),
+    return with_compliance_cols(pages, html_col).select(
+        F.col(url_col).alias("url"),
+        "robots", "noindex", "nofollow", "noai", "license",
     )

@@ -111,3 +111,26 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_curate(pages_stream: DataFrame) -> DataFrame:
+    """Streaming pre-extraction curation: the stateless session-2
+    operators composed onto the live feed — compliance gate (robots
+    meta / noai opt-outs honored BEFORE the page enters the corpus)
+    then mojibake repair on the raw text column. Both are narrow column
+    expressions, so the streaming plan stays stateless (no watermark,
+    no state store) and scales exactly like the batch path.
+
+    Returns the gated, repaired pages stream with the compliance
+    columns attached (url, warc_ts, html, text, lang, robots, noai,
+    license); noindex/noai pages are dropped.
+    """
+    from finetoo_sp_spark.extraction.compliance import with_compliance_cols
+    from finetoo_sp_spark.operators.normalize import normalize_text_col
+
+    flagged = with_compliance_cols(pages_stream)
+    return (
+        flagged.filter(~F.col("noindex") & ~F.col("noai"))
+        .withColumn("text", normalize_text_col("text"))
+        .drop("noindex", "nofollow")
+    )

@@ -73,3 +73,42 @@ def test_crawl_rate_window(spark, pages_dir):
     assert len(rates) > 0
     assert (rates["n_pages"] >= 1).all()
     assert rates["host"].str.startswith("host").all()
+
+
+def test_stream_curate_gates_and_repairs(spark, tmp_path):
+    """stream_curate composes compliance gating + mojibake repair onto a
+    live stream: no join, no state store, noai pages never land."""
+    from finetoo_sp_spark.operators.normalize import _mojibake
+    from finetoo_sp_spark.streaming.ingest import stream_curate, stream_pages
+
+    d = str(tmp_path / "pages")
+    pages = gen_pages(spark, 60, partitions=2)
+    # every 3rd page opts out via noai; every page's raw text gets one
+    # mojibake apostrophe artifact prepended
+    noai = '<head><meta name="robots" content="noai"></head>'
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.col("page_id") % 3 == 0,
+            F.concat(F.lit(noai.encode("utf-8").decode()), F.decode("html", "UTF-8")),
+        ).otherwise(F.decode("html", "UTF-8")).cast("binary"),
+    ).withColumn("text", F.concat(F.lit(_mojibake("’")), F.col("text")))
+    pages.write.mode("overwrite").parquet(d)
+
+    curated = stream_curate(stream_pages(spark, d))
+    out = str(tmp_path / "out")
+    q = (
+        curated.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 40                       # 20 noai pages dropped
+    assert got.filter(F.col("noai")).count() == 0
+    # the mojibake artifact is repaired to an ascii apostrophe
+    assert got.filter(F.col("text").startswith("'")).count() == 40
+    bad = got.filter(F.col("text").contains(_mojibake("’"))).count()
+    assert bad == 0
