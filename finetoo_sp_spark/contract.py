@@ -4535,6 +4535,37 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "budget_alloc",
+    """
+WITH k AS (SELECT source AS key, count(*) AS weight FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(weight) AS BIGINT) AS wt FROM k),
+s AS (
+  SELECT key, weight,
+    (1000 * weight) // wt AS base, (1000 * weight) % wt AS rem
+  FROM k, t
+),
+l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM s),
+r AS (
+  SELECT key, weight, base,
+    row_number() OVER (ORDER BY rem DESC, key ASC) AS rn
+  FROM s
+)
+SELECT key, weight,
+  CAST(base + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM r, l""",
+)
+def q_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of a 1000-page recrawl
+    budget across sources weighted by page count — integer-exact
+    (sums to 1000 by construction), deterministic tie-break by key.
+    Dimension-sized input; one broadcast scalar + one window rank."""
+    from finetoo_sp_spark.operators.budget import allocate_budget
+
+    k = T(spark, sf_dir, "documents").groupBy("source").count()
+    return allocate_budget(k, "source", "count", total=1000)
+
+
+@_q(
     "compaction_plan",
     """
 WITH f AS (
