@@ -104,6 +104,9 @@ def main() -> None:
         "curation_v2",
         "phrase_hits",
         "shard_assign",
+        "robots_gate",
+        "compaction_plan",
+        "budget_alloc",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this
