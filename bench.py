@@ -107,6 +107,7 @@ def main() -> None:
         "robots_gate",
         "compaction_plan",
         "budget_alloc",
+        "script_profile",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

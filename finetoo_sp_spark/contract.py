@@ -4535,6 +4535,48 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "script_profile",
+    """
+WITH t AS (
+  SELECT doc_id AS id,
+    text || CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN ' привет мир 123'
+      WHEN 1 THEN ' 你好世界'
+      ELSE '' END AS tx
+  FROM documents
+)
+SELECT id,
+  CAST(length(tx) - length(regexp_replace(tx, '\\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+  CAST(length(tx) - length(regexp_replace(tx, '\\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+  CAST(length(tx) - length(regexp_replace(tx, '\\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+  CAST(length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+  CAST(length(tx)
+    - (length(tx) - length(regexp_replace(tx, '\\p{Latin}', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '\\p{Cyrillic}', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '\\p{Han}', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '\\s', '', 'g'))) AS BIGINT) AS n_other
+FROM t""",
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system census with injected multilingual tails (Cyrillic
+    + digits for doc_id%3==0, Han for %3==1) so every script branch is
+    exercised; Java \\p{IsX} and RE2 \\p{X} agree on these script sets,
+    so the counts verify exactly. One narrow JVM pass, no shuffle."""
+    from finetoo_sp_spark.operators.textstats import script_profile
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 3).cast("int")
+    tail = (
+        F.when(m == 0, F.lit(" привет мир 123"))
+        .when(m == 1, F.lit(" 你好世界"))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select("doc_id", F.concat("text", tail).alias("text"))
+    return script_profile(pages, "doc_id", "text")
+
+
+@_q(
     "budget_alloc",
     """
 WITH k AS (SELECT source AS key, count(*) AS weight FROM documents GROUP BY 1),

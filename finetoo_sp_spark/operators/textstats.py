@@ -506,3 +506,34 @@ def template_ngrams(
         )
         .filter(F.col("share_ppm") >= ratio_ppm)
     )
+
+
+def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_latin, n_cyrillic, n_han, n_digit, n_other) — per-document
+    writing-system census by Unicode script, the multilingual-curation
+    complement to lang-id: script-mixing spam, transliteration noise and
+    wrong-script-for-claimed-language pages all surface here before any
+    model-based filter runs.
+
+    Counting is one ``regexp_count`` per script class (single-char
+    patterns, so matches == characters), all JVM-side on one narrow
+    pass; n_other = everything else except whitespace. Java and RE2
+    agree on the script properties used (Latin/Cyrillic/Han/digit), so
+    the DuckDB twin reproduces every count.
+    """
+    t = F.col(text_col)
+    n_latin = F.expr(f"regexp_count({text_col}, '\\\\p{{IsLatin}}')")
+    n_cyr = F.expr(f"regexp_count({text_col}, '\\\\p{{IsCyrillic}}')")
+    n_han = F.expr(f"regexp_count({text_col}, '\\\\p{{IsHan}}')")
+    n_digit = F.expr(f"regexp_count({text_col}, '[0-9]')")
+    n_space = F.expr(f"regexp_count({text_col}, '\\\\s')")
+    return docs.select(
+        F.col(id_col).alias("id"),
+        n_latin.cast("long").alias("n_latin"),
+        n_cyr.cast("long").alias("n_cyrillic"),
+        n_han.cast("long").alias("n_han"),
+        n_digit.cast("long").alias("n_digit"),
+        (F.length(t) - n_latin - n_cyr - n_han - n_digit - n_space)
+        .cast("long")
+        .alias("n_other"),
+    )

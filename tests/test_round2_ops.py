@@ -212,3 +212,17 @@ def test_template_ngrams_min_pages_gate(spark):
     rows = [("tiny", i, "same exact text") for i in range(5)]
     df = spark.createDataFrame(rows, "host string, doc_id int, text string")
     assert template_ngrams(df, "host", "doc_id", "text", min_pages=10).count() == 0
+
+
+def test_script_profile_census(spark):
+    from finetoo_sp_spark.operators.textstats import script_profile
+
+    rows = [
+        (1, "abc пр 你好 42!"),
+        (2, "only latin words"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: tuple(r)[1:] for r in script_profile(df, "doc_id", "text").collect()}
+    # 'abc пр 你好 42!': 3 latin, 2 cyrillic, 2 han, 2 digit, 1 other (!)
+    assert got[1] == (3, 2, 2, 2, 1)
+    assert got[2] == (14, 0, 0, 0, 0)
