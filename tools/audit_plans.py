@@ -271,6 +271,20 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "compaction_plan": [
+        ("window over the manifest, no join", r"!Join"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("window-based binning", r"Window"),
+    ],
+    "budget_alloc": [
+        ("scalar weight-sum broadcast", r"(BroadcastNestedLoopJoin|BroadcastHashJoin)"),
+        ("NO shuffle of the dimension beyond the agg", r"HashAggregate"),
+    ],
+    "script_profile": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
     "robots_gate": [
         ("rule join is host-keyed (equi + prefix filter, no theta-only join)", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ("NO cartesian product", r"!CartesianProduct"),
