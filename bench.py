@@ -108,6 +108,7 @@ def main() -> None:
         "compaction_plan",
         "budget_alloc",
         "script_profile",
+        "length_buckets",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -4535,6 +4535,33 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "length_buckets",
+    f"""
+WITH s AS (
+  SELECT doc_id AS id, CAST(len({_WORDS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT n_tokens // 64 AS bucket, count(*) AS n_docs,
+    CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM s GROUP BY 1
+)
+SELECT bucket, n_docs, max_tokens, sum_tokens,
+  ((max_tokens * n_docs - sum_tokens) * 1000000)
+    // (max_tokens * n_docs) AS pad_ppm
+FROM b""",
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste analysis for length-bucketed batch shaping over the
+    documents corpus (64-token buckets): per-bucket doc count, exact
+    integer-ppm pad fraction. Dimension-sized output."""
+    from finetoo_sp_spark.operators.packing import length_buckets
+
+    return length_buckets(T(spark, sf_dir, "documents"), "doc_id", "text", width=64)
+
+
+@_q(
     "script_profile",
     """
 WITH t AS (

@@ -277,3 +277,43 @@ def assign_splits(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def length_buckets(
+    docs: DataFrame, id_col: str, text_col: str, width: int = 64
+) -> DataFrame:
+    """(bucket, n_docs, max_tokens, sum_tokens, pad_ppm) — padding-waste
+    analysis for length-bucketed batch shaping: documents grouped into
+    ``width``-token buckets (bucket = n_tokens div width), and per
+    bucket the exact integer-ppm fraction of a padded batch that would
+    be pad tokens (``(max*n - sum) * 1e6 div (max*n)``). Training
+    throughput dies on padding when batches mix lengths; this is the
+    measurement that sizes the buckets. Token proxy = whitespace word
+    count (the token_counts contract).
+
+    One partial-aggregating groupBy over ~max_len/width buckets —
+    dimension-sized output regardless of corpus size."""
+    from .textstats import _words
+
+    staged = docs.select(
+        F.col(id_col).alias("id"), F.size(_words(text_col)).cast("long").alias("n_tokens")
+    )
+    return (
+        staged.select(F.expr(f"n_tokens div {int(width)}").alias("bucket"), "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            F.expr(
+                "((max_tokens * n_docs - sum_tokens) * 1000000)"
+                " div (max_tokens * n_docs)"
+            ).alias("pad_ppm"),
+        )
+    )

@@ -76,3 +76,20 @@ def test_no_shuffle_in_plan(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     plan = chunk_token_windows(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_length_buckets_padding_math(spark):
+    from finetoo_sp_spark.operators.packing import length_buckets
+
+    rows = [
+        (1, "a b c"),              # 3 tokens -> bucket 0
+        (2, "a b c d"),            # 4 tokens -> bucket 0
+        (3, " ".join(["w"] * 10)), # 10 tokens -> bucket 2 (width 5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["bucket"]: (r["n_docs"], r["max_tokens"], r["sum_tokens"], r["pad_ppm"])
+           for r in length_buckets(df, "doc_id", "text", width=5).collect()}
+    # bucket 0: max 4, n 2, sum 7 -> pad = (8-7)/8 = 125000 ppm
+    assert got[0] == (2, 4, 7, 125000)
+    # bucket 2: single doc -> zero padding
+    assert got[2] == (1, 10, 10, 0)
