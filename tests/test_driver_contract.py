@@ -95,3 +95,24 @@ def test_entry_smoke(spark):
     df = em.entry(spark)
     assert df.count() > 0
     assert "url" in df.columns and "text" in df.columns
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN-only parse of all 155 oracle twins against the sf0.001
+    views — catches SQL drift in seconds without the full value sweep."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in e.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            bad.append((name, str(ex).splitlines()[0]))
+    assert not bad, bad

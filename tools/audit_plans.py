@@ -271,6 +271,10 @@ CHECKS = {
         ("extraction side is join-free", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "length_buckets": [
+        ("partial aggregation before the shuffle", r"HashAggregate"),
+        ("NO join", r"!Join"),
+    ],
     "compaction_plan": [
         ("window over the manifest, no join", r"!Join"),
         ("NO cartesian product", r"!CartesianProduct"),
