@@ -109,6 +109,7 @@ def main() -> None:
         "budget_alloc",
         "script_profile",
         "length_buckets",
+        "mirror_hosts",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -4535,6 +4535,40 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mirror_hosts",
+    """
+WITH d AS (
+  SELECT source AS host,
+    CASE WHEN doc_id % 7 = 0
+      THEN 'mirrored content ' || CAST(doc_id // 40 AS VARCHAR)
+      ELSE text END AS tx
+  FROM documents
+),
+hs AS (SELECT DISTINCT host, sha256(tx) AS sha FROM d),
+deg AS (SELECT sha FROM hs GROUP BY sha HAVING count(*) <= 50),
+p AS (SELECT hs.sha, hs.host FROM hs JOIN deg USING (sha))
+SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+FROM p a JOIN p b ON a.sha = b.sha AND a.host < b.host
+GROUP BY 1, 2""",
+)
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: every 7th document's text is replaced by a
+    shared template keyed by doc_id div 40, planting cross-source
+    byte-identical mirrors; mirror_hosts recovers the (host_a, host_b)
+    pairs and shared-doc counts, max-df-pruned on the sha side so
+    template noise can't go quadratic. Oracle relational."""
+    from finetoo_sp_spark.operators.dedup import mirror_hosts
+
+    d = T(spark, sf_dir, "documents")
+    tx = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("mirrored content "), F.expr("doc_id div 40").cast("string")),
+    ).otherwise(F.col("text"))
+    docs = d.select(F.col("source").alias("host"), "doc_id", tx.alias("text"))
+    return mirror_hosts(docs, "host", "doc_id", "text", min_shared=1)
+
+
+@_q(
     "length_buckets",
     f"""
 WITH s AS (

@@ -762,3 +762,41 @@ def edit_verify_pairs(
         )
         .withColumn("is_dup", F.col("ratio_fp") <= max_ratio_fp)
     )
+
+
+def mirror_hosts(
+    docs: DataFrame,
+    host_col: str,
+    id_col: str,
+    text_col: str,
+    min_shared: int = 2,
+    max_hosts_per_sha: int = 50,
+) -> DataFrame:
+    """(host_a, host_b, n_shared) — mirror-site detection: pairs of
+    hosts sharing at least ``min_shared`` byte-identical documents
+    (host_a < host_b). Mirrors and scraper farms duplicate content at
+    the HOST level; doc-level dedup removes the copies but only this
+    aggregation reveals which hosts to down-weight or drop wholesale.
+
+    Scale: distinct (host, sha) -> sha-keyed self-join. The quadratic
+    risk is a sha shared by many hosts (blank/boilerplate pages), so
+    shas on more than ``max_hosts_per_sha`` hosts are pruned first —
+    the same finite-``max_df`` defense as the shingle inverted index;
+    a sha that common is template noise, not mirror evidence.
+    """
+    hs = docs.select(
+        F.col(host_col).alias("host"), F.sha2(F.col(text_col), 256).alias("sha")
+    ).distinct()
+    degree = hs.groupBy("sha").agg(F.count("*").alias("_n_hosts"))
+    pruned = hs.join(
+        degree.filter(F.col("_n_hosts") <= max_hosts_per_sha).select("sha"), "sha"
+    )
+    a = pruned.select("sha", F.col("host").alias("host_a"))
+    b = pruned.select("sha", F.col("host").alias("host_b"))
+    return (
+        a.join(b, "sha")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

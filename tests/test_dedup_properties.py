@@ -173,3 +173,28 @@ def test_incremental_equals_restricted_selfjoin(spark):
     assert {(g[0], g[1]) for g in got} == {(100, 0), (100, 3)}
     # and no old-vs-old pair leaks into the output
     assert all(idn >= 100 > ido for idn, ido, _ in got)
+
+
+def test_mirror_hosts_detects_planted_mirrors_and_prunes_templates(spark):
+    from pyspark.sql import functions as F
+
+    from finetoo_sp_spark.operators.dedup import mirror_hosts
+
+    rows = (
+        # hostA and hostB mirror 3 docs; hostC shares nothing
+        [("hostA", i, f"shared doc {i}") for i in range(3)]
+        + [("hostB", 100 + i, f"shared doc {i}") for i in range(3)]
+        + [("hostC", 200, "unique text")]
+        # a blank-page template on EVERY host (would pair all hosts)
+        + [(h, 300 + j, "blank") for j, h in enumerate(["hostA", "hostB", "hostC"])]
+    )
+    df = spark.createDataFrame(rows, "host string, doc_id int, text string")
+    got = {(r["host_a"], r["host_b"]): r["n_shared"]
+           for r in mirror_hosts(df, "host", "doc_id", "text",
+                                 min_shared=1, max_hosts_per_sha=2).collect()}
+    # the 3 mirrored docs pair A-B; the 3-host 'blank' sha is pruned
+    assert got == {("hostA", "hostB"): 3}
+    # with the prune relaxed the template pairs appear
+    loose = mirror_hosts(df, "host", "doc_id", "text", min_shared=1,
+                         max_hosts_per_sha=50)
+    assert loose.count() == 3  # A-B, A-C, B-C (blank) with A-B also sharing docs
