@@ -4535,6 +4535,33 @@ def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "crawl_delays",
+    """
+SELECT DISTINCT source AS host, '*' AS agent,
+  CAST(length(source) % 5 + 1 AS BIGINT) AS delay_s
+FROM documents""",
+)
+def q_crawl_delays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay extraction: per-host robots.txt synthesized with a
+    host-dependent delay (length(host)%5+1), recovered through the
+    declarative parse; the politeness input for the streaming
+    crawl-rate limiter. Oracle relational."""
+    from finetoo_sp_spark.sources.robots import crawl_delays
+
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.length("host") % 5 + 1).cast("string"),
+            F.lit("\nDisallow: /tmp"),
+        ).alias("robots_txt"),
+    )
+    return crawl_delays(robots)
+
+
+@_q(
     "mirror_hosts",
     """
 WITH d AS (

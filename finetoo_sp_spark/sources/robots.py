@@ -98,3 +98,41 @@ def gate_urls(
         .filter(F.col("_rn") == 1)
         .select("host", "path", F.coalesce("allow", F.lit(True)).alias("allowed"))
     )
+
+
+def crawl_delays(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, delay_s) — the ``Crawl-delay:`` directive per
+    User-agent group (non-numeric or missing values yield no row),
+    feeding the per-host politeness rate limiting that the streaming
+    crawl-rate operator enforces. Same declarative parse shape as
+    parse_robots: one running-count window + group-agent join back."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(text_col, "\n")).alias("pos", "line"),
+    ).select("host", "pos", F.trim("line").alias("line"))
+
+    kind = (
+        F.when(F.lower("line").startswith("user-agent:"), F.lit("ua"))
+        .when(F.lower("line").startswith("crawl-delay:"), F.lit("delay"))
+    )
+    value = F.trim(F.substring_index("line", ":", -1))
+    typed = lines.select("host", "pos", kind.alias("kind"), value.alias("value")).filter(
+        F.col("kind").isNotNull()
+    )
+    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
+    grouped = typed.withColumn(
+        "grp", F.sum(F.when(F.col("kind") == "ua", 1).otherwise(0)).over(w)
+    )
+    agents = grouped.filter(F.col("kind") == "ua").select(
+        "host", "grp", F.lower("value").alias("agent")
+    )
+    delays = grouped.filter(F.col("kind") == "delay").select(
+        "host", "grp", F.expr("try_cast(value AS LONG)").alias("delay_s")
+    )
+    return (
+        delays.filter(F.col("delay_s").isNotNull())
+        .join(agents, ["host", "grp"])
+        .select("host", "agent", "delay_s")
+    )

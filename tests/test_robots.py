@@ -59,3 +59,16 @@ def test_allow_wins_length_ties_and_empty_disallow(spark):
     got = {r["path"]: r["allowed"] for r in gate_urls(urls, rules, "*").collect()}
     # RFC tie rule: Allow wins at equal length; /b matches nothing
     assert got == {"/a/x": True, "/b": True}
+
+
+def test_crawl_delays_per_group_and_dirty_values(spark):
+    from finetoo_sp_spark.sources.robots import crawl_delays
+
+    txt = (
+        "User-agent: *\nCrawl-delay: 3\nDisallow: /x\n\n"
+        "User-agent: SlowBot\nCrawl-delay: 10\n\n"
+        "User-agent: BadBot\nCrawl-delay: soon"  # non-numeric -> no row
+    )
+    robots = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
+    got = {(r["host"], r["agent"]): r["delay_s"] for r in crawl_delays(robots).collect()}
+    assert got == {("h1", "*"): 3, ("h1", "slowbot"): 10}
