@@ -245,6 +245,28 @@ def test_png_codec_roundtrip_all_filters():
             assert (decode_png(encode_png(a, filter_type=ft)) == a).all(), (ch, ft)
 
 
+def test_png_codec_roundtrip_mixed_filters():
+    """Per-row mixed filters (what adaptive encoders emit) exercise the
+    decoder's run-grouping: Sub rows batch-decoded upfront, Up runs as
+    column cumsums, Average/Paeth runs through the diagonal wavefront —
+    each run must pick up the decoded row above it regardless of how that
+    row was filtered."""
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    patterns = [
+        [0, 1, 2, 3, 4] * 4,                # every-row alternation (runs of 1)
+        [4] * 7 + [1] * 6 + [3] * 7,        # long homogeneous runs
+        list(rng.integers(0, 5, 20)),       # random per-row choice
+    ]
+    for ch in (1, 3, 4):
+        a = rng.integers(0, 256, (20, 11, ch), dtype=np.uint8)
+        for pat in patterns:
+            assert (decode_png(encode_png(a, filter_type=pat)) == a).all(), (ch, pat)
+
+
 def test_png_codec_rejects_corruption():
     import numpy as np
     import pytest as _pytest
