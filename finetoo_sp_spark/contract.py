@@ -4776,6 +4776,55 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "robots_gate_wildcard",
+    """
+SELECT source AS host,
+  CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN '/file' || doc_id || '.tmp'
+    WHEN 1 THEN '/file' || doc_id || '.tmpx'
+    WHEN 2 THEN '/tmp-ok/f' || doc_id || '.tmp'
+    WHEN 3 THEN '/media/' || doc_id || '/raw'
+    WHEN 4 THEN '/tie/a' || doc_id
+    ELSE '/pub/' || doc_id END AS path,
+  doc_id % 6 IN (1, 2, 4, 5) AS allowed
+FROM documents""",
+)
+def q_robots_gate_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 wildcard/anchor gate end-to-end: robots rules carrying
+    '*' (any-sequence) and trailing-'$' (end anchor) patterns, compiled
+    declaratively to anchored rlike regexes (literal rules keep the
+    startswith fast path). Six path shapes per doc exercise the anchor
+    (.tmp vs .tmpx), the longer-wildcard override (/tmp-ok/*.tmp$ beats
+    /*.tmp$ on written length), a mid-path wildcard, the Allow-wins
+    length tie (/tie/a vs /tie/*), and the no-match default — the
+    oracle states every expected verdict relationally."""
+    from finetoo_sp_spark.sources.robots import gate_urls, parse_robots
+
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(
+            "User-agent: *\nDisallow: /*.tmp$\nAllow: /tmp-ok/*.tmp$\n"
+            "Disallow: /media/*/raw\nAllow: /tie/a\nDisallow: /tie/*\n"
+            "\nUser-agent: GPTBot\nDisallow: /"
+        ).alias("robots_txt"),
+    )
+    m = (F.col("doc_id") % 6).cast("int")
+    urls = d.select(
+        F.col("source").alias("host"),
+        F.when(m == 0, F.concat(F.lit("/file"), F.col("doc_id"), F.lit(".tmp")))
+        .when(m == 1, F.concat(F.lit("/file"), F.col("doc_id"), F.lit(".tmpx")))
+        .when(m == 2, F.concat(F.lit("/tmp-ok/f"), F.col("doc_id"), F.lit(".tmp")))
+        .when(m == 3, F.concat(F.lit("/media/"), F.col("doc_id"), F.lit("/raw")))
+        .when(m == 4, F.concat(F.lit("/tie/a"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/pub/"), F.col("doc_id")))
+        .alias("path"),
+    )
+    return gate_urls(urls, parse_robots(robots), agent="*")
+
+
+@_q(
     "phrase_hits",
     f"""
 WITH t AS (

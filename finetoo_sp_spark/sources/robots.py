@@ -14,11 +14,19 @@ The gate is an equi-join on host, a startswith filter, and a
 row_number over (url) ordered by prefix length / allow — URL-side work
 stays proportional to |urls| x matching-rules, never a cross join.
 
+Path rules support RFC 9309 §2.2.3 wildcards: ``*`` matches any
+character sequence and a trailing ``$`` anchors the rule to the end of
+the path (a ``$`` anywhere else is literal, matching the reference
+google/robotstxt behavior). Wildcard rules compile — declaratively, as
+a column-expression replace chain — to an anchored Java regex checked
+with ``rlike``; literal rules keep the cheaper ``startswith`` fast
+path. Specificity for the most-specific-match rule is the rule path's
+written length (wildcards included), ties broken Allow-first.
+
 Simplifications (documented): single ``User-agent`` line per group
 (the dominant form; multi-agent groups would need one extra explode),
-``$``/``*`` wildcards inside paths are treated literally, and empty
-``Disallow:`` (the RFC allow-all idiom) is dropped at parse time —
-equivalent to the default-allow verdict it encodes.
+and empty ``Disallow:`` (the RFC allow-all idiom) is dropped at parse
+time — equivalent to the default-allow verdict it encodes.
 """
 
 from __future__ import annotations
@@ -74,22 +82,68 @@ def parse_robots(
     )
 
 
+# Java-regex metacharacters escaped when a rule path compiles to a
+# pattern; backslash must go first, '*' is escaped then rewritten to
+# '.*' (the only wildcard RFC 9309 defines inside a path).
+_RX_META = ["\\", ".", "+", "?", "(", ")", "[", "]", "{", "}", "|", "^", "$", "*"]
+
+
+def _rule_regex(body):
+    """Column expr: the anchored-at-start Java regex for a rule path
+    ``body`` (trailing-$ already stripped by the caller)."""
+    out = body
+    for m in _RX_META:
+        out = F.replace(out, F.lit(m), F.lit("\\" + m))
+    return F.concat(F.lit("^"), F.replace(out, F.lit("\\*"), F.lit(".*")))
+
+
 def gate_urls(
     urls: DataFrame,
     rules: DataFrame,
     agent: str = "*",
     host_col: str = "host",
     path_col: str = "path",
+    max_rules_per_host: int = 2048,
 ) -> DataFrame:
-    """(host, path, allowed) — longest-prefix-match verdict per URL for
-    ``agent``'s rule group; URLs with no matching rule are allowed."""
+    """(host, path, allowed) — most-specific-match verdict per URL for
+    ``agent``'s rule group; URLs with no matching rule are allowed.
+
+    Rule paths follow RFC 9309 §2.2.3: ``*`` matches any sequence, a
+    trailing ``$`` anchors to the path end, specificity is the written
+    rule length with Allow winning ties. Rules beyond
+    ``max_rules_per_host`` (in file order, per RFC truncation guidance)
+    are dropped before the join, bounding per-URL fanout on adversarial
+    robots files; the join itself stays a host equi-join.
+    """
     r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
-        F.col("host").alias("_rh"), "allow", "path_prefix"
+        F.col("host").alias("_rh"), "allow", "path_prefix", "rule_idx"
+    )
+    cap_w = Window.partitionBy("_rh").orderBy("rule_idx")
+    r = (
+        r.withColumn("_cap_rn", F.row_number().over(cap_w))
+        .filter(F.col("_cap_rn") <= max_rules_per_host)
+        .drop("_cap_rn", "rule_idx")
+    )
+    anchored = F.col("path_prefix").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(path_prefix, 1, length(path_prefix) - 1)")
+    ).otherwise(F.col("path_prefix"))
+    wild = anchored | F.col("path_prefix").contains("*")
+    r = r.select(
+        "_rh",
+        "allow",
+        "path_prefix",
+        wild.alias("_wild"),
+        F.when(
+            wild,
+            F.concat(_rule_regex(body), F.when(anchored, F.lit("$")).otherwise(F.lit(""))),
+        ).alias("_rx"),
     )
     u = urls.select(F.col(host_col).alias("host"), F.col(path_col).alias("path"))
-    joined = u.join(
-        r, (F.col("host") == F.col("_rh")) & F.col("path").startswith(F.col("path_prefix")), "left"
+    match = F.when(F.col("_wild"), F.expr("rlike(path, _rx)")).otherwise(
+        F.col("path").startswith(F.col("path_prefix"))
     )
+    joined = u.join(r, (F.col("host") == F.col("_rh")) & match, "left")
     w = Window.partitionBy("host", "path").orderBy(
         F.length("path_prefix").desc(), F.col("allow").desc()
     )

@@ -61,6 +61,65 @@ def test_allow_wins_length_ties_and_empty_disallow(spark):
     assert got == {"/a/x": True, "/b": True}
 
 
+def test_gate_wildcard_and_anchor_rules(spark):
+    """RFC 9309 §2.2.3: '*' matches any sequence, trailing '$' anchors
+    to the path end, mid-path '$' is literal, regex metachars in rule
+    paths are inert, and wildcard-rule specificity is written length."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /*.tmp$\n"          # anchored wildcard
+        "Allow: /tmp-ok/*.tmp$\n"      # longer wildcard overrides
+        "Disallow: /media/*/raw\n"     # mid-path wildcard, unanchored
+        "Disallow: /do$lar\n"          # mid-path $ is literal
+        "Disallow: /re(gex)+[chars]\n"  # metachars must not become regex
+    )
+    urls = spark.createDataFrame(
+        [
+            ("h1", "/file1.tmp"),          # blocked by /*.tmp$
+            ("h1", "/file1.tmpx"),         # $ anchor: no match -> allowed
+            ("h1", "/a/b/file2.tmp"),      # '*' spans slashes
+            ("h1", "/tmp-ok/file3.tmp"),   # longer Allow wins
+            ("h1", "/media/x/raw/f"),      # unanchored wildcard is prefix-ish
+            ("h1", "/media/x/cooked"),     # no match
+            ("h1", "/do$lar/page"),        # literal mid-path $
+            ("h1", "/re(gex)+[chars]/y"),  # literal metachars
+        ],
+        "host string, path string",
+    )
+    rules = _rules(spark, txt)
+    got = {r["path"]: r["allowed"] for r in gate_urls(urls, rules, "*").collect()}
+    assert got == {
+        "/file1.tmp": False,
+        "/file1.tmpx": True,
+        "/a/b/file2.tmp": False,
+        "/tmp-ok/file3.tmp": True,
+        "/media/x/raw/f": False,
+        "/media/x/cooked": True,
+        "/do$lar/page": False,
+        "/re(gex)+[chars]/y": False,
+    }
+
+
+def test_gate_rules_per_host_cap(spark):
+    """An adversarial 10k-rule host is truncated to the first
+    max_rules_per_host rules in file order (RFC truncation guidance):
+    a Disallow past the cap must not affect verdicts."""
+    txt = "User-agent: *\n" + "\n".join(f"Disallow: /blocked{i}/" for i in range(30))
+    urls = spark.createDataFrame(
+        [("h1", "/blocked5/x"), ("h1", "/blocked25/x")], "host string, path string"
+    )
+    rules = _rules(spark, txt)
+    got = {
+        r["path"]: r["allowed"]
+        for r in gate_urls(urls, rules, "*", max_rules_per_host=10).collect()
+    }
+    # rule 5 is within the first 10 rules; rule 25 fell past the cap
+    assert got == {"/blocked5/x": False, "/blocked25/x": True}
+    # default cap keeps everything
+    full = {r["path"]: r["allowed"] for r in gate_urls(urls, rules, "*").collect()}
+    assert full == {"/blocked5/x": False, "/blocked25/x": False}
+
+
 def test_crawl_delays_per_group_and_dirty_values(spark):
     from finetoo_sp_spark.sources.robots import crawl_delays
 

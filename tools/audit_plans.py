@@ -345,6 +345,15 @@ CHECKS = {
         ("global top-k is TakeOrdered, not a full sort", r"TakeOrderedAndProject"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "robots_gate_wildcard": [
+        ("rule join stays a host equi-join (join keyed on host)",
+         r"Left keys \[1\]: \[host#"),
+        ("wildcard match rides as the join condition, not the key",
+         r"Join condition: CASE WHEN _wild.* THEN RLIKE"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO nested-loop join (wildcard match is a join filter, not the key)",
+         r"!BroadcastNestedLoopJoin"),
+    ],
 }
 
 
