@@ -22,7 +22,10 @@ prompt so a capable planner can self-correct, bounded by ``retries``.
 from __future__ import annotations
 
 import json
-from typing import Protocol, runtime_checkable
+import time
+import urllib.error
+import urllib.request
+from typing import Callable, Protocol, runtime_checkable
 
 from finetoo_sp_spark.operators.primitives import PropertyGraphFrames
 from finetoo_sp_spark.plans.frontend import QueryResponse, build_prompt, process_plan
@@ -55,6 +58,92 @@ class StaticPlanner:
             if needle in prompt:
                 return resp
         return self.default
+
+
+class HttpPlannerClient:
+    """Concrete HTTP PlannerClient over urllib (stdlib-only).
+
+    Mirrors the reference's client behavior (vertex_ai_client.cc:21-80:
+    ``generateContent``-shaped POST body, Bearer token, response text at
+    ``candidates[0].content.parts[0].text``, token cached after first
+    fetch) minus its popen-curl transport — the endpoint URL and the
+    token provider are injected, so tests run it against an in-process
+    ``http.server`` fake and a production caller points it at a real
+    model endpoint with a real credential helper. Transient transport
+    failures (HTTP 5xx / connection errors) retry up to
+    ``max_http_retries`` with a short deterministic backoff; 4xx and
+    malformed response envelopes raise immediately.
+    """
+
+    def __init__(
+        self,
+        endpoint: str,
+        token_provider: Callable[[], str],
+        timeout_s: float = 30.0,
+        max_http_retries: int = 2,
+        backoff_s: float = 0.2,
+    ):
+        self.endpoint = endpoint
+        self._token_provider = token_provider
+        self.timeout_s = timeout_s
+        self.max_http_retries = max_http_retries
+        self.backoff_s = backoff_s
+        self._cached_token: str | None = None  # reference caches after first fetch
+
+    def _token(self) -> str:
+        if self._cached_token is None:
+            tok = self._token_provider().strip()
+            if not tok:
+                raise PermissionError("No access token from token provider")
+            self._cached_token = tok
+        return self._cached_token
+
+    def generate(self, prompt: str) -> str:
+        body = json.dumps(
+            {"contents": [{"role": "user", "parts": [{"text": prompt}]}]}
+        ).encode("utf-8")
+        req = urllib.request.Request(
+            self.endpoint,
+            data=body,
+            method="POST",
+            headers={
+                "Authorization": f"Bearer {self._token()}",
+                "Content-Type": "application/json",
+            },
+        )
+        last_exc: Exception | None = None
+        for attempt in range(self.max_http_retries + 1):
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                    payload = resp.read().decode("utf-8")
+                break
+            except urllib.error.HTTPError as e:
+                if e.code < 500:  # client error: retrying won't help
+                    raise RuntimeError(
+                        f"Planner HTTP {e.code}: {e.read().decode('utf-8', 'replace')}"
+                    ) from e
+                last_exc = e
+            except urllib.error.URLError as e:
+                last_exc = e
+            if attempt < self.max_http_retries:
+                time.sleep(self.backoff_s * (attempt + 1))
+        else:
+            raise RuntimeError(f"Planner endpoint unreachable: {last_exc}") from last_exc
+        try:
+            doc = json.loads(payload)
+        except json.JSONDecodeError as e:
+            raise RuntimeError(f"Planner returned non-JSON envelope: {payload[:200]}") from e
+        # reference extraction path: candidates[0].content.parts[0].text
+        try:
+            candidates = doc["candidates"]
+            text = candidates[0]["content"]["parts"][0]["text"]
+            if isinstance(text, str):
+                return text
+        except (KeyError, IndexError, TypeError):
+            pass
+        if isinstance(doc, dict) and "error" in doc:
+            raise RuntimeError(f"Planner API error: {doc['error']}")
+        raise RuntimeError(f"Unexpected planner response shape: {payload[:200]}")
 
 
 def answer_query(

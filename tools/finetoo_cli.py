@@ -119,15 +119,23 @@ def cmd_ask(spark, args: list[str]) -> None:
     """The full demo_llm_bom loop (tools/demo_llm_bom.cc /
     query_service.cc:208-268 ProcessQuery) with a pluggable planner:
     ``ask <pages> "<question>" <planner_response.txt>`` — the third arg
-    is the planner's canned reply (possibly fenced JSON with prose, as a
-    real LLM would return); swap StaticPlanner for an HTTP-backed client
-    to go live, nothing else changes."""
+    is either the planner's canned reply file (possibly fenced JSON with
+    prose, as a real LLM would return) or ``http(s)://...`` — an
+    HttpPlannerClient endpoint (token from $FINETOO_PLANNER_TOKEN);
+    nothing else in the loop changes."""
+    import os
+
     from finetoo_sp_spark.extraction.graph import build_web_graph
-    from finetoo_sp_spark.plans.client import StaticPlanner, answer_query
+    from finetoo_sp_spark.plans.client import HttpPlannerClient, StaticPlanner, answer_query
     from finetoo_sp_spark.schema.registry import web_graph_schema
 
     pages, question = _load_pages(spark, args[0]), args[1]
-    client = StaticPlanner(default=open(args[2]).read())
+    if args[2].startswith(("http://", "https://")):
+        client = HttpPlannerClient(
+            args[2], lambda: os.environ.get("FINETOO_PLANNER_TOKEN", "")
+        )
+    else:
+        client = StaticPlanner(default=open(args[2]).read())
     resp = answer_query(build_web_graph(pages), web_graph_schema(), question, client)
     print("question:", question)
     print("steps:", " -> ".join(resp.steps))
