@@ -12,9 +12,13 @@ Deliberate simplifications, documented:
 - object graph: streams are located by scanning ``stream``/``endstream``
   framing rather than parsing the xref table (robust to the incremental
   updates and broken offsets common in web-crawled PDFs);
-- fonts: all ToUnicode CMaps in the file merge into ONE cid->text table
-  (per-font Tf tracking is skipped; families in one file rarely assign
-  one CID to different glyphs — true for the reference corpus);
+- fonts: per-font ToUnicode CMaps are resolved through the resource
+  chain (/Font dict -> font object -> /ToUnicode stream) and selected
+  by tracking the active ``Tf`` font in content streams, so two fonts
+  assigning the same CID to different glyphs decode correctly; when the
+  chain cannot be resolved (broken refs, inline font dicts) the decoder
+  falls back to the merged all-fonts table — fewer correct glyphs,
+  never an exception;
 - positioning: Tm sets (x, y) from its translation part, Td/TD
   accumulate; kerning/char-spacing effects on position are ignored
   (fragment granularity is the show-op, reading order only needs
@@ -56,6 +60,16 @@ _ESCAPES = {
 }
 
 
+def _inflate(blob: bytes) -> bytes:
+    """FlateDecode if the blob decompresses, else the raw bytes."""
+    for candidate in (blob, blob.rstrip(b"\r\n")):
+        try:
+            return zlib.decompress(candidate)
+        except zlib.error:
+            continue
+    return blob
+
+
 def _decoded_streams(data: bytes) -> list[bytes]:
     out = []
     for m in _STREAM_RE.finditer(data):
@@ -63,16 +77,42 @@ def _decoded_streams(data: bytes) -> list[bytes]:
         end = data.find(b"endstream", start)
         if end < 0:
             continue
-        blob = data[start:end]
-        for candidate in (blob, blob.rstrip(b"\r\n")):
-            try:
-                out.append(zlib.decompress(candidate))
-                break
-            except zlib.error:
-                continue
-        else:
-            out.append(blob)
+        out.append(_inflate(data[start:end]))
     return out
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj(.*?)endobj", re.S)
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONTREF_RE = re.compile(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+0\s+R")
+_TOUNI_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+
+
+def _font_cmaps(data: bytes) -> dict[str, dict[int, str]]:
+    """resource-name -> ToUnicode table, resolved through the object
+    graph: every /Font<<...>> resource dict's ``/Fn N 0 R`` entries lead
+    to font objects whose /ToUnicode stream parses as that font's CMap.
+    Fonts without a resolvable chain simply don't appear (the caller
+    falls back to the merged table)."""
+    objs = {int(n): body for n, body in _OBJ_RE.findall(data)}
+
+    def stream_of(num: int) -> bytes:
+        body = objs.get(num, b"")
+        m = _STREAM_RE.search(body)
+        if not m:
+            return b""
+        end = body.find(b"endstream", m.end())
+        return _inflate(body[m.end() : end if end >= 0 else len(body)])
+
+    name2cmap: dict[str, dict[int, str]] = {}
+    for fd in _FONTDICT_RE.finditer(data):
+        for name, num in _FONTREF_RE.findall(fd.group(1)):
+            tu = _TOUNI_RE.search(objs.get(int(num), b""))
+            if not tu:
+                continue
+            cm = _collect_cmap([stream_of(int(tu.group(1)))])
+            if cm:
+                name2cmap.setdefault(name.decode("latin-1"), {}).update(cm)
+    return name2cmap
 
 
 def _collect_cmap(chunks: list[bytes]) -> dict[int, str]:
@@ -149,10 +189,12 @@ def parse_pdf_fragments(payload: bytes) -> pd.DataFrame:
     frame shape as the FAKEPDF parser and the pdfminer path, so the
     downstream reading-order/block logic is shared by all three."""
     streams = _decoded_streams(payload)
-    cmap = _collect_cmap([payload, *streams])
+    merged_cmap = _collect_cmap([payload, *streams])
+    per_font = _font_cmaps(payload)
 
     rows = []
     page = -1
+    cmap = merged_cmap  # active table; Tf switches it when resolvable
     for s in streams:
         # only the spans between BT..ET are text objects; tokenizing the
         # whole stream would read accidental parens inside binary font
@@ -195,7 +237,12 @@ def parse_pdf_fragments(payload: bytes) -> pd.DataFrame:
                 o = op.decode("latin-1")
                 nums = [v for t, v in operands if t == "num"]
                 strs = [v for t, v in operands if t == "str"]
-                if o == "Tm" and len(nums) >= 6:
+                if o == "Tf":
+                    names = [v for t, v in operands if t == "name"]
+                    if names:
+                        fname = names[-1].decode("latin-1").lstrip("/")
+                        cmap = per_font.get(fname, merged_cmap)
+                elif o == "Tm" and len(nums) >= 6:
                     x, y = nums[-2], nums[-1]
                 elif o in ("Td", "TD") and len(nums) >= 2:
                     x, y = x + nums[-2], y + nums[-1]

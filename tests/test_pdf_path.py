@@ -125,6 +125,50 @@ def test_real_pdf_roundtrip_through_layout_path():
     assert r["n_blocks"] == 2
 
 
+def test_two_fonts_same_cid_different_glyphs():
+    """Per-font CMap tracking: two Type0 fonts in one resource dict map
+    the SAME CID (0x0001) to different glyphs; the Tf-tracked decoder
+    must resolve each show string through its own font's ToUnicode
+    table (the merged table would pick one glyph for both)."""
+    from finetoo_sp_spark.extraction.pdfmini import parse_pdf_fragments
+
+    def tounicode(ch: str) -> bytes:
+        return (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 beginbfchar\n<0001> <%04X>\nendbfchar\nendcmap\n" % ord(ch)
+        )
+
+    def stream_obj(num: int, body: bytes) -> bytes:
+        return (
+            b"%d 0 obj<</Length %d>>stream\n" % (num, len(body))
+            + body
+            + b"\nendstream endobj\n"
+        )
+
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <0001> Tj ET\n"
+        b"BT /F2 12 Tf 1 0 0 1 72 600 Tm <0001> Tj ET\n"
+    )
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Resources<</Font<</F1 4 0 R/F2 5 0 R>>>>/Contents 8 0 R>>endobj\n"
+        b"4 0 obj<</Type/Font/Subtype/Type0/BaseFont/FontA"
+        b"/Encoding/Identity-H/ToUnicode 6 0 R>>endobj\n"
+        b"5 0 obj<</Type/Font/Subtype/Type0/BaseFont/FontB"
+        b"/Encoding/Identity-H/ToUnicode 7 0 R>>endobj\n"
+        + stream_obj(6, tounicode("A"))
+        + stream_obj(7, tounicode("B"))
+        + stream_obj(8, content)
+        + b"%%EOF\n"
+    )
+    frags = parse_pdf_fragments(pdf)
+    got = {(r.y, r.text) for r in frags.itertuples()}
+    assert got == {(700.0, "A"), (600.0, "B")}
+
+
 def test_reference_model_pdfs_extract():
     """The reference's own 7 CAD PDFs (PDF 1.7, CID fonts + ToUnicode
     CMaps) yield their text through the vendored extractor."""
