@@ -61,3 +61,53 @@ def test_oracle_chain_is_byte_identical(spark):
         con.execute(f"SELECT i, {oracle_sql_chain('text')} FROM t").fetchall()
     )
     assert spark_out == duck_out
+
+
+# Hand-written input -> expected-bytes table; every non-ascii
+# codepoint is an explicit \uXXXX escape (nothing invisible in this
+# file). Each input was derived BY HAND from the UTF-8-read-as-CP1252
+# definition: RIGHT SINGLE QUOTE U+2019 encodes as E2 80 99, and
+# CP1252 reads E2 as a-circumflex U+00E2, 80 as euro U+20AC, 99 as
+# trade-mark U+2122. None of these strings touch _mojibake() or
+# oracle_sql_chain(), so a generator bug cannot satisfy both sides.
+HAND_FIXTURES = [
+    ("It\u00e2\u20ac\u2122s", "It's"),  # U+2019 artifact (99->trade-mark)
+    ("\u00e2\u20ac\u02dcq\u00e2\u20ac\u2122", "'q'"),  # U+2018 (98->small tilde) + U+2019
+    ("\u00e2\u20ac\u0153x\u00e2\u20ac\u009d", "\u0022x\u0022"),  # U+201C (9C->oe), U+201D (9D sloppy C1)
+    ("a\u00e2\u20ac\u201cb", "a-b"),  # en dash U+2013 (93->U+201C)
+    ("a\u00e2\u20ac\u201db", "a-b"),  # em dash U+2014 (94->U+201D)
+    ("wait\u00e2\u20ac\u00a6done", "wait...done"),  # ellipsis U+2026 (A6->broken bar)
+    ("caf\u00c3\u00a9", "caf\u00e9"),  # e-acute: C3 A9 -> A-tilde, copyright
+    ("ma\u00c3\u00b1ana", "ma\u00f1ana"),  # n-tilde: C3 B1 -> A-tilde, plus-minus
+    ("f\u00c3\u00bcr", "f\u00fcr"),  # u-umlaut: C3 BC -> A-tilde, 1/4
+    ("gar\u00c3\u00a7on", "gar\u00e7on"),  # c-cedilla: C3 A7 -> A-tilde, section
+    ("a\u2019b \u201cc\u201d", "a'b \u0022c\u0022"),  # proper typography folds to ascii
+    ("x\u00a0y\u202fz\u2009w", "x y z w"),  # NBSP family -> plain space
+    ("a\u200bb\u200cc\u200dd\ufeffe", "abcde"),  # zero-width family removed
+    ("plain ascii unchanged", "plain ascii unchanged"),  # no-op row
+]
+
+
+def test_hand_written_byte_fixtures_duckdb():
+    """Independent anchor for the generated-oracle operators
+    (normalize_mojibake, curation_v2's repair stage): exact expected
+    bytes, hand-derived, asserted against the generated DuckDB chain --
+    a generator bug cannot pass this AND the Spark twin below."""
+    con = duckdb.connect()
+    for i, (raw, want) in enumerate(HAND_FIXTURES):
+        (got,) = con.execute(f"SELECT {oracle_sql_chain(chr(63))}", [raw]).fetchone()
+        assert got == want, f"duckdb case {i}: {got!r} != {want!r}"
+
+
+def test_hand_written_byte_fixtures_spark(spark):
+    from finetoo_sp_spark.operators.normalize import normalize_text_col
+
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(HAND_FIXTURES)], "i int, text string"
+    )
+    got = {
+        r["i"]: r["fixed"]
+        for r in df.select("i", normalize_text_col("text").alias("fixed")).collect()
+    }
+    for i, (_, want) in enumerate(HAND_FIXTURES):
+        assert got[i] == want, f"spark case {i}: {got[i]!r} != {want!r}"
