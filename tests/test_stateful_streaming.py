@@ -158,9 +158,10 @@ def test_stream_dedup_bloom_tier_bounded_state():
 
     out1 = _run_batch(fn, state, [frame(range(200))])  # overflows cap=50
     assert len(out1) == 200 and (out1["tier"] == "exact").all()
-    seen_arr, bloom_bytes, n_seen = state.get
-    assert seen_arr == [] and bloom_bytes is not None and n_seen == 200
-    assert len(bloom_bytes) == bloom_bits // 8  # fixed-size state
+    seen_arr, blooms, n_active, n_seen = state.get
+    assert seen_arr == [] and len(blooms) == 1 and n_seen == 200
+    assert n_active == 200
+    assert len(blooms[0]) == bloom_bits // 8  # one layer-0 filter
 
     # batch 2: 200 exact repeats + 400 novel — repeats must ALL drop
     out2 = _run_batch(fn, state, [frame(list(range(200)) + list(range(200, 600)))])
@@ -172,8 +173,65 @@ def test_stream_dedup_bloom_tier_bounded_state():
     # batch 3: all 600 again -> nothing survives
     out3 = _run_batch(fn, state, [frame(range(600))])
     assert len(out3) == 0
-    _, bloom2, n2 = state.get
-    assert len(bloom2) == bloom_bits // 8 and n2 == 200 + len(out2)
+    _, blooms2, _, n2 = state.get
+    # 600 distinct hashes are far below layer-0 capacity: still 1 layer
+    assert len(blooms2) == 1 and len(blooms2[0]) == bloom_bits // 8
+    assert n2 == 200 + len(out2)
+
+
+def test_scalable_bloom_false_drop_at_10m_hashes():
+    """The round-3 verdict's scale probe: absorb 10M distinct hashes
+    per shard through the REAL group function (batches of 500k), then
+    measure the false-drop rate on 200k genuinely novel hashes. The
+    layered filter must stay under 0.5% (the old fixed 2^23-bit filter
+    sits at ~100% at this load: 10M inserts saturate 8M bits), with
+    O(log) layer growth and duplicates still always dropped."""
+    import numpy as np
+    import pandas as pd
+
+    from finetoo_sp_spark.streaming.dedup import (
+        DEFAULT_FP_BUDGET,
+        _layers_contain,
+        _make_dedup_group,
+    )
+
+    rng = np.random.default_rng(20260818)
+    hexc = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+    def synth_shas(n):
+        a = hexc[rng.integers(0, 16, (n, 64))]
+        return [s.decode() for s in a.view("S64").ravel()]
+
+    fn = _make_dedup_group(state_cap=1000, bloom_bits=1 << 23, k_hashes=5)
+    state = _FakeState()
+    total, batch_sz = 10_000_000, 500_000
+    emitted = 0
+    for _ in range(total // batch_sz):
+        shas = synth_shas(batch_sz)
+        frame = pd.DataFrame(
+            {"url": [f"u{i}" for i in range(batch_sz)], "content_sha": shas, "shard": 0}
+        )
+        emitted += len(_run_batch(fn, state, [frame]))
+    seen_arr, bloom_list, n_active, n_seen = state.get
+    assert seen_arr == []
+    # ~10M distinct (random 256-bit collisions are negligible); a few
+    # hundred thousand false drops would show up here
+    assert n_seen >= total * 0.99
+    # geometric layering: 10M inserts at 1 MiB layer 0 -> 5 layers, 31 MiB
+    assert 4 <= len(bloom_list) <= 6
+    assert sum(len(b) for b in bloom_list) <= 64 << 20
+
+    blooms = [np.frombuffer(b, dtype=np.uint8) for b in bloom_list]
+    probe = synth_shas(200_000)
+    false_drop = _layers_contain(blooms, probe, 5).mean()
+    bound = len(bloom_list) * DEFAULT_FP_BUDGET
+    assert false_drop < 0.005, f"false-drop {false_drop:.4%} >= 0.5%"
+    assert false_drop <= bound * 1.5, f"{false_drop:.4%} vs theory bound {bound:.4%}"
+    # no false negatives ever: re-present a sample of absorbed hashes
+    rng2 = np.random.default_rng(7)
+    idx = rng2.integers(0, batch_sz, 1000)
+    resend = [shas[i] for i in idx]  # last batch's hashes
+    assert _layers_contain(blooms, resend, 5).all()
 
 
 def test_bloom_helpers_deterministic():
