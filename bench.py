@@ -32,6 +32,17 @@ def main() -> None:
     spark = get_spark(app_name="finetoo_sp_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # -- quiet-window protocol (VERDICT r03 item 10): sample host steal
+    # BEFORE the timed section; when the host is noisy (>1%), wait a
+    # few short windows for it to quiet down (bounded — never stalls
+    # the driver), and annotate every leg with its own steal so a
+    # polluted record is self-describing instead of silently 15% low.
+    preflight_steal, preflight_waits = _steal_window(1.0), 0
+    while preflight_steal is not None and preflight_steal > 1.0 and preflight_waits < 5:
+        time.sleep(5.0)
+        preflight_waits += 1
+        preflight_steal = _steal_window(1.0)
+
     # -- headline: extraction pages/sec (generate once, cache input) -----
     # one task wave across all cores: the datagen default (n/2000 parts)
     # leaves a third of the slots idle at 40k pages / 32 cpus (measured
@@ -39,13 +50,25 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     pages = gen_pages(spark, n_pages, partitions=cpus).select("url", "html").cache()
     pages.count()  # materialize: time extraction, not generation
-    extract_s = float("inf")
+    extract_s, best_leg_steal = float("inf"), None
+    headline_legs: list[dict] = []
     # best-of-3: the sandbox shares a host whose spare CPU fluctuates;
-    # the minimum reflects the engine, the mean reflects the neighbors
+    # the minimum reflects the engine, the mean reflects the neighbors.
+    # Each leg records the steal sampled AROUND its own timed region.
     for _ in range(3):
+        s0, j0 = _cpu_steal_jiffies()
         t0 = time.time()
         n_out = extract_pages(pages).select("url", "content_chars").count()
-        extract_s = min(extract_s, time.time() - t0)
+        dt = time.time() - t0
+        s1, j1 = _cpu_steal_jiffies()
+        leg_steal = (
+            round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2) if j1 > j0 else None
+        )
+        headline_legs.append(
+            {"pages_per_sec": round(n_out / dt, 1), "sec": round(dt, 3), "steal_pct": leg_steal}
+        )
+        if dt < extract_s:
+            extract_s, best_leg_steal = dt, leg_steal
     pages_per_sec = n_out / extract_s if extract_s > 0 else 0.0
     pages.unpersist()
 
@@ -105,6 +128,7 @@ def main() -> None:
         "phrase_hits",
         "shard_assign",
         "robots_gate",
+        "robots_gate_wildcard",
         "compaction_plan",
         "budget_alloc",
         "script_profile",
@@ -183,9 +207,25 @@ def main() -> None:
                 "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 "query_reps": reps,
                 "host_steal_pct": steal_pct,
+                "steal_annotated": True,
+                "preflight_steal_pct": preflight_steal,
+                "preflight_waits": preflight_waits,
+                "headline_legs": headline_legs,
+                "headline_best_leg_steal_pct": best_leg_steal,
+                "headline_polluted": bool(best_leg_steal and best_leg_steal > 1.0),
             }
         )
     )
+
+
+def _steal_window(seconds: float) -> float | None:
+    """Steal %% over a short sleep window (None when /proc is absent)."""
+    s0, t0 = _cpu_steal_jiffies()
+    time.sleep(seconds)
+    s1, t1 = _cpu_steal_jiffies()
+    if t1 <= t0:
+        return None
+    return round(100.0 * (s1 - s0) / (t1 - t0), 2)
 
 
 def _cpu_steal_jiffies() -> tuple[int, int]:
