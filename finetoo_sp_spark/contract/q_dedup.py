@@ -1,0 +1,403 @@
+"""Contract queries: exact / MinHash / SimHash / line-level / embedding dedup.
+
+Split from the round-3 contract.py monolith (VERDICT r03 item 7);
+every query keeps its original name, Spark plan, and DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    Callable,
+    DataFrame,
+    SparkSession,
+    F,
+    documents_to_pages,
+    extract_pages,
+    dd,
+    sim,
+    ts,
+    ev,
+    PropertyGraphFrames,
+    op_aggregate,
+    op_compare,
+    op_filter,
+    op_group_by,
+    op_join,
+    op_match,
+    op_project,
+    op_traverse,
+    PropertyMeta,
+    Schema,
+    T,
+    tpch_schema,
+    tpch_graph,
+    _CUSTOMER_COLS,
+    _ORDERS_COLS,
+    _WORDS_SQL,
+    _STOP_ALL,
+    _docpages_expected_sql,
+    _REGISTRY,
+    _q,
+    _EXTRACT_ORACLE,
+    _extracted_blocks_named,
+    _shingle_ctes,
+    _jaccard_sql,
+    _JACCARD_ORACLE,
+    _H60,
+    _minhash_oracle,
+    _simhash_oracle,
+    _INCR_CORPUS_SQL,
+    _TEMPLATE_CORPUS_SQL,
+    _template_heavy_corpus,
+    _COSINE_SQL,
+    _BUCKET_SQL,
+    _STOP_LIST_SQL,
+    _LANG_COUNTS_SQL,
+    _SLICE_BUCKET_SQL,
+    _multiprobe_oracle,
+    _recall_curve_oracle,
+    _REP_WORDS_SQL,
+    _ngram_cte,
+    _BENCH_WORDS_SQL,
+    _assets,
+    _u32_le_sql,
+    _FEATURES_U32_SQL,
+    _SANITIZE_SQL,
+    _tmp_out,
+    _blocks_cte,
+    _snapshot_b,
+    _CURATION_MAX_DF,
+    _CURATION_JACCARD,
+    _pagerank_oracle,
+    _SHA60_ID,
+    _KMEANS_CTE,
+    _curation_v2_oracle,
+    _BM25_TERMS,
+    _BM25_TERMS_SQL,
+)
+
+
+
+
+# --- dedup family ---------------------------------------------------------
+
+
+@_q(
+    "dedup_exact",
+    """
+SELECT sha256(text) AS content_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY sha256(text)""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q("dedup_ngram_jaccard", _JACCARD_ORACLE)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+)
+SELECT u AS id, min(r) AS component FROM reach GROUP BY u""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> transitive clusters via distributed min-label
+    propagation with pointer jumping (operators/components.py). The
+    oracle computes the same closure with a recursive CTE."""
+    from finetoo_sp_spark.operators.components import connected_components
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    pairs = dd.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.05)
+    return connected_components(pairs)
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle("doc_id < 150", k=32, bands=8, threshold=0.12))
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sub-quadratic text-dedup path under a FULL value oracle:
+    hash_mode='sha' swaps xxhash64 for the sha256-derived 60-bit base
+    hash so DuckDB reproduces signatures, banding, candidates and the
+    verified Jaccard exactly. Production keeps hash_mode='xxhash64'
+    (same plan shape, faster hash)."""
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return dd.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=32, bands=8, threshold=0.12, hash_mode="sha"
+    )
+
+
+@_q(
+    "dedup_incremental",
+    "SELECT id_b AS id_new, id_a AS id_old, jaccard FROM ("
+    + _minhash_oracle(
+        "TRUE", k=32, bands=8, threshold=0.5, src="corpus", prelude=_INCR_CORPUS_SQL
+    )
+    + ") WHERE id_a < 100000 AND id_b >= 100000",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: a new crawl batch checked against the
+    existing corpus WITHOUT regenerating old-vs-old pairs — the
+    per-snapshot workflow at 10^12 existing docs.  The oracle is the
+    full combined-corpus self-join restricted to cross pairs, so it
+    proves the bipartite plan finds exactly the pairs the (much more
+    expensive) self-join would."""
+    docs = T(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    upd = docs.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" update")).alias("text"),
+    )
+    fresh = docs.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 200)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return dd.minhash_lsh_pairs_between(
+        old, upd.unionByName(fresh), "doc_id", "text",
+        n=3, k=32, bands=8, threshold=0.5, hash_mode="sha",
+    )
+
+
+@_q("dedup_simhash", _simhash_oracle(max_hamming=3))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup under a FULL value oracle (60-bit 'sha'
+    fingerprint mode; production uses the 64-bit xxhash64 mode)."""
+    return dd.simhash_pairs(
+        T(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3, hash_mode="sha"
+    )
+
+
+@_q(
+    "dedup_minhash_salted",
+    _minhash_oracle(
+        "TRUE", k=32, bands=8, threshold=0.12, src="corpus", prelude=_TEMPLATE_CORPUS_SQL
+    ),
+)
+def q_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH with the hot-bucket defense ENGAGED (bucket_cap=16 on
+    a template-flooded corpus): every band bucket of the injected copies
+    holds 60 rows > cap, so the candidate join runs through the
+    triangular-cell salt split. Oracle = the same banding/verify SQL
+    with no salting — output identity is the check."""
+    corpus = _template_heavy_corpus(spark, sf_dir)
+    return dd.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, k=32, bands=8, threshold=0.12,
+        bucket_cap=16, hash_mode="sha",
+    )
+
+
+@_q(
+    "dedup_simhash_salted",
+    _simhash_oracle(max_hamming=3, src="corpus", prelude=_TEMPLATE_CORPUS_SQL),
+)
+def q_simhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banding with the hot-bucket defense ENGAGED (bucket_cap=16,
+    template-flooded corpus; payload-carrying variant of the triangular
+    split — fingerprints travel through the salt cells). Oracle is the
+    uncapped banding SQL: output identity proves the split drops and
+    duplicates nothing."""
+    corpus = _template_heavy_corpus(spark, sf_dir)
+    return dd.simhash_pairs(
+        corpus, "doc_id", "text", max_hamming=3, bucket_cap=16, hash_mode="sha"
+    )
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COSINE_SQL} AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.vec_id < b.vec_id
+ AND {_BUCKET_SQL.format(side='a')} = {_BUCKET_SQL.format(side='b')}
+WHERE {_COSINE_SQL} >= 0.4""",
+)
+def q_emb_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered 100 TB path: sign-LSH bucket join + in-bucket exact
+    cosine (no crossJoin in the plan). The all-pairs form
+    (dd.embedding_near_dup_pairs) stays a test-only small-SF oracle
+    (tests/test_dedup_similarity.py)."""
+    return dd.embedding_near_dup_pairs_bucketed(
+        T(spark, sf_dir, "embeddings"), threshold=0.4, n_bits=8
+    )
+
+
+@_q(
+    "contamination_flags",
+    f"""
+WITH {_ngram_cte('bsh', 'doc_id AS id', _BENCH_WORDS_SQL, 13).format(where='WHERE doc_id % 50 = 0')},
+{_ngram_cte('dsh', 'doc_id AS id', _WORDS_SQL, 13).format(where='')},
+hits AS (
+  SELECT d.id, count(*) AS n FROM dsh d
+  JOIN (SELECT DISTINCT shingle FROM bsh) b USING (shingle)
+  GROUP BY d.id
+)
+SELECT doc_id AS id, CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+  coalesce(n, 0) > 0 AS contaminated
+FROM documents LEFT JOIN hits ON hits.id = documents.doc_id""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C protocol: 13-gram
+    overlap with the eval set). The 'benchmark' is the 200-char prefix
+    of every 50th document, so the flagged set is non-trivial (the
+    source docs themselves plus any near-dups) and the expected flags
+    are independently recomputable."""
+    docs = T(spark, sf_dir, "documents")
+    benchmarks = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.substring("text", 1, 200).alias("btext"),
+    )
+    return dd.contamination_flags(
+        docs, benchmarks, "doc_id", "text", "bench_id", "btext", n=13
+    )
+
+
+@_q(
+    "dedup_lines_c4",
+    """
+WITH corpus AS (
+  SELECT doc_id,
+    'SHARED FOOTER NAVIGATION' || chr(10) || text || chr(10)
+      || 'cookie banner variant ' || CAST(doc_id % 3 AS VARCHAR) AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus
+), l AS (
+  SELECT doc_id, i AS pos, ls[CAST(i AS BIGINT)] AS ln
+  FROM s, UNNEST(generate_series(1, len(ls))) t(i)
+), counts AS (
+  SELECT ln, count(*) AS c FROM l GROUP BY ln
+), kept AS (
+  SELECT doc_id, pos, ln FROM l JOIN counts USING (ln) WHERE c <= 2
+)
+SELECT doc_id, array_to_string(list(ln ORDER BY pos), chr(10)) AS text
+FROM kept GROUP BY doc_id""",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup (the boilerplate killer document-level
+    dedup can't touch): a shared footer line and three cookie-banner
+    variants are injected into every document; lines occurring more than
+    twice corpus-wide must vanish from every doc while each document's
+    own text lines survive in order. Documents whose every line is
+    boilerplate would drop entirely (none here — each body is unique or
+    near-unique)."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("SHARED FOOTER NAVIGATION\n"),
+            F.col("text"),
+            F.lit("\ncookie banner variant "),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    out = dd.line_dedup(corpus, "doc_id", "text", max_line_df=2)
+    return out.select(F.col("id").alias("doc_id"), "text")
+
+
+@_q(
+    "semdedup_survivors",
+    f"""
+WITH {_KMEANS_CTE},
+pairs AS (
+  SELECT b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+   AND {_BUCKET_SQL.format(side='a')} = {_BUCKET_SQL.format(side='b')}
+  JOIN a2 ca ON ca.vec_id = a.vec_id
+  JOIN a2 cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+  WHERE {_COSINE_SQL} >= 0.4
+)
+SELECT a2.vec_id AS id, a2.cluster FROM a2
+WHERE a2.vec_id NOT IN (SELECT id_b FROM pairs)""",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means the embedding space, then
+    drop the larger id of every cosine-near-duplicate pair found WITHIN
+    (cluster, sign-LSH bucket). The pair join never leaves a cluster —
+    candidate sets shrink with both k and n_bits, so the 100 TB plan is
+    a bucket equi-join + anti-join, no cross join."""
+    from finetoo_sp_spark.operators import clustering as cl
+
+    return cl.semdedup_survivors(
+        T(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        k=4,
+        iters=2,
+        threshold=0.4,
+        n_bits=8,
+    )
+
+
+@_q(
+    "mirror_hosts",
+    """
+WITH d AS (
+  SELECT source AS host,
+    CASE WHEN doc_id % 7 = 0
+      THEN 'mirrored content ' || CAST(doc_id // 40 AS VARCHAR)
+      ELSE text END AS tx
+  FROM documents
+),
+hs AS (SELECT DISTINCT host, sha256(tx) AS sha FROM d),
+deg AS (SELECT sha FROM hs GROUP BY sha HAVING count(*) <= 50),
+p AS (SELECT hs.sha, hs.host FROM hs JOIN deg USING (sha))
+SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+FROM p a JOIN p b ON a.sha = b.sha AND a.host < b.host
+GROUP BY 1, 2""",
+)
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: every 7th document's text is replaced by a
+    shared template keyed by doc_id div 40, planting cross-source
+    byte-identical mirrors; mirror_hosts recovers the (host_a, host_b)
+    pairs and shared-doc counts, max-df-pruned on the sha side so
+    template noise can't go quadratic. Oracle relational."""
+    from finetoo_sp_spark.operators.dedup import mirror_hosts
+
+    d = T(spark, sf_dir, "documents")
+    tx = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("mirrored content "), F.expr("doc_id div 40").cast("string")),
+    ).otherwise(F.col("text"))
+    docs = d.select(F.col("source").alias("host"), "doc_id", tx.alias("text"))
+    return mirror_hosts(docs, "host", "doc_id", "text", min_shared=1)
+
+
+@_q(
+    "edit_verify",
+    """
+WITH p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT id_a, id_b,
+  CAST(levenshtein(ta, tb) AS INT) AS lev,
+  (CAST(levenshtein(ta, tb) AS BIGINT) * 10000)
+    // greatest(length(ta), length(tb)) AS ratio_fp,
+  (CAST(levenshtein(ta, tb) AS BIGINT) * 10000)
+    // greatest(length(ta), length(tb)) <= 2000 AS is_dup
+FROM p""",
+)
+def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance confirm step over candidate pairs (here:
+    adjacent doc ids as a deterministic stand-in for LSH candidates):
+    JVM-side Levenshtein, integer fixed-point similarity ratio, is_dup
+    gate. Pairs broadcast so the corpus side never shuffles."""
+    from finetoo_sp_spark.operators.dedup import edit_verify_pairs
+
+    d = T(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    return edit_verify_pairs(
+        d, pairs, "doc_id", "text", max_ratio_fp=2000, broadcast_pairs=True
+    )

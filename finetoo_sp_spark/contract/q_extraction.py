@@ -1,0 +1,551 @@
+"""Contract queries: HTML/PDF extraction, link graph, manifests.
+
+Split from the round-3 contract.py monolith (VERDICT r03 item 7);
+every query keeps its original name, Spark plan, and DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    Callable,
+    DataFrame,
+    SparkSession,
+    F,
+    documents_to_pages,
+    extract_pages,
+    dd,
+    sim,
+    ts,
+    ev,
+    PropertyGraphFrames,
+    op_aggregate,
+    op_compare,
+    op_filter,
+    op_group_by,
+    op_join,
+    op_match,
+    op_project,
+    op_traverse,
+    PropertyMeta,
+    Schema,
+    T,
+    tpch_schema,
+    tpch_graph,
+    _CUSTOMER_COLS,
+    _ORDERS_COLS,
+    _WORDS_SQL,
+    _STOP_ALL,
+    _docpages_expected_sql,
+    _REGISTRY,
+    _q,
+    _EXTRACT_ORACLE,
+    _extracted_blocks_named,
+    _shingle_ctes,
+    _jaccard_sql,
+    _JACCARD_ORACLE,
+    _H60,
+    _minhash_oracle,
+    _simhash_oracle,
+    _INCR_CORPUS_SQL,
+    _TEMPLATE_CORPUS_SQL,
+    _template_heavy_corpus,
+    _COSINE_SQL,
+    _BUCKET_SQL,
+    _STOP_LIST_SQL,
+    _LANG_COUNTS_SQL,
+    _SLICE_BUCKET_SQL,
+    _multiprobe_oracle,
+    _recall_curve_oracle,
+    _REP_WORDS_SQL,
+    _ngram_cte,
+    _BENCH_WORDS_SQL,
+    _assets,
+    _u32_le_sql,
+    _FEATURES_U32_SQL,
+    _SANITIZE_SQL,
+    _tmp_out,
+    _blocks_cte,
+    _snapshot_b,
+    _CURATION_MAX_DF,
+    _CURATION_JACCARD,
+    _pagerank_oracle,
+    _SHA60_ID,
+    _KMEANS_CTE,
+    _curation_v2_oracle,
+    _BM25_TERMS,
+    _BM25_TERMS_SQL,
+)
+
+
+
+
+@_q("extract_main_text", _EXTRACT_ORACLE)
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    # hash(url) salt repartition before the kernel (the north-rule skew
+    # defense); locally it also rescues the single-file scan from a
+    # one-core kernel run (cold 3.7 -> 1.5 s at sf0.1)
+    out = extract_pages(
+        pages, repartition_buckets=spark.sparkContext.defaultParallelism,
+        keep_cols=["doc_id"],
+    )
+    return out.select("url", "text", "title", "h1", "doc_id")
+
+
+@_q(
+    "extract_block_stats",
+    # text = h1 || '\n' || body, so content chars = len(h1)+len(body) = len(text)-1;
+    # the template has exactly 2 content blocks (h1 + body paragraph).
+    _docpages_expected_sql(
+        "url, CAST(2 AS BIGINT) AS n_content_blocks, "
+        "CAST(length(text) - 1 AS BIGINT) AS content_chars"
+    ),
+)
+def q_extract_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url block counts; the oracle recomputes content_chars from the
+    template's known extraction (text = h1 || nl || body)."""
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out = extract_pages(
+        pages, repartition_buckets=spark.sparkContext.defaultParallelism
+    )
+    return out.select("url", "n_content_blocks", "content_chars")
+
+
+@_q(
+    "extract_spans",
+    """
+WITH pre AS (
+  SELECT doc_id, text,
+    '<!DOCTYPE html><html lang="' || lang || '"><head><title>document '
+      || doc_id || ' from ' || source
+      || '</title><meta name="description" content="summary of document '
+      || doc_id || ' from ' || source
+      || '"><link rel="canonical" href="https://' || source || '.example.com/doc/' || doc_id
+      || '"><script>var doc_id = ' || doc_id || ';</script></head><body><header>'
+      || '<ul><li><a href="/home">home</a></li><li><a href="/tags/' || source || '">' || source
+      || '</a></li><li><a href="https://src' || CAST(CAST(floor(doc_id / 2) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR)
+      || '">related</a></li><li><a href="https://src' || CAST(CAST(floor(doc_id / 3) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR)
+      || '">more</a></li><li><a href="/about">about</a></li></ul>'
+      || '</header><main><h1>heading for document ' || doc_id || '</h1><p>' AS prefix,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'heading for document ' || doc_id AS h1t
+  FROM documents
+), pos AS (
+  SELECT url,
+    strpos(prefix, '<h1>') + 3 AS h1s,
+    strpos(prefix, '<h1>') + 3 + length(h1t) AS h1e,
+    length(prefix) AS ps,
+    length(prefix) + length(text) AS pe
+  FROM pre
+)
+SELECT url,
+  '[{"start":' || h1s || ',"end":' || h1e || ',"tag":"h1"},{"start":'
+    || ps || ',"end":' || pe || ',"tag":"p"}]' AS spans_json
+FROM pos""",
+)
+def q_extract_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spans output of the north rule under a FULL value oracle: per
+    url, the content-block char offsets into the decoded HTML,
+    serialized as JSON. The oracle rebuilds the template prefix in SQL
+    and derives every offset independently (strpos + raw-text lengths) —
+    so the kernel's exact token-offset arithmetic, not just the joined
+    text, is value-checked."""
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out = extract_pages(
+        pages, repartition_buckets=spark.sparkContext.defaultParallelism
+    )
+    return out.select("url", F.to_json("spans").alias("spans_json"))
+
+
+@_q(
+    "pdf_real_extract",
+    """
+SELECT 'https://pdf.example.com/' || doc_id AS url,
+  'real heading ' || doc_id || chr(10) || 'body block for ' || doc_id AS text,
+  CAST(2 AS BIGINT) AS n_blocks,
+  CAST(length('real heading ' || doc_id || 'body block for ' || doc_id) AS BIGINT)
+    AS content_chars
+FROM documents WHERE doc_id < 200""",
+)
+def q_pdf_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (spec-conformant, Flate-compressed) PDF payloads through the
+    layout path under a full value oracle: make_real_pdf writes actual
+    PDF 1.4 files per doc, the vendored pure-stdlib extractor
+    (extraction/pdfmini.py) inflates/parses them inside the Arrow
+    kernel, and the oracle recomputes the expected text from the
+    fragment formula alone — it never sees a PDF byte."""
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200).select("doc_id")
+
+    def gen(batches):
+        from finetoo_sp_spark.extraction.pdfmini import make_real_pdf
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = make_real_pdf(
+                    [
+                        (0, 72.0, 700.0, f"real heading {i}"),
+                        (0, 72.0, 600.0, f"body block for {i}"),
+                    ]
+                )
+                rows.append((f"https://pdf.example.com/{i}", payload))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, "url string, html binary")
+    out = extract_pages_any(pages)
+    return out.select("url", "text", "n_blocks", "content_chars")
+
+
+@_q(
+    "web_link_bom",
+    """
+WITH l AS (
+  SELECT doc_id AS src, CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(floor(doc_id / 3) AS BIGINT) FROM documents
+)
+SELECT 'https://src' || CAST(t % 20 AS VARCHAR) || '.example.com/doc/' || CAST(t AS VARCHAR) AS part,
+  count(*) AS quantity,
+  count(DISTINCT src) AS n_sources
+FROM l GROUP BY t""",
+)
+def q_web_bom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM over real extracted LINKS_TO edges (reference: INSERT-count
+    BOM, bom_exporter.cc:36-89): per linked page, link count + distinct
+    linking pages. The oracle recomputes the expectation from the
+    docpages template's parent-link rule."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.divergence import bom_report
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    bom = bom_report(g, edge_type="LINKS_TO")
+    return bom.select(
+        "part", "quantity", F.size("sources").cast("long").alias("n_sources")
+    )
+
+
+@_q(
+    "pdf_layout_extract",
+    """
+WITH exp AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+    CASE WHEN doc_id % 5 = 0
+      THEN 'heading for document ' || doc_id || chr(10)
+        || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+      ELSE 'pdf doc ' || doc_id || ' first paragraph for doc ' || doc_id
+        || chr(10) || 'second block from ' || source
+        || chr(10) || 'appendix for doc ' || doc_id
+    END AS text,
+    CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 3 END AS nb,
+    CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS seps
+  FROM documents
+)
+SELECT url, text, CAST(nb AS BIGINT) AS n_blocks,
+  CAST(length(text) - seps AS BIGINT) AS content_chars
+FROM exp""",
+)
+def q_pdf_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 PDF layout path + magic-byte routing (extraction/pdf.py): 4/5
+    of the corpus becomes FAKEPDF payloads (3 layout blocks: two y-close
+    fragments merge, a y-gap splits, a page break splits), 1/5 stays
+    HTML; extract_pages_any routes on the %PDF- prefix JVM-side and the
+    two branches union into one schema. Oracle recomputes both branches'
+    expected text."""
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+
+    docs = T(spark, sf_dir, "documents")
+    html_pages = documents_to_pages(docs.filter(F.col("doc_id") % 5 == 0)).select(
+        "url", "html"
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+    )
+    payload = F.concat(
+        F.lit("%PDF-FAKE\nP 0 10 100 pdf doc "),
+        F.col("doc_id"),
+        F.lit("\nP 0 10 92 first paragraph for doc "),
+        F.col("doc_id"),
+        F.lit("\nP 0 10 60 second block from "),
+        F.col("source"),
+        F.lit("\nP 1 10 100 appendix for doc "),
+        F.col("doc_id"),
+    )
+    pdf_pages = docs.filter(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"), F.encode(payload, "UTF-8").alias("html")
+    )
+    out = extract_pages_any(html_pages.unionByName(pdf_pages))
+    return out.select("url", "text", "n_blocks", "content_chars")
+
+
+@_q(
+    "edge_build",
+    """
+WITH l AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS src,
+    CAST(floor(doc_id / 2) AS BIGINT) AS t FROM documents
+  UNION ALL
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id,
+    CAST(floor(doc_id / 3) AS BIGINT) FROM documents
+)
+SELECT 'LINKS_TO' AS edge_type, src,
+  'https://src' || CAST(t % 20 AS VARCHAR) || '.example.com/doc/' || CAST(t AS VARCHAR) AS dst
+FROM l""",
+)
+def q_edge_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 reference-edge build (reference: graph_builder.cc:41-61 INSERT
+    -> REFERENCES equi-join): anchor extraction -> resolve -> semi-join
+    against corpus urls -> LINKS_TO edges, multiset-compared against the
+    template's parent-link rule (duplicate links preserved)."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    return g.edges.filter(F.col("edge_type") == "LINKS_TO").select(
+        "edge_type", "src", "dst"
+    )
+
+
+@_q(
+    "anchor_text_agg",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example.com' AS host,
+    'https://' || source || '.example.com/doc/' || doc_id AS url
+  FROM documents
+),
+a AS (
+  SELECT url, host || '/home' AS target, 'home' AS anchor FROM d
+  UNION ALL SELECT url, host || '/tags/' || source, source FROM d
+  UNION ALL SELECT url,
+    'https://src' || CAST(CAST(floor(doc_id / 2) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 2) AS BIGINT) AS VARCHAR),
+    'related' FROM d
+  UNION ALL SELECT url,
+    'https://src' || CAST(CAST(floor(doc_id / 3) AS BIGINT) % 20 AS VARCHAR)
+      || '.example.com/doc/' || CAST(CAST(floor(doc_id / 3) AS BIGINT) AS VARCHAR),
+    'more' FROM d
+  UNION ALL SELECT url, host || '/about', 'about' FROM d
+  UNION ALL SELECT url, host || '/terms', 'terms' FROM d
+  UNION ALL SELECT url, host || '/contact', 'contact' FROM d
+  UNION ALL SELECT url, host || '/u', 'author ' || doc_id FROM d
+)
+SELECT target, CAST(count(*) AS BIGINT) AS n_refs,
+  CAST(count(DISTINCT url) AS BIGINT) AS n_sources,
+  string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors_cs
+FROM a GROUP BY target""",
+)
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profiles over the whole crawl (anchor text
+    describes the TARGET page — the retrieval / anchor-conditioned
+    pretraining signal). The oracle re-derives every one of the
+    template's 8 anchors per page (nav, tag, parent links, footer,
+    author) with its visible text, so this value-checks the anchor-pair
+    regex, nested-tag stripping, relative-href resolution AND the
+    aggregation in one query."""
+    from finetoo_sp_spark.extraction.graph import anchor_text_summary
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    return anchor_text_summary(pages)
+
+
+@_q(
+    "binder_manifest",
+    """
+WITH p AS (
+  SELECT source,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    sha256('heading for document ' || doc_id || chr(10)
+      || trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS h
+  FROM documents
+)
+SELECT source AS binder_id, 'Binder ' || source AS title,
+  count(*) AS n_pages,
+  sha256(string_agg(h, '' ORDER BY url)) AS binder_sha,
+  min(url) AS first_url, max(url) AS last_url
+FROM p GROUP BY source""",
+)
+def q_binder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binder/export direction (reference: BinderConfig,
+    proto/graph.proto:360-383): one binder per source, pages ordered by
+    url, combined sha256 over the ordered page hashes — byte-stable under
+    any partitioning. The oracle recomputes every binder hash via
+    string_agg ORDER BY."""
+    from finetoo_sp_spark.extraction.binder import BinderConfig, build_binder_manifest
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    extracted = extract_pages(pages).withColumn(
+        "source", F.regexp_extract("url", r"https://([^.]+)\.", 1)
+    )
+    return build_binder_manifest(extracted, BinderConfig(group_col="source"))
+
+
+@_q(
+    "table_extract",
+    """
+WITH p AS (
+  SELECT p_brand AS brand,
+    '<tr><td>' || p_partkey || '</td><td>' || p_type || '</td><td>'
+      || p_size || '</td></tr>' AS row_str,
+    CAST(p_partkey AS VARCHAR) AS c0, p_type AS c1,
+    CAST(p_size AS VARCHAR) AS c2
+  FROM part
+),
+r AS (
+  SELECT brand, c0, c1, c2,
+    CAST(row_number() OVER (PARTITION BY brand ORDER BY row_str) AS INT) AS row_idx
+  FROM p
+),
+hdr AS (SELECT DISTINCT brand FROM p),
+cells AS (
+  SELECT brand, 0 AS row_idx, 0 AS col_idx, 'partkey' AS cell FROM hdr
+  UNION ALL SELECT brand, 0, 1, 'type' FROM hdr
+  UNION ALL SELECT brand, 0, 2, 'size' FROM hdr
+  UNION ALL SELECT brand, row_idx, 0, c0 FROM r
+  UNION ALL SELECT brand, row_idx, 1, c1 FROM r
+  UNION ALL SELECT brand, row_idx, 2, c2 FROM r
+)
+SELECT 'https://catalog.example.com/brand/' || brand AS url,
+  0 AS table_idx, row_idx, col_idx, cell
+FROM cells""",
+)
+def q_table_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HTML table extraction: synthesize one catalog page per
+    p_brand (header row + one <tr> per part, rows sorted for
+    determinism), then parse every page back to (url, table_idx,
+    row_idx, col_idx, cell) with extraction/tables.py. The oracle
+    computes the expected cells RELATIONALLY from part — the HTML
+    round-trip must land byte-identical. Extraction itself is shuffle-
+    free narrow work; only the test-scaffold page synthesis aggregates."""
+    from finetoo_sp_spark.extraction.tables import extract_tables
+
+    p = T(spark, sf_dir, "part")
+    row_str = F.concat(
+        F.lit("<tr><td>"), F.col("p_partkey"), F.lit("</td><td>"),
+        F.col("p_type"), F.lit("</td><td>"), F.col("p_size"), F.lit("</td></tr>"),
+    )
+    pages = (
+        p.select(F.col("p_brand").alias("brand"), row_str.alias("row_str"))
+        .groupBy("brand")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("row_str"))).alias("rows_html"))
+        .select(
+            F.concat(F.lit("https://catalog.example.com/brand/"), F.col("brand")).alias("url"),
+            F.concat(
+                F.lit("<html><body><p>catalog</p><table>"
+                      "<tr><th>partkey</th><th>type</th><th>size</th></tr>"),
+                F.col("rows_html"),
+                F.lit("</table></body></html>"),
+            ).alias("html"),
+        )
+    )
+    out = extract_tables(pages)
+    # header row is row_idx 0; the sorted <tr>s are 1..n by construction
+    return out.select("url", "table_idx", "row_idx", "col_idx", "cell")
+
+
+@_q(
+    "compliance_flags",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  CASE CAST(doc_id % 4 AS INT)
+    WHEN 0 THEN 'noindex, nofollow'
+    WHEN 1 THEN 'index, follow'
+    WHEN 2 THEN 'noai' ELSE '' END AS robots,
+  doc_id % 4 = 0 AS noindex,
+  doc_id % 4 = 0 AS nofollow,
+  doc_id % 4 = 2 AS noai,
+  CASE WHEN doc_id % 2 = 0
+    THEN 'https://creativecommons.org/licenses/by/4.0/' ELSE '' END AS license
+FROM documents""",
+)
+def q_compliance_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end opt-out signal extraction: synthesize doc pages where
+    doc_id % 4 picks the robots directive (noindex+nofollow / index /
+    noai / no meta at all) and doc_id % 2 adds a rel=license link, then
+    recover every signal with extraction/compliance.py. Oracle computes
+    the expected flags relationally. Narrow plan, no shuffle."""
+    from finetoo_sp_spark.extraction.compliance import compliance_flags
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 4).cast("int")
+    robots_meta = (
+        F.when(m == 0, F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(m == 1, F.lit('<meta name="robots" content="index, follow">'))
+        .when(m == 2, F.lit('<meta name="robots" content="noai">'))
+        .otherwise(F.lit(""))
+    )
+    license_link = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.lit('<link rel="license" href="https://creativecommons.org/licenses/by/4.0/">'),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/doc/"), F.col("doc_id")
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head>"), robots_meta, license_link,
+            F.lit("<title>t</title></head><body><p>body</p></body></html>"),
+        ).alias("html"),
+    )
+    return compliance_flags(pages)
+
+
+@_q(
+    "jsonld_extract",
+    """
+SELECT 'https://shop.example.com/order/' || o_orderkey AS url,
+  0 AS blob_idx,
+  o_orderkey AS order_number,
+  o_totalprice AS price,
+  o_orderstatus AS status
+FROM orders""",
+)
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JSON-LD extraction: synthesize one shop page per order
+    with an embedded schema.org Order blob (plus a decoy plain <script>),
+    lift the blob back out with extraction/jsonld.py and type the fields
+    via get_json_object. The oracle computes the expected values
+    RELATIONALLY from orders, so the double/long/string fields must
+    round-trip the HTML+JSON encoding byte-exactly. Narrow plan — no
+    shuffle anywhere."""
+    from finetoo_sp_spark.extraction.jsonld import extract_jsonld
+
+    o = T(spark, sf_dir, "orders")
+    pages = o.select(
+        F.concat(F.lit("https://shop.example.com/order/"), F.col("o_orderkey")).alias("url"),
+        F.concat(
+            F.lit('<html><head><script>var t = 1;</script>'
+                  '<script type="application/ld+json">{"@type":"Order","orderNumber":'),
+            F.col("o_orderkey"),
+            F.lit(',"price":'),
+            F.col("o_totalprice").cast("string"),
+            F.lit(',"status":"'),
+            F.col("o_orderstatus"),
+            F.lit('"}</script></head><body><p>order page</p></body></html>'),
+        ).alias("html"),
+    )
+    out = extract_jsonld(
+        pages,
+        fields={
+            "order_number": "$.orderNumber",
+            "price": "$.price",
+            "status": "$.status",
+        },
+    )
+    return out.select(
+        "url",
+        "blob_idx",
+        F.col("order_number").cast("long").alias("order_number"),
+        F.col("price").cast("double").alias("price"),
+        "status",
+    )

@@ -1,0 +1,202 @@
+"""Contract queries: image metadata/stats/resize and frame sampling.
+
+Split from the round-3 contract.py monolith (VERDICT r03 item 7);
+every query keeps its original name, Spark plan, and DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    Callable,
+    DataFrame,
+    SparkSession,
+    F,
+    documents_to_pages,
+    extract_pages,
+    dd,
+    sim,
+    ts,
+    ev,
+    PropertyGraphFrames,
+    op_aggregate,
+    op_compare,
+    op_filter,
+    op_group_by,
+    op_join,
+    op_match,
+    op_project,
+    op_traverse,
+    PropertyMeta,
+    Schema,
+    T,
+    tpch_schema,
+    tpch_graph,
+    _CUSTOMER_COLS,
+    _ORDERS_COLS,
+    _WORDS_SQL,
+    _STOP_ALL,
+    _docpages_expected_sql,
+    _REGISTRY,
+    _q,
+    _EXTRACT_ORACLE,
+    _extracted_blocks_named,
+    _shingle_ctes,
+    _jaccard_sql,
+    _JACCARD_ORACLE,
+    _H60,
+    _minhash_oracle,
+    _simhash_oracle,
+    _INCR_CORPUS_SQL,
+    _TEMPLATE_CORPUS_SQL,
+    _template_heavy_corpus,
+    _COSINE_SQL,
+    _BUCKET_SQL,
+    _STOP_LIST_SQL,
+    _LANG_COUNTS_SQL,
+    _SLICE_BUCKET_SQL,
+    _multiprobe_oracle,
+    _recall_curve_oracle,
+    _REP_WORDS_SQL,
+    _ngram_cte,
+    _BENCH_WORDS_SQL,
+    _assets,
+    _u32_le_sql,
+    _FEATURES_U32_SQL,
+    _SANITIZE_SQL,
+    _tmp_out,
+    _blocks_cte,
+    _snapshot_b,
+    _CURATION_MAX_DF,
+    _CURATION_JACCARD,
+    _pagerank_oracle,
+    _SHA60_ID,
+    _KMEANS_CTE,
+    _curation_v2_oracle,
+    _BM25_TERMS,
+    _BM25_TERMS_SQL,
+)
+
+
+
+
+@_q(
+    "multimodal_metadata",
+    """
+SELECT doc_id AS asset_id,
+  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  sha256(text) AS payload_sha
+FROM documents""",
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from finetoo_sp_spark.multimodal import asset_metadata
+
+    return asset_metadata(_assets(spark, sf_dir))
+
+
+@_q(
+    "multimodal_features",
+    f"""
+WITH m AS (
+  SELECT doc_id AS asset_id,
+    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+    sha256(text) AS h
+  FROM documents
+)
+SELECT asset_id, modality, n_bytes, h AS payload_sha,
+  {_FEATURES_U32_SQL} AS features_u32
+FROM m""",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pseudo-feature extraction with a full value oracle:
+    the fake-decode features are dyadic rationals u32/2^32, so projecting
+    round(x * 2^32) at the query boundary is EXACT — the DuckDB twin
+    recomputes the same uint32s from the sha256 hex digest."""
+    from finetoo_sp_spark.multimodal import extract_features
+
+    feat = extract_features(_assets(spark, sf_dir))
+    return feat.select(
+        "asset_id",
+        "modality",
+        "n_bytes",
+        "payload_sha",
+        F.concat_ws(
+            ",",
+            F.transform("features", lambda x: F.round(x * F.lit(4294967296.0)).cast("long")),
+        ).alias("features_u32"),
+    )
+
+
+@_q(
+    "multimodal_image_stats",
+    """
+SELECT i AS asset_id,
+  CAST(16 + i % 8 AS BIGINT) AS width,
+  CAST(12 + i % 5 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  sum((i + 3*r + 5*c) % 256) AS sum_r,
+  sum((i + 3*r + 5*c + 11) % 256) AS sum_g,
+  sum((i + 3*r + 5*c + 22) % 256) AS sum_b
+FROM range(0, 64) t(i), range(0, 16) rr(r), range(0, 23) cc(c)
+WHERE r < 12 + i % 5 AND c < 16 + i % 8
+GROUP BY i""",
+)
+def q_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode under a per-pixel-exact oracle: synthetic PNGs
+    (closed-form pixels, every scanline filter type across the corpus)
+    are decoded by the pure-stdlib codec inside the Arrow kernel; the
+    DuckDB twin recomputes the per-channel pixel SUMS from the pixel
+    formula alone — it never sees a PNG, so agreement proves zlib
+    inflate + de-filtering + geometry are all byte-correct."""
+    from finetoo_sp_spark.datagen import gen_image_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_image_assets(spark, 64))
+
+
+@_q(
+    "multimodal_resize",
+    """
+SELECT i AS asset_id,
+  CAST(12 AS BIGINT) AS width,
+  CAST(8 AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  sum((i + 3*((r*(12 + i%5))//8) + 5*((c*(16 + i%8))//12)) % 256) AS sum_r,
+  sum((i + 3*((r*(12 + i%5))//8) + 5*((c*(16 + i%8))//12) + 11) % 256) AS sum_g,
+  sum((i + 3*((r*(12 + i%5))//8) + 5*((c*(16 + i%8))//12) + 22) % 256) AS sum_b
+FROM range(0, 64) t(i), range(0, 8) rr(r), range(0, 12) cc(c)
+GROUP BY i""",
+)
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode + nearest-neighbor resize under a per-pixel-exact
+    oracle: the kernel decodes each synthetic PNG and remaps it to an
+    8x12 grid with the integer floor rule src = (dst * src_dim) //
+    dst_dim; the DuckDB twin recomputes the resized per-channel sums
+    from the pixel formula and the same floor rule — it never sees a
+    PNG, so agreement proves decode AND the resize geometry."""
+    from finetoo_sp_spark.datagen import gen_image_assets
+    from finetoo_sp_spark.multimodal import resize_images
+
+    return resize_images(gen_image_assets(spark, 64), out_h=8, out_w=12)
+
+
+@_q(
+    "frame_sample_plan",
+    """
+SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx
+FROM documents,
+  UNNEST(generate_series(0, CAST(doc_id % 50 AS BIGINT), 10)) AS t(f)""",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (multimodal.frame_sample_plan):
+    every-Nth-frame explode from a declared frame count — the partition/
+    explode shape is real, the decode is the documented stub. Oracle =
+    generate_series over the same declared counts."""
+    from finetoo_sp_spark.multimodal import frame_sample_plan
+
+    assets = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("doc_id") % 50 + 1).cast("long").alias("n_frames"),
+    )
+    return frame_sample_plan(assets, every_n=10)

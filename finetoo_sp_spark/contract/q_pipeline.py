@@ -1,0 +1,549 @@
+"""Contract queries: sinks, lineage, WARC, snapshots, curation capstones.
+
+Split from the round-3 contract.py monolith (VERDICT r03 item 7);
+every query keeps its original name, Spark plan, and DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    Callable,
+    DataFrame,
+    SparkSession,
+    F,
+    documents_to_pages,
+    extract_pages,
+    dd,
+    sim,
+    ts,
+    ev,
+    PropertyGraphFrames,
+    op_aggregate,
+    op_compare,
+    op_filter,
+    op_group_by,
+    op_join,
+    op_match,
+    op_project,
+    op_traverse,
+    PropertyMeta,
+    Schema,
+    T,
+    tpch_schema,
+    tpch_graph,
+    _CUSTOMER_COLS,
+    _ORDERS_COLS,
+    _WORDS_SQL,
+    _STOP_ALL,
+    _docpages_expected_sql,
+    _REGISTRY,
+    _q,
+    _EXTRACT_ORACLE,
+    _extracted_blocks_named,
+    _shingle_ctes,
+    _jaccard_sql,
+    _JACCARD_ORACLE,
+    _H60,
+    _minhash_oracle,
+    _simhash_oracle,
+    _INCR_CORPUS_SQL,
+    _TEMPLATE_CORPUS_SQL,
+    _template_heavy_corpus,
+    _COSINE_SQL,
+    _BUCKET_SQL,
+    _STOP_LIST_SQL,
+    _LANG_COUNTS_SQL,
+    _SLICE_BUCKET_SQL,
+    _multiprobe_oracle,
+    _recall_curve_oracle,
+    _REP_WORDS_SQL,
+    _ngram_cte,
+    _BENCH_WORDS_SQL,
+    _assets,
+    _u32_le_sql,
+    _FEATURES_U32_SQL,
+    _SANITIZE_SQL,
+    _tmp_out,
+    _blocks_cte,
+    _snapshot_b,
+    _CURATION_MAX_DF,
+    _CURATION_JACCARD,
+    _pagerank_oracle,
+    _SHA60_ID,
+    _KMEANS_CTE,
+    _curation_v2_oracle,
+    _BM25_TERMS,
+    _BM25_TERMS_SQL,
+)
+
+
+
+
+@_q(
+    "sink_json_roundtrip",
+    f"""
+SELECT doc_id,
+  {_SANITIZE_SQL.format(x="substr(text, 1, 30) || chr(10) || 'café' || chr(9) || 'end'")} AS s
+FROM documents""",
+)
+def q_sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 JSON sink with sanitization (reference: bom_exporter.cc:154-219,
+    sanitize :16-28): write JSON lines with non-printables injected, read
+    the files back; the oracle recomputes the sanitized strings."""
+    from finetoo_sp_spark.operators.sinks import write_json
+
+    df = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 30), F.lit("\ncafé\tend")).alias("s"),
+    )
+    path = _tmp_out("sink_json")
+    write_json(df, path)
+    return spark.read.schema("doc_id LONG, s STRING").json(path)
+
+
+@_q(
+    "sink_csv_roundtrip",
+    f"""
+SELECT doc_id,
+  {_SANITIZE_SQL.format(x=chr(39) + 'He said "hi", ' + chr(39) + " || substr(text, 1, 20)")} AS s
+FROM documents""",
+)
+def q_sink_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 CSV sink: quoted RFC-4180 CSV (quoteAll + doubled quotes,
+    reference: bom_exporter.cc:221-259) survives embedded quotes and
+    commas through a write/read round trip."""
+    from finetoo_sp_spark.operators.sinks import write_csv
+
+    df = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('He said "hi", '), F.substring("text", 1, 20)).alias("s"),
+    )
+    path = _tmp_out("sink_csv")
+    write_csv(df, path)
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .schema("doc_id LONG, s STRING")
+        .csv(path)
+    )
+
+
+@_q(
+    "sink_dimensions_csv",
+    """
+SELECT 'h' || CAST(doc_id AS VARCHAR) AS handle,
+  CASE CAST(doc_id % 6 AS INTEGER) WHEN 0 THEN 'LINEAR' WHEN 1 THEN 'ALIGNED'
+    WHEN 2 THEN 'ANGULAR' WHEN 3 THEN 'DIAMETER' WHEN 4 THEN 'RADIUS'
+    ELSE 'OTHER' END AS dim_type,
+  round(doc_id / 7.0, 4) AS value,
+  'note for ' || source AS text_override,
+  'DIMS' AS layer,
+  source AS drawing
+FROM documents""",
+)
+def q_sink_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 dimensions CSV sink + F7 dim-type decode (reference:
+    bom_exporter.cc:261-285 ExportDimensions, :111-120 decode table):
+    handle/type/value/text/layer/drawing rows, written then read back."""
+    from finetoo_sp_spark.operators.sinks import dim_type_decode, write_csv
+
+    dims = T(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), "doc_id").alias("handle"),
+        dim_type_decode(F.col("doc_id") % 6).alias("dim_type"),
+        F.round(F.col("doc_id") / 7.0, 4).alias("value"),
+        F.concat(F.lit("note for "), "source").alias("text_override"),
+        F.lit("DIMS").alias("layer"),
+        F.col("source").alias("drawing"),
+    )
+    path = _tmp_out("sink_dimensions")
+    write_csv(dims, path)
+    return (
+        spark.read.option("header", True)
+        .option("escape", '"')
+        .schema(
+            "handle STRING, dim_type STRING, value DOUBLE, "
+            "text_override STRING, layer STRING, drawing STRING"
+        )
+        .csv(path)
+    )
+
+
+@_q(
+    "lineage_manifests",
+    """
+WITH exp AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'heading for document ' || doc_id || chr(10)
+      || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+  FROM documents
+), b AS (
+  SELECT CAST(CAST('0x' || substr(sha256(url), 1, 15) AS BIGINT) % 16 AS INTEGER) AS bucket,
+    url, text
+  FROM exp
+)
+SELECT bucket, count(*) AS input_count, count(*) AS output_count,
+  bit_xor(CAST('0x' || substr(sha256(url || chr(1) || text), 1, 15) AS BIGINT)) AS content_checksum,
+  CAST(sum(length(text)) AS BIGINT) AS output_chars,
+  'committed' AS status
+FROM b GROUP BY bucket""",
+)
+def q_lineage_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: the per-partition lineage manifest table itself under a value
+    oracle — run the full resumable extraction (hash_mode='sha' so both
+    the bucket assignment and the order-independent xor-fold checksum are
+    DuckDB-reproducible), read the manifests back; the oracle recomputes
+    every bucket's counts, chars and checksum from the expected
+    extraction."""
+    from finetoo_sp_spark.sources.lineage import read_manifests, run_resumable_extraction
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    out_dir = _tmp_out("lineage")
+    run_resumable_extraction(pages, out_dir, n_buckets=16, hash_mode="sha")
+    man = read_manifests(spark, out_dir)
+    return man.select(
+        "bucket", "input_count", "output_count", "content_checksum", "output_chars", "status"
+    )
+
+
+@_q(
+    "snapshot_churn",
+    """
+WITH base AS (
+  SELECT source,
+    CASE WHEN doc_id % 11 = 3 THEN 'removed'
+         WHEN doc_id % 7 = 0 THEN 'changed'
+         ELSE 'unchanged' END AS status
+  FROM documents
+),
+adds AS (SELECT source, 'added' AS status FROM documents WHERE doc_id % 13 = 1)
+SELECT source || '.example.com' AS host, status, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT * FROM base UNION ALL SELECT * FROM adds)
+GROUP BY host, status""",
+)
+def q_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl churn report: per-host counts of added /
+    removed / changed / unchanged urls between two snapshots. The delta
+    itself moves only (url, xxhash64) — never the payload — in one
+    full-outer equi-join (sources/snapshot.py)."""
+    from finetoo_sp_spark.sources.snapshot import snapshot_delta
+
+    docs = T(spark, sf_dir, "documents")
+    delta = snapshot_delta(documents_to_pages(docs), _snapshot_b(docs))
+    return delta.groupBy(
+        F.regexp_extract("url", r"^https://([^/]+)", 1).alias("host"), "status"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_q(
+    "incremental_extract",
+    """
+WITH work AS (
+  SELECT doc_id, source, text || ' rev2' AS text
+  FROM documents WHERE doc_id % 11 != 3 AND doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' brand new page'
+  FROM documents WHERE doc_id % 13 = 1
+)
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  'heading for document ' || doc_id || chr(10)
+    || trim(regexp_replace(text, '\\s+', ' ', 'g')) AS text
+FROM work""",
+)
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-extraction: run the extraction kernel ONLY on
+    pages whose payload is new or changed vs the previous snapshot —
+    at 10^12 pages and few-percent crawl churn this is the difference
+    between paying for the churn and paying for the corpus. The oracle
+    is the expected extraction of exactly the changed+added rows, so a
+    false 'unchanged' (missed work) or false 'changed' (wasted work
+    would still extract correctly, but removed/unchanged rows appearing
+    here) both fail the value hash."""
+    from finetoo_sp_spark.sources.snapshot import changed_pages
+
+    docs = T(spark, sf_dir, "documents")
+    work = changed_pages(documents_to_pages(docs), _snapshot_b(docs))
+    out = extract_pages(
+        work, repartition_buckets=spark.sparkContext.defaultParallelism
+    )
+    return out.select("url", "text")
+
+
+@_q(
+    "curation_pipeline",
+    f"""
+WITH RECURSIVE pairs AS ({_CURATION_JACCARD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+  FROM documents
+),
+features AS (
+  SELECT doc_id, n_words,
+    (n_words >= 10
+     AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+     AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01) AS keep_quality,
+    CASE WHEN len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','nicht','ein','zu'], x))) > 0 THEN true ELSE false END AS _unused
+  FROM w
+)
+SELECT f.doc_id, f.n_words
+FROM features f
+LEFT JOIN cc ON cc.doc_id = f.doc_id
+WHERE f.keep_quality
+  AND coalesce(cc.component, f.doc_id) = f.doc_id""",
+)
+def q_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-data curation chain, one lazy plan end to end:
+    quality gate (Gopher/C4-style) -> near-dup clustering (n-gram
+    Jaccard >= 0.5 over ALL docs, stop-shingle-pruned inverted index
+    with max_df engaged -> connected components) -> keep cluster
+    representatives. Returns the surviving (doc_id, n_words)."""
+    from finetoo_sp_spark.operators.components import dedup_keep_list
+
+    docs = T(spark, sf_dir, "documents")
+    quality = ts.quality_scores(docs, "doc_id", "text").filter(F.col("keep"))
+    pairs = dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=_CURATION_MAX_DF
+    )
+    keep = dedup_keep_list(pairs, docs.select(F.col("doc_id").alias("id")))
+    return (
+        quality.join(keep.filter(F.col("keep")), quality.id == keep.id, "left_semi")
+        .select(F.col("id").alias("doc_id"), "n_words")
+    )
+
+
+@_q("pagerank_links", _pagerank_oracle(5))
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-authority prior for corpus curation: 5 rounds of fixed-point
+    PageRank over the REAL extracted LINKS_TO graph. Integer fixed-point
+    (rank 1.0 = 1e9, integer div, integer sums) makes the whole
+    iteration order-independent and hence exactly reproducible by the
+    SQL oracle — float PageRank could never value-match across engines."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.pagerank import pagerank_fixed_point
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    edges = g.edges.filter(F.col("edge_type") == "LINKS_TO")
+    pr = pagerank_fixed_point(edges, iterations=5)
+    return pr.select(F.col("id").alias("url"), "rank_fp")
+
+
+@_q(
+    "warc_roundtrip",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+  sha256(text) AS payload_sha
+FROM documents""",
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl container parity (sources/warc.py): real WARC
+    archives (gzip-per-record members, HTTP response envelopes) are
+    written from the driver table, read back through the binaryFile +
+    Arrow-kernel parser, and every record's url / WARC-Date / payload
+    sha must match the oracle's recomputation — the archive format
+    itself is the thing under test."""
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.warc import make_warc, read_warc_pages
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = _tmp_out("warc")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(batches):
+        import datetime as _dt
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = [
+                (
+                    f"https://{r.source}.example.com/doc/{int(r.doc_id)}",
+                    _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+                    r.text.encode("utf-8"),
+                )
+                for r in pdf.itertuples()
+            ]
+            name = _hl.sha256(recs[0][0].encode()).hexdigest()[:16]
+            with open(_os.path.join(out, f"{name}.warc.gz"), "wb") as f:
+                f.write(make_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    # tiny action (one count row per file) drives the distributed write
+    docs.repartition(4).mapInPandas(write, "n long").collect()
+    pages = read_warc_pages(spark, out)
+    return pages.select("url", "warc_ts", F.sha2("html", 256).alias("payload_sha"))
+
+
+@_q(
+    "curation_lineage",
+    f"""
+WITH RECURSIVE pairs AS ({_CURATION_JACCARD}),
+sym AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT reach.u, sym.v FROM reach JOIN sym ON reach.r = sym.u
+),
+cc AS (SELECT u AS doc_id, min(r) AS component FROM reach GROUP BY u),
+w AS (
+  SELECT doc_id, text, {{_ws}} AS ws,
+    CAST(len({{_ws}}) AS INTEGER) AS n_words
+  FROM documents
+),
+surv AS (
+  SELECT w.doc_id FROM w LEFT JOIN cc ON cc.doc_id = w.doc_id
+  WHERE (n_words >= 10
+     AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+     AND round(len(list_filter(ws, x -> list_contains({{_stop}}, x))) / greatest(n_words, 1), 4) >= 0.01)
+    AND coalesce(cc.component, w.doc_id) = w.doc_id
+)
+SELECT CAST({_SHA60_ID} % 16 AS INTEGER) AS bucket,
+  count(*) AS output_count,
+  bit_xor({_SHA60_ID}) AS content_checksum,
+  'committed' AS status
+FROM surv GROUP BY 1""".replace("{_ws}", _WORDS_SQL).replace("{_stop}", _STOP_LIST_SQL),
+)
+def q_curation_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resumable-curation manifest table itself under a value oracle
+    (sources/curation.py, VERDICT r02 #9): run the two-phase
+    checkpointed curation in hash_mode='sha' (DuckDB-reproducible bucket
+    ids and xor-fold checksums), read the survivors manifests back; the
+    oracle recomputes every bucket's count and checksum from the
+    curation semantics alone — it never sees a manifest file."""
+    import os as _os
+
+    from finetoo_sp_spark.sources.curation import run_resumable_curation
+    from finetoo_sp_spark.sources.lineage import read_manifests
+
+    docs = T(spark, sf_dir, "documents")
+    out_dir = _tmp_out("curation_lineage")
+    run_resumable_curation(
+        docs, out_dir, n_buckets=16, max_df=_CURATION_MAX_DF, hash_mode="sha"
+    )
+    man = read_manifests(spark, _os.path.join(out_dir, "survivors"))
+    return man.select("bucket", "output_count", "content_checksum", "status")
+
+
+@_q("curation_v2", _curation_v2_oracle())
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — the session-2 operators composed as one lazy plan:
+    deterministic corruption (mojibake wrap / NBSP flood by doc_id%3) ->
+    normalize_text repair chain -> hashed-linear classifier gate
+    (keep score_fp >= 0) -> exact-dedup survivor corpus. Output is the
+    surviving docs with repaired length + classifier score; the DuckDB
+    twin composes the SAME generated chains, so repair bytes, scores
+    and survivor choice all verify end to end. One equi-join of the
+    per-id score aggregate back to the text, then the dedup semi-join —
+    nothing quadratic, nothing driver-side."""
+    from finetoo_sp_spark.operators.classifier import hashed_linear_scores
+    from finetoo_sp_spark.operators.dedup import apply_exact_dedup
+    from finetoo_sp_spark.operators.normalize import _mojibake, normalize_text
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    corrupted = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(_mojibake(chr(0x201C))), F.col("text"), F.lit(_mojibake(chr(0x201D)))
+            ),
+        )
+        .when(m == 1, F.replace(F.col("text"), F.lit(" "), F.lit(" ")))
+        .otherwise(F.col("text"))
+    )
+    raw = d.select("doc_id", corrupted.alias("text"))
+    rep = normalize_text(raw, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "text"
+    )
+    scores = hashed_linear_scores(rep, "doc_id", "text").filter("keep").select(
+        F.col("id").alias("doc_id"), "score_fp"
+    )
+    kept = rep.join(scores, "doc_id")
+    surv = apply_exact_dedup(kept, "doc_id", "text")
+    return surv.select(
+        F.col("doc_id").alias("id"), F.length("text").alias("n_chars"), "score_fp"
+    )
+
+
+@_q(
+    "ascii_sanitize",
+    f"""
+SELECT doc_id,
+  {_SANITIZE_SQL.format(x="substr(text, 1, 40) || 'é' || chr(9) || '|' || chr(10) || '|€ end'")} AS clean
+FROM documents""",
+)
+def q_ascii_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 ASCII sanitize as a direct column op (reference:
+    bom_exporter.cc:16-28: keep 0x20-0x7E, newline/tab -> space, drop the
+    rest)."""
+    from finetoo_sp_spark.operators.sinks import sanitize_ascii
+
+    messy = F.concat(
+        F.substring("text", 1, 40), F.lit("é\t|\n|€ end")
+    )
+    return T(spark, sf_dir, "documents").select(
+        "doc_id", sanitize_ascii(messy).alias("clean")
+    )
+
+
+@_q(
+    "schema_discovery",
+    """
+SELECT * FROM (VALUES
+  ('block', 'block_key',    'string', true,  true,  false, false),
+  ('block', 'url',          'string', false, true,  false, false),
+  ('block', 'tag',          'string', false, true,  false, false),
+  ('block', 'text',         'string', false, true,  true,  false),
+  ('block', 'n_words',      'int64',  false, true,  true,  true),
+  ('block', 'n_chars',      'int64',  false, false, true,  true),
+  ('block', 'link_density', 'double', false, false, true,  true),
+  ('block', 'is_content',   'bool',   false, true,  false, false),
+  ('block', 'content_hash', 'string', false, true,  true,  false),
+  ('page', 'url',              'string', true,  true,  false, false),
+  ('page', 'title',            'string', false, true,  true,  false),
+  ('page', 'h1',               'string', false, true,  true,  false),
+  ('page', 'lang_attr',        'string', false, true,  false, false),
+  ('page', 'n_blocks',         'int64',  false, false, true,  true),
+  ('page', 'n_content_blocks', 'int64',  false, false, true,  true),
+  ('page', 'content_chars',    'int64',  false, false, true,  true),
+  ('page', 'content_hash',     'string', false, true,  true,  false)
+) AS t(node_type, property, dtype, is_unique, is_indexed, is_comparable, is_aggregable)""",
+)
+def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The schema-driven operator-discovery table AS DATA (reference:
+    schema_analyzer.cc:103-184 capability finders + the discovery-thesis
+    test, schema_analyzer_test.cc): the Spark side derives every row
+    from the live registry object; the oracle hand-restates the expected
+    capability matrix, so a silent registry regression fails the
+    correctness gate, not just a pytest."""
+    from finetoo_sp_spark.schema.registry import web_graph_schema
+
+    s = web_graph_schema()
+    rows = [
+        (t, p.name, p.dtype, p.unique, p.indexed, p.comparable, p.aggregable)
+        for t, nt in sorted(s.node_types.items())
+        for p in nt.properties.values()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "node_type string, property string, dtype string, is_unique boolean, "
+        "is_indexed boolean, is_comparable boolean, is_aggregable boolean",
+    )

@@ -1,0 +1,639 @@
+"""Contract queries: text quality, lang-id, fingerprints, PII, sampling.
+
+Split from the round-3 contract.py monolith (VERDICT r03 item 7);
+every query keeps its original name, Spark plan, and DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    Callable,
+    DataFrame,
+    SparkSession,
+    F,
+    documents_to_pages,
+    extract_pages,
+    dd,
+    sim,
+    ts,
+    ev,
+    PropertyGraphFrames,
+    op_aggregate,
+    op_compare,
+    op_filter,
+    op_group_by,
+    op_join,
+    op_match,
+    op_project,
+    op_traverse,
+    PropertyMeta,
+    Schema,
+    T,
+    tpch_schema,
+    tpch_graph,
+    _CUSTOMER_COLS,
+    _ORDERS_COLS,
+    _WORDS_SQL,
+    _STOP_ALL,
+    _docpages_expected_sql,
+    _REGISTRY,
+    _q,
+    _EXTRACT_ORACLE,
+    _extracted_blocks_named,
+    _shingle_ctes,
+    _jaccard_sql,
+    _JACCARD_ORACLE,
+    _H60,
+    _minhash_oracle,
+    _simhash_oracle,
+    _INCR_CORPUS_SQL,
+    _TEMPLATE_CORPUS_SQL,
+    _template_heavy_corpus,
+    _COSINE_SQL,
+    _BUCKET_SQL,
+    _STOP_LIST_SQL,
+    _LANG_COUNTS_SQL,
+    _SLICE_BUCKET_SQL,
+    _multiprobe_oracle,
+    _recall_curve_oracle,
+    _REP_WORDS_SQL,
+    _ngram_cte,
+    _BENCH_WORDS_SQL,
+    _assets,
+    _u32_le_sql,
+    _FEATURES_U32_SQL,
+    _SANITIZE_SQL,
+    _tmp_out,
+    _blocks_cte,
+    _snapshot_b,
+    _CURATION_MAX_DF,
+    _CURATION_JACCARD,
+    _pagerank_oracle,
+    _SHA60_ID,
+    _KMEANS_CTE,
+    _curation_v2_oracle,
+    _BM25_TERMS,
+    _BM25_TERMS_SQL,
+)
+
+
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+@_q(
+    "token_counts",
+    f"""
+SELECT doc_id AS id, length(text) AS n_chars,
+  CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+FROM documents""",
+)
+def q_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ts.token_counts(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select("id", F.col("n_chars").cast("int").alias("n_chars"), "n_words", "n_tokens_est")
+
+
+@_q(
+    "quality_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+  FROM documents
+)
+SELECT doc_id AS id, n_chars, n_words,
+  round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) AS mean_word_len,
+  round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) AS stopword_ratio,
+  round(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / greatest(n_chars, 1), 4) AS punct_ratio,
+  round(length(regexp_replace(text, '[^A-Z]', '', 'g')) / greatest(n_chars, 1), 4) AS upper_ratio,
+  (n_words >= 10
+   AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+   AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01) AS keep
+FROM w""",
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ts.quality_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+    return out.select(
+        "id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "n_words",
+        "mean_word_len",
+        "stopword_ratio",
+        "punct_ratio",
+        "upper_ratio",
+        "keep",
+    )
+
+
+@_q(
+    "fingerprint_summary",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM documents
+), sh AS (
+  SELECT doc_id, i AS pos,
+    sha256(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) AS h
+  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
+), win AS (
+  SELECT doc_id, pos,
+    min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+  FROM sh
+), fp AS (
+  SELECT DISTINCT doc_id, fingerprint FROM win WHERE pos >= 3
+)
+SELECT doc_id AS id, count(*) AS n_fingerprints, min(fingerprint) AS min_fingerprint
+FROM fp GROUP BY doc_id""",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.fingerprint_summary(T(spark, sf_dir, "documents"), "doc_id", "text", k=3, window=4)
+
+
+@_q(
+    "tfidf_top_terms",
+    f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+wd AS (SELECT doc_id, u.w AS term FROM w, UNNEST(ws) AS u(w) WHERE length(u.w) > 0),
+tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM wd GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+s AS (
+  SELECT id, term, tf, df, tf * (n.n / df) AS score
+  FROM tf JOIN dfq USING (term), n
+), r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS BIGINT) AS rk
+  FROM s
+)
+SELECT id, term, tf, df, round(score, 6) AS score, rk FROM r WHERE rk <= 5""",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (ratio-idf mode: exact integer-ratio
+    arithmetic, cross-engine reproducible — the log variant is a flag)."""
+    return ts.tfidf_top_terms(T(spark, sf_dir, "documents"), "doc_id", "text", k=5)
+
+
+@_q(
+    "repetition_scores",
+    f"""
+WITH r AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || chr(10) || substr(text, 1, 40) || chr(10)
+      || substr(text, 41, 2000) AS rtext
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(rtext, chr(10)) AS lines, {_REP_WORDS_SQL} AS ws
+  FROM r
+), b AS (
+  SELECT doc_id, lines, ws,
+    list_transform(range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM s
+), m AS (
+  SELECT doc_id, lines, ws,
+    coalesce(list_max(list_transform(list_distinct(bg),
+      x -> len(list_filter(bg, y -> y = x)))), 0) AS mode_n
+  FROM b
+)
+SELECT doc_id AS id,
+  round((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1), 4) AS dup_line_frac,
+  round(2 * mode_n / greatest(len(ws), 1), 4) AS top_bigram_frac,
+  ((len(lines) - len(list_distinct(lines))) / greatest(len(lines), 1) < 0.3
+   AND 2 * mode_n / greatest(len(ws), 1) < 0.18) AS keep_repetition
+FROM m""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.3: duplicate-line
+    fraction, top-bigram word fraction) over a corpus with injected line
+    duplication so the dup path is actually exercised."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 40),
+            F.substring("text", 1, 40),
+            F.substring("text", 41, 2000),
+        ).alias("rtext"),
+    )
+    return ts.repetition_scores(docs, "doc_id", "rtext")
+
+
+@_q(
+    "rarity_scores",
+    f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+wd AS (
+  SELECT doc_id, i AS pos, ws[CAST(i AS BIGINT)] AS w
+  FROM w, UNNEST(generate_series(1, len(ws))) t(i)
+  WHERE length(ws[CAST(i AS BIGINT)]) > 0
+),
+counts AS (SELECT w, count(*) AS cnt FROM wd GROUP BY w),
+tot AS (SELECT sum(cnt) AS n_total FROM counts),
+j AS (
+  SELECT doc_id, pos, (t.n_total / c.cnt) AS inv
+  FROM wd JOIN counts c USING (w), tot t
+),
+arr AS (SELECT doc_id, list(inv ORDER BY pos) AS invs FROM j GROUP BY doc_id)
+SELECT doc_id AS id, CAST(len(invs) AS INTEGER) AS n_words,
+  round(list_sum(invs) / len(invs), 6) AS rarity
+FROM arr""",
+)
+def q_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy rarity score (mean inverse corpus unigram
+    frequency — the CCNet LM-filter idea without an external model)
+    under a full value oracle: the per-doc mean is an ORDERED left fold
+    over the word sequence, so both engines sum identical IEEE doubles
+    in identical order and the 6dp values match exactly."""
+    return ts.rarity_scores(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "script_profile",
+    """
+WITH t AS (
+  SELECT doc_id AS id,
+    text || CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN ' привет мир 123'
+      WHEN 1 THEN ' 你好世界'
+      ELSE '' END AS tx
+  FROM documents
+)
+SELECT id,
+  CAST(length(tx) - length(regexp_replace(tx, '\\p{Latin}', '', 'g')) AS BIGINT) AS n_latin,
+  CAST(length(tx) - length(regexp_replace(tx, '\\p{Cyrillic}', '', 'g')) AS BIGINT) AS n_cyrillic,
+  CAST(length(tx) - length(regexp_replace(tx, '\\p{Han}', '', 'g')) AS BIGINT) AS n_han,
+  CAST(length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+  CAST(length(tx)
+    - (length(tx) - length(regexp_replace(tx, '\\p{Latin}', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '\\p{Cyrillic}', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '\\p{Han}', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '[0-9]', '', 'g')))
+    - (length(tx) - length(regexp_replace(tx, '\\s', '', 'g'))) AS BIGINT) AS n_other
+FROM t""",
+)
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system census with injected multilingual tails (Cyrillic
+    + digits for doc_id%3==0, Han for %3==1) so every script branch is
+    exercised; Java \\p{IsX} and RE2 \\p{X} agree on these script sets,
+    so the counts verify exactly. One narrow JVM pass, no shuffle."""
+    from finetoo_sp_spark.operators.textstats import script_profile
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 3).cast("int")
+    tail = (
+        F.when(m == 0, F.lit(" привет мир 123"))
+        .when(m == 1, F.lit(" 你好世界"))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select("doc_id", F.concat("text", tail).alias("text"))
+    return script_profile(pages, "doc_id", "text")
+
+
+@_q(
+    "template_ngrams",
+    f"""
+WITH w AS (
+  SELECT doc_id, source AS host, {_WORDS_SQL} AS ws FROM documents
+),
+sh AS (
+  SELECT DISTINCT host, doc_id, ws[g.i] || ' ' || ws[g.i + 1] AS shingle
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+dfc AS (SELECT host, shingle, count(*) AS n_docs FROM sh GROUP BY 1, 2),
+hp AS (
+  SELECT host, count(*) AS host_pages FROM w GROUP BY 1
+  HAVING count(*) >= 10
+)
+SELECT host, shingle, n_docs, host_pages,
+  (n_docs * 1000000) // host_pages AS share_ppm
+FROM dfc JOIN hp USING (host)
+WHERE (n_docs * 1000000) // host_pages >= 150000""",
+)
+def q_template_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level template/boilerplate mining: bigram shingles recurring
+    on >= 15% of a host's pages (hosts with >= 10 pages). Per-doc
+    distinct shingles -> (host, shingle) counts -> host page-count
+    dimension equi-join; exact integer ppm share."""
+    from finetoo_sp_spark.operators.textstats import template_ngrams
+
+    return template_ngrams(
+        T(spark, sf_dir, "documents"), "source", "doc_id", "text",
+        n=2, min_pages=10, ratio_ppm=150_000,
+    )
+
+
+@_q(
+    "normalize_mojibake",
+    """
+SELECT doc_id AS id,
+  CASE WHEN doc_id % 3 = 0 THEN '"' || text || '"' ELSE text END AS text,
+  doc_id % 3 IN (0, 1) AS changed
+FROM documents""",
+)
+def q_normalize_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end mojibake repair: corrupt each document deterministically
+    (doc_id%3==0 -> wrapped in CP1252-mojibake curly quotes, %3==1 ->
+    every space becomes NBSP, else untouched), run the repair chain, and
+    check against the relational expectation — repaired text must be
+    byte-identical to the clean original (+ folded ascii quotes) and the
+    changed flag exact. Pure codegen'd replace chain, no shuffle."""
+    from finetoo_sp_spark.operators.normalize import _mojibake, normalize_text
+
+    d = T(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    corrupted = (
+        F.when(m == 0, F.concat(F.lit(_mojibake("“")), F.col("text"), F.lit(_mojibake("”"))))
+        .when(m == 1, F.replace(F.col("text"), F.lit(" "), F.lit("\u00a0")))
+        .otherwise(F.col("text"))
+    )
+    pages = d.select("doc_id", corrupted.alias("text"))
+    return normalize_text(pages, "doc_id", "text")
+
+
+@_q(
+    "classifier_scores",
+    f"""
+WITH w AS (
+  SELECT doc_id AS id, {_WORDS_SQL} AS ws FROM documents
+),
+f AS (
+  SELECT id, ws[g.i] AS feat
+  FROM w, UNNEST(generate_series(1, len(ws))) AS g(i)
+  UNION ALL
+  SELECT id, ws[g.i] || ' ' || ws[g.i + 1] AS feat
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+sw AS (
+  SELECT id,
+    ('0x' || substr(md5('w#' ||
+       (('0x' || substr(md5(feat), 1, 15))::BIGINT % 65536)), 1, 15)
+    )::BIGINT % 2001 - 1000 AS w
+  FROM f
+),
+agg AS (
+  SELECT id, count(*) AS n_feats, CAST(sum(w) AS BIGINT) AS margin
+  FROM sw GROUP BY 1
+)
+SELECT id, n_feats,
+  (margin * 65536) // n_feats AS score_fp,
+  (margin * 65536) // n_feats >= 0 AS keep
+FROM agg""",
+)
+def q_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier (CCNet/FineWeb-style model-based
+    filter, apply side) with the deterministic hash-derived weight
+    table: unigram+bigram feature instances, portable 60-bit md5 bucket
+    hash, integer fixed-point length-normalized margin, keep = score >= 0.
+    Default path has NO join — explode -> inline weight eval -> one
+    partial agg; with a trained weight table it is a broadcast probe."""
+    from finetoo_sp_spark.operators.classifier import hashed_linear_scores
+
+    return hashed_linear_scores(
+        T(spark, sf_dir, "documents"), "doc_id", "text",
+        n_buckets=1 << 16, weight_span=1000, scale=1 << 16, threshold_fp=0,
+    )
+
+
+@_q(
+    "blocklist_filter",
+    """
+SELECT doc_id, source FROM documents
+WHERE source NOT IN ('src0', 'src7', 'src13')""",
+)
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source blocklist via broadcast anti-join — the standard
+    corpus-hygiene gate (at 10^12 rows the blocklist is dimension-sized,
+    so the anti-join is broadcast and costs one map-side probe)."""
+    docs = T(spark, sf_dir, "documents")
+    blocked = docs.sparkSession.createDataFrame(
+        [("src0",), ("src7",), ("src13",)], ["source"]
+    )
+    return docs.join(F.broadcast(blocked), "source", "left_anti").select(
+        "doc_id", "source"
+    )
+
+
+@_q(
+    "pii_scrub",
+    """
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      substr(text, 1, 40) || ' contact u' || doc_id || '@example.com or +1-555-0' || doc_id,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '<PHONE>', 'g') AS scrubbed
+FROM documents""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails, phone numbers) as pure column regexps —
+    deterministically verifiable because the PII is synthesized into the
+    text from doc_id before scrubbing."""
+    withpii = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-0"),
+        F.col("doc_id"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(withpii, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+
+
+# --- similarity search ----------------------------------------------------
+
+
+@_q(
+    "pii_detect_stats",
+    """
+WITH m AS (
+  SELECT doc_id,
+    substr(text, 1, 40) || ' contact u' || doc_id || '@example.com or +1-555-0'
+      || doc_id || ' and u' || doc_id || '@alt.example.org' AS mtext
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(mtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(mtext, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]')) AS INTEGER) AS n_phones,
+  (len(regexp_extract_all(mtext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+   + len(regexp_extract_all(mtext, '\\+?[0-9][0-9()\\-. ]{7,}[0-9]'))) > 0 AS has_pii
+FROM m""",
+)
+def q_pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection statistics (the measurement half of the scrub op):
+    per-doc email/phone match counts over text with synthesized PII —
+    what a privacy audit reports before deciding to scrub or drop."""
+    mtext = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-0"),
+        F.col("doc_id"),
+        F.lit(" and u"),
+        F.col("doc_id"),
+        F.lit("@alt.example.org"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-. ]{7,}[0-9]"
+    n_em = F.regexp_count(mtext, F.lit(email))
+    n_ph = F.regexp_count(mtext, F.lit(phone))
+    return T(spark, sf_dir, "documents").select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        ((n_em + n_ph) > 0).alias("has_pii"),
+    )
+
+
+@_q(
+    "lang_id",
+    f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+c AS (SELECT doc_id, {_LANG_COUNTS_SQL} FROM w),
+b AS (SELECT *, greatest(c_de, c_en, c_es, c_fr) AS best FROM c)
+SELECT doc_id AS id,
+  CASE WHEN c_de > 0 AND c_de = best THEN 'de'
+       WHEN c_en > 0 AND c_en = best THEN 'en'
+       WHEN c_es > 0 AND c_es = best THEN 'es'
+       WHEN c_fr > 0 AND c_fr = best THEN 'fr'
+       ELSE 'und' END AS pred_lang,
+  best AS marker_hits
+FROM b""",
+)
+def q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.lang_id(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "corpus_health",
+    f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+  FROM documents
+), lc AS (
+  SELECT doc_id, n_chars, n_words,
+    (n_words >= 10
+     AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+     AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01) AS keep,
+    {_LANG_COUNTS_SQL}
+  FROM w
+), b AS (
+  SELECT *, greatest(c_de, c_en, c_es, c_fr) AS best FROM lc
+), lang AS (
+  SELECT doc_id, n_chars, n_words, keep,
+    CASE WHEN c_de > 0 AND c_de = best THEN 'de'
+         WHEN c_en > 0 AND c_en = best THEN 'en'
+         WHEN c_es > 0 AND c_es = best THEN 'es'
+         WHEN c_fr > 0 AND c_fr = best THEN 'fr'
+         ELSE 'und' END AS pred_lang
+  FROM b
+)
+SELECT pred_lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(n_words) AS BIGINT) AS total_words,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_quality
+FROM lang GROUP BY pred_lang""",
+)
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health dashboard: per predicted language, document count,
+    char/word volume and the quality-gate pass count — the one-stop
+    rollup a curation run reports. Composes lang_id + quality_scores
+    (one join on id, one groupBy)."""
+    docs = T(spark, sf_dir, "documents")
+    lang = ts.lang_id(docs, "doc_id", "text")
+    qual = ts.quality_scores(docs, "doc_id", "text")
+    return (
+        lang.join(qual, "id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep_quality"),
+        )
+    )
+
+
+@_q(
+    "containment_pairs",
+    f"""
+WITH corpus AS (
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, substr(text, 1, CAST(floor(n_chars / 2) AS BIGINT)) FROM documents
+), w AS (
+  SELECT id, {_WORDS_SQL} AS ws FROM corpus
+), sh AS (
+  SELECT id, i AS pos,
+    sha256(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) AS h
+  FROM w, UNNEST(generate_series(0, greatest(len(ws) - 3, 0))) AS t(i)
+  WHERE length(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 3 AS BIGINT)], ' ')) > 0
+), win AS (
+  SELECT id, pos,
+    min(h) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fingerprint
+  FROM sh
+), fp AS (
+  SELECT DISTINCT id, fingerprint FROM win WHERE pos >= 3
+), sizes AS (
+  SELECT id, count(*) AS n_fp FROM fp GROUP BY id
+), inter AS (
+  SELECT a.id AS id_small, b.id AS id_big, count(*) AS n
+  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.id != b.id
+  GROUP BY 1, 2
+)
+SELECT id_small, id_big, round(n / s.n_fp, 6) AS containment
+FROM inter JOIN sizes s ON s.id = id_small
+WHERE round(n / s.n_fp, 6) >= 0.6""",
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection (winnowing fingerprint overlap /
+    |fp(small)|): half-prefix fragments of every document are injected
+    as extra docs, and the operator must find fragment-in-original
+    containments that symmetric Jaccard would score low."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.select(F.col("doc_id").alias("id"), "text").unionByName(
+        docs.select(
+            (F.col("doc_id") + 100000).alias("id"),
+            F.substring("text", 1, F.floor(F.col("n_chars") / 2).cast("int")).alias("text"),
+        )
+    )
+    return ts.containment_pairs(corpus, "id", "text", k=3, window=4, threshold=0.6)
+
+
+@_q(
+    "stratified_sample",
+    """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 <
+  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+    WHEN 'src2' THEN 250000 ELSE 100000 END""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-gated stratified sampling: per-source keep
+    rates (100%/50%/25%, 10% default) as a pure function of the row id —
+    identical samples across runs, partitionings and cluster sizes
+    (resumable pipelines cannot tolerate task-order-dependent RNG)."""
+    docs = T(spark, sf_dir, "documents")
+    out = ts.stratified_sample(
+        docs, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25}, "doc_id", default_rate=0.1
+    )
+    return out.select("doc_id", "source")
+
+
+@_q(
+    "top_ngrams",
+    f"""
+WITH {_ngram_cte('sh', 'doc_id AS id', _WORDS_SQL, 2).format(where='')},
+d AS (SELECT shingle AS ngram, count(*) AS df_docs FROM sh GROUP BY 1)
+SELECT ngram, df_docs FROM d ORDER BY df_docs DESC, ngram LIMIT 20""",
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram document-frequency top-20 — the boilerplate
+    discovery / max_df tuning surface."""
+    return dd.top_ngrams(T(spark, sf_dir, "documents"), "doc_id", "text", n=2, k=20)
