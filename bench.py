@@ -107,6 +107,7 @@ def main() -> None:
         "rarity_scores",
         "dedup_lines_c4",
         "multimodal_image_stats",
+        "multimodal_image_stats_jpeg",
         "pdf_real_extract",
         "training_shard_manifest",
         "chunk_windows",

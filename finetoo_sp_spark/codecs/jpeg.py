@@ -1,0 +1,618 @@
+"""Minimal pure-stdlib baseline JPEG codec (numpy + struct only).
+
+Closes the JPEG half of the image-decode seam without a codec library:
+a baseline-DCT decoder (SOF0/SOF1: 8-bit, Huffman, 1 or 3 components,
+arbitrary sampling factors up to 2x2 — 4:4:4 / 4:2:2 / 4:2:0 — restart
+markers) plus a deterministic encoder used by tests and datagen.
+Progressive (SOF2) and arithmetic-coded files raise NotImplementedError
+with a recognizable message so corpus kernels can skip, not die.
+
+All tables are the public ISO/IEC 10918-1 (ITU T.81) Annex K defaults;
+the zigzag order, Huffman canonical-code construction, byte stuffing,
+and the JFIF YCbCr<->RGB equations follow the spec text. No code is
+derived from any existing codec implementation.
+
+Exactness property used by the SQL oracle (contract q_multimodal):
+a flat 8x8 block of gray value v has a DC-only FDCT (DC = 8*(v-128),
+all ACs mathematically zero -> quantize to 0), so when 8*(v-128) is a
+multiple of the DC quant step the whole pipeline round-trips the block
+bit-exactly — decoded pixels have a closed form DuckDB can recompute
+without ever seeing a JPEG.
+
+Scale note: the entropy (Huffman) layer is bit-serial Python — fine
+for the synthetic oracle corpus and metadata-sized probes; a real
+100 TB image pass would swap this module for a vectorized/native codec
+behind the same decode_image() seam (the Spark plan shape — binary in,
+typed stats out, no shuffle — is unchanged by that swap).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+# Annex K.1 / K.2 default quantization tables (natural row-major order)
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# zigzag scan: natural index of the k-th zigzag position
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 default Huffman tables: (BITS[1..16], HUFFVAL)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8x8 DCT-II basis matrix A: A[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+# FDCT of block f is A @ f @ A.T, IDCT of F is A.T @ F @ A.
+_A = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _A[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+# ---------------------------------------------------------------- huffman
+
+
+def _canonical_codes(bits, huffval):
+    """(value -> (code, length)) per the T.81 canonical algorithm."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits, huffval):
+    """((length, code) -> value) lookup for the bit-serial decoder."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """Bit-serial reader over entropy-coded data with 0xFF00 unstuffing;
+    stops cleanly at markers (RSTn handled by the caller)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated entropy data")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("bad Huffman code")
+
+    def align(self) -> None:
+        self.nbits = 0
+
+    def at_marker(self) -> int | None:
+        """Peek: is the (byte-aligned) stream sitting on a marker?"""
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+            return d[self.pos + 1]
+        return None
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _extend(bits_val: int, ssss: int) -> int:
+    """T.81 EXTEND: map the ssss raw bits back to a signed value."""
+    if ssss == 0:
+        return 0
+    if bits_val < (1 << (ssss - 1)):
+        return bits_val - (1 << ssss) + 1
+    return bits_val
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(n_by, n_bx, 64) quantized zigzag coefficients for an (H8, W8)
+    level-shifted float plane whose dims are multiples of 8."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", _A, blocks, _A)
+    q = np.round(coef / qtab).astype(np.int32)
+    return q.reshape(h // 8, w // 8, 64)[:, :, ZIGZAG]
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, pred: int, dc_codes, ac_codes) -> int:
+    dc = int(zz[0])
+    diff = dc - pred
+    ssss = _category(diff)
+    code, ln = dc_codes[ssss]
+    w.write(code, ln)
+    if ssss:
+        w.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        ssss = _category(v)
+        code, ln = ac_codes[(run << 4) | ssss]
+        w.write(code, ln)
+        w.write(v if v > 0 else v + (1 << ssss) - 1, ssss)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_payload(cls: int, tid: int, table) -> bytes:
+    bits, vals = table
+    return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    subsampling: str = "444",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline JFIF encoder for (H, W) / (H, W, 1)
+    grayscale or (H, W, 3) RGB uint8 arrays. ``subsampling`` is '444'
+    or '420' (RGB only). Custom quant tables let tests construct
+    provably-lossless paths (e.g. a DC step of 8)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 1:
+        a = a[:, :, 0]
+    ql = QUANT_LUMA if quant_luma is None else np.asarray(quant_luma, dtype=np.int32)
+    qc = QUANT_CHROMA if quant_chroma is None else np.asarray(quant_chroma, dtype=np.int32)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if gray:
+        comps = [(1, 1, 1, 0)]  # (id, hs, vs, tq)
+        planes = [a.astype(np.float64) - 128.0]
+        qtabs = [ql]
+    else:
+        if subsampling == "444":
+            ys, xs = 1, 1
+        elif subsampling == "420":
+            ys, xs = 2, 2
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling}")
+        r = a[:, :, 0].astype(np.float64)
+        g = a[:, :, 1].astype(np.float64)
+        b = a[:, :, 2].astype(np.float64)
+        y = np.clip(np.round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(np.round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0), 0, 255)
+        cr = np.clip(np.round(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0), 0, 255)
+        if xs == 2:  # box-average subsample (pad odd dims by edge repeat)
+            cb = _box2(cb)
+            cr = _box2(cr)
+        comps = [(1, xs, ys, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        qtabs = [ql, qc, qc]
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    # pad each plane (edge replicate) to its MCU-aligned size + FDCT
+    comp_blocks = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        ph = mcuy * vs * 8
+        pw = mcux * hs * 8
+        pl = np.empty((ph, pw))
+        sh, sw = plane.shape
+        pl[:sh, :sw] = plane
+        if sw < pw:
+            pl[:sh, sw:] = plane[:, -1:]
+        if sh < ph:
+            pl[sh:, :] = pl[sh - 1 : sh, :]
+        comp_blocks.append(_fdct_quant(pl, qtabs[0] if tq == 0 else qc))
+
+    dc_tabs = [_canonical_codes(*HUFF_DC_LUMA), _canonical_codes(*HUFF_DC_CHROMA)]
+    ac_tabs = [_canonical_codes(*HUFF_AC_LUMA), _canonical_codes(*HUFF_AC_CHROMA)]
+
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    out_chunks = []
+    rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                out_chunks.append(bytes(wtr.buf))
+                out_chunks.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                wtr = _BitWriter()
+                preds = [0] * len(comps)
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                td = 0 if ci == 0 else 1
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = comp_blocks[ci][my * vs + by, mx * hs + bx]
+                        preds[ci] = _encode_block(
+                            wtr, zz, preds[ci], dc_tabs[td], ac_tabs[td]
+                        )
+            mcu_count += 1
+    wtr.flush()
+    out_chunks.append(bytes(wtr.buf))
+
+    # assemble segments
+    head = bytearray(b"\xff\xd8")  # SOI
+    head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        head += _seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, hs << 4 | vs, tq])
+    head += _seg(0xC0, bytes(sof))
+    head += _seg(0xC4, _dht_payload(0, 0, HUFF_DC_LUMA))
+    head += _seg(0xC4, _dht_payload(1, 0, HUFF_AC_LUMA))
+    if not gray:
+        head += _seg(0xC4, _dht_payload(0, 1, HUFF_DC_CHROMA))
+        head += _seg(0xC4, _dht_payload(1, 1, HUFF_AC_CHROMA))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([len(comps)])
+    for ci, (cid, *_rest) in enumerate(comps):
+        td = 0 if ci == 0 else 1
+        sos += bytes([cid, td << 4 | td])
+    sos += bytes([0, 63, 0])
+    head += _seg(0xDA, bytes(sos))
+    return bytes(head) + b"".join(out_chunks) + b"\xff\xd9"
+
+
+def _box2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box-average downsample with edge-replicate padding to even."""
+    h, w = plane.shape
+    if h % 2:
+        plane = np.vstack([plane, plane[-1:]])
+    if w % 2:
+        plane = np.hstack([plane, plane[:, -1:]])
+    return np.round(
+        (plane[0::2, 0::2] + plane[0::2, 1::2] + plane[1::2, 0::2] + plane[1::2, 1::2])
+        / 4.0
+    )
+
+
+# ---------------------------------------------------------------- decoder
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (H, W, 1) grayscale or (H, W, 3) RGB
+    uint8. Raises ValueError on malformed input and NotImplementedError
+    on progressive / arithmetic / >8-bit files (so kernels can skip)."""
+    if not data.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[tuple[int, int, int, int]] = []
+    h = w = 0
+    restart_interval = 0
+    scan_pos = None
+    scan_tabs: list[tuple[int, int]] = []
+
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker framing")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                z = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                nat = np.zeros(64, dtype=np.int32)
+                nat[ZIGZAG] = z
+                qtabs[tq] = nat.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(body):
+                cls, tid = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(body[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _decode_table(bits, vals)
+                p += 17 + n
+        elif marker in (0xC0, 0xC1):
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit precision")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"unsupported SOF marker 0x{marker:02X}")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_tabs = []
+            order = {cid: i for i, (cid, *_r) in enumerate(comps)}
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i : 3 + 2 * i]
+                scan_comps.append(order[cs])
+                scan_tabs.append((tt >> 4, tt & 0xF))
+            if scan_comps != list(range(len(comps))):
+                comps = [comps[i] for i in scan_comps]
+            scan_pos = pos
+            break
+        # APPn / COM / others: skipped
+
+    if scan_pos is None or not comps:
+        raise ValueError("no scan in JPEG stream")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        for (_cid, hs, vs, _tq) in comps
+    ]
+
+    rdr = _BitReader(data, scan_pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    iq = [qtabs[tq].astype(np.float64) for (_c, _h, _v, tq) in comps]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                rdr.align()
+                m = rdr.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    rdr.pos += 2
+                    preds = [0] * len(comps)
+            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
+                dc_t = huff[(0, scan_tabs[ci][0])]
+                ac_t = huff[(1, scan_tabs[ci][1])]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.float64)
+                        try:
+                            ssss = rdr.huff(dc_t)
+                            diff = _extend(rdr.bits(ssss), ssss) if ssss else 0
+                            preds[ci] += diff
+                            zz[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = rdr.huff(ac_t)
+                                r, s = rs >> 4, rs & 0xF
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                zz[k] = _extend(rdr.bits(s), s)
+                                k += 1
+                        except _MarkerHit as mh:
+                            raise ValueError(
+                                f"unexpected marker 0x{mh.marker:02X} in scan"
+                            ) from None
+                        nat = np.zeros(64, dtype=np.float64)
+                        nat[ZIGZAG] = zz
+                        block = _A.T @ (nat.reshape(8, 8) * iq[ci]) @ _A
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # upsample to full res, crop, level shift
+    full = []
+    for (_cid, hs, vs, _tq), pl in zip(comps, planes):
+        if hs != hmax or vs != vmax:
+            pl = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(pl[:h, :w] + 128.0)
+    if len(full) == 1:
+        out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return out[:, :, None]
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)

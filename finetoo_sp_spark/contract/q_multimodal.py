@@ -182,6 +182,36 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_stats_jpeg",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode under a per-pixel-exact oracle:
+    synthetic block-flat grayscale JPEGs (datagen.gen_jpeg_assets —
+    flat 8x8 blocks make the DCT path provably lossless under the
+    standard quant tables) are Huffman-decoded, dequantized and
+    IDCT'd by the pure-stdlib codec inside the Arrow kernel; the
+    DuckDB twin recomputes the per-block pixel sums from the value
+    formula alone — it never sees a JPEG, so agreement proves marker
+    parsing, entropy decode, differential DC, dequant and IDCT are
+    all pixel-correct."""
+    from finetoo_sp_spark.datagen import gen_jpeg_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_jpeg_assets(spark, 48))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx

@@ -287,3 +287,40 @@ def gen_image_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFr
                 yield gen_image_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_jpeg_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic synthetic baseline JPEGs with CLOSED-FORM decoded
+    pixels: block-flat grayscale images (every 8x8 block one value)
+    where block (br, bc) of asset i is
+    ``128 + 2*(((i + 7*br + 13*bc) % 50) - 25)``. A flat block's FDCT
+    is DC-only with DC = 8*(v-128); the even offset from 128 makes the
+    DC an exact multiple of the standard luminance quant step (16), so
+    the whole encode->decode pipeline round-trips each block bit-exactly
+    and a SQL oracle can recompute every pixel. Geometry varies per id
+    (w = 8*(2+i%3), h = 8*(2+i%2)) and the inter-block DC deltas drive
+    the differential-DC Huffman path across multiple MCUs."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        rows.append((i, "image", encode_jpeg_baseline(img)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_jpeg_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic baseline-JPEG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_jpeg_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -54,22 +54,29 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Decode an image payload to an (H, W, C) uint8 array.
+    """Decode an image payload to an (H, W, C) uint8 array, routed by
+    magic bytes.
 
-    PNG decodes for real via the pure-stdlib codec (codecs/png.py: zlib
-    inflate, chunk CRCs, all five scanline filters). Other formats
-    (JPEG et al.) still need a codec library absent from this
-    environment — they raise, and ``fake_features`` remains the
-    deterministic plumbing fallback.
+    PNG decodes via the pure-stdlib codec (codecs/png.py: zlib inflate,
+    chunk CRCs, all five scanline filters, vectorized de-filter);
+    baseline JPEG via codecs/jpeg.py (SOF0/SOF1, Huffman, 4:4:4/4:2:0,
+    restart markers). Progressive JPEG and other formats (WebP, GIF)
+    raise NotImplementedError — corpus kernels catch and skip, and
+    ``fake_features`` remains the deterministic plumbing fallback.
     """
     b = bytes(payload)
     if b.startswith(b"\x89PNG\r\n\x1a\n"):
         from finetoo_sp_spark.codecs.png import decode_png
 
         return decode_png(b)
+    if b.startswith(b"\xff\xd8"):
+        from finetoo_sp_spark.codecs.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only PNG decodes without a codec library in this environment; "
-        "use fake_features (deterministic) for plumbing tests"
+        "unsupported image format (PNG and baseline JPEG decode without "
+        "a codec library); use fake_features (deterministic) for "
+        "plumbing tests"
     )
 
 
@@ -147,10 +154,12 @@ def image_stats(assets: DataFrame) -> DataFrame:
     dimensions and exact per-channel pixel sums (integer sums, not
     means, so an external oracle reproduces them with no float-rounding
     ambiguity). Arrow-batched mapInPandas; payload bytes cross into
-    Python once per batch, the decode is the pure-stdlib PNG codec.
-    Grayscale sums repeat the single channel across r/g/b.
+    Python once per batch, the decode routes by magic (PNG / baseline
+    JPEG). Grayscale sums repeat the single channel across r/g/b.
+    Undecodable payloads (progressive JPEG, corrupt bytes, unknown
+    formats) are SKIPPED, never task-fatal — at corpus scale one bad
+    payload must not kill a 10^12-row job.
     """
-    from finetoo_sp_spark.codecs.png import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,7 +167,10 @@ def image_stats(assets: DataFrame) -> DataFrame:
                 continue
             recs = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode_png(bytes(payload))
+                try:
+                    img = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
                 h, w, ch = img.shape
                 sums = img.reshape(-1, ch).sum(axis=0, dtype=np.int64)
                 r, g, b = (
@@ -198,7 +210,6 @@ def resize_images(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """
     if out_h <= 0 or out_w <= 0:
         raise ValueError("output dimensions must be positive")
-    from finetoo_sp_spark.codecs.png import decode_png
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -206,7 +217,10 @@ def resize_images(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
                 continue
             recs = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
-                img = decode_png(bytes(payload))
+                try:
+                    img = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
                 h, w, ch = img.shape
                 rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
                 cols = (np.arange(out_w, dtype=np.int64) * w) // out_w

@@ -1,0 +1,195 @@
+"""Baseline JPEG codec (codecs/jpeg.py) + multimodal routing."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from finetoo_sp_spark.codecs.jpeg import (
+    QUANT_LUMA,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+
+
+def test_flat_block_grayscale_exact_standard_tables():
+    """The oracle-backing exactness property: block-flat gray images
+    with even offsets from 128 round-trip bit-exactly under the
+    STANDARD quant tables (flat block -> DC-only FDCT, DC = 8*(v-128)
+    divisible by the DC step 16)."""
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        bh, bw = int(rng.integers(1, 5)), int(rng.integers(1, 5))
+        vals = 128 + 2 * rng.integers(-25, 26, (bh, bw))
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg_baseline(img))
+        assert out.shape == (bh * 8, bw * 8, 1)
+        assert (out[:, :, 0] == img).all()
+
+
+def test_lossy_roundtrip_is_close_and_deterministic():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    enc = encode_jpeg_baseline(img)
+    assert enc == encode_jpeg_baseline(img)  # byte-deterministic
+    out = decode_jpeg(enc)[:, :, 0]
+    assert (decode_jpeg(enc)[:, :, 0] == out).all()  # decode-deterministic
+    # random noise is JPEG's worst case; bound the damage loosely
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 40
+
+
+def _independent_idct(coef: np.ndarray) -> np.ndarray:
+    """Textbook double-sum IDCT (T.81 A.3.3), written independently of
+    the codec's matrix formulation — the cross-check for entropy tests."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1.0 / np.sqrt(2.0) if u == 0 else 1.0
+                    cv = 1.0 / np.sqrt(2.0) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4.0
+    return out
+
+
+def test_ac_coefficients_through_entropy_layer():
+    """Exercise nonzero ACs, zero runs, and EOB: craft a pixel block
+    whose quantized coefficients are KNOWN (build it as the rounded
+    IDCT of chosen dequantized coefficients with an all-8 quant table,
+    then verify the decoder reproduces clip(round(IDCT(coeffs)))+128
+    computed by an independent double-sum IDCT)."""
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = 160.0  # DC
+    coef[0, 1] = 48.0   # a few low-freq ACs, exact multiples of 8
+    coef[1, 0] = -40.0
+    coef[2, 3] = 24.0
+    coef[5, 5] = -16.0
+    pixels = np.clip(np.round(_independent_idct(coef)) + 128, 0, 255).astype(np.uint8)
+    enc = encode_jpeg_baseline(pixels, quant_luma=q8)
+    out = decode_jpeg(enc)[:, :, 0]
+    # the encoder re-derives coefficients from the ROUNDED pixels, so
+    # compare against a full independent model of that same pipeline:
+    # FDCT(pixels-128) -> /8 round -> *8 -> IDCT -> round+128+clip
+    def fdct_ind(block):
+        out_ = np.zeros((8, 8))
+        f = block.astype(np.float64) - 128.0
+        for u in range(8):
+            for v in range(8):
+                cu = 1.0 / np.sqrt(2.0) if u == 0 else 1.0
+                cv = 1.0 / np.sqrt(2.0) if v == 0 else 1.0
+                s = 0.0
+                for x in range(8):
+                    for y in range(8):
+                        s += (
+                            f[x, y]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                out_[u, v] = cu * cv * s / 4.0
+        return out_
+    qc = np.round(fdct_ind(pixels) / 8.0)
+    assert qc[0, 1] != 0 and qc[1, 0] != 0  # ACs really exercised
+    expected = np.clip(np.round(_independent_idct(qc * 8.0)) + 128, 0, 255)
+    assert (out == expected).all()
+
+
+def test_rgb_flat_closed_form_444_and_420():
+    """Flat RGB: chroma is constant so 4:2:0 subsampling is lossless;
+    with a DC-step-8 table the whole path reduces to the JFIF color
+    equations, computed here independently."""
+    q8 = np.full((8, 8), 8, dtype=np.int32)
+    for rgb in [(10, 200, 77), (255, 0, 128), (0, 0, 0), (255, 255, 255)]:
+        r, g, b = map(float, rgb)
+        y = np.clip(round(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+        cb = np.clip(round(-0.168736 * r - 0.331264 * g + 0.5 * b + 128), 0, 255)
+        cr = np.clip(round(0.5 * r - 0.418688 * g - 0.081312 * b + 128), 0, 255)
+        exp = (
+            np.clip(round(y + 1.402 * (cr - 128)), 0, 255),
+            np.clip(round(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)), 0, 255),
+            np.clip(round(y + 1.772 * (cb - 128)), 0, 255),
+        )
+        img = np.full((16, 16, 3), rgb, dtype=np.uint8)
+        for sub in ("444", "420"):
+            out = decode_jpeg(
+                encode_jpeg_baseline(img, subsampling=sub, quant_luma=q8, quant_chroma=q8)
+            )
+            assert out.shape == (16, 16, 3)
+            assert (out == out[0, 0]).all(), sub
+            assert tuple(out[0, 0]) == exp, (rgb, sub, tuple(out[0, 0]), exp)
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(3)
+    vals = 128 + 2 * rng.integers(-20, 21, (3, 5))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, restart_interval=2))
+    assert (out[:, :, 0] == img).all()
+
+
+def test_non_multiple_of_8_dims():
+    """Edge-replicate padding: odd dims decode back at the declared
+    size; the visible region of a flat image stays exact."""
+    img = np.full((13, 21), 150, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img))
+    assert out.shape == (13, 21, 1)
+    assert (out[:, :, 0] == 150).all()
+
+
+def test_progressive_and_malformed_raise():
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"GIF87a not a jpeg")
+
+
+def test_quant_tables_written_in_zigzag():
+    """DQT payloads carry zigzag order per T.81; decoding our own
+    stream must recover the natural-order table."""
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    enc = encode_jpeg_baseline(img)
+    i = enc.find(b"\xff\xdb")
+    z = np.frombuffer(enc[i + 5 : i + 69], dtype=np.uint8).astype(np.int32)
+    nat = np.zeros(64, dtype=np.int32)
+    nat[ZIGZAG] = z
+    assert (nat.reshape(8, 8) == QUANT_LUMA).all()
+
+
+def test_decode_image_routes_jpeg_and_kernel_skips(spark):
+    """Magic routing + corpus-kernel resilience: a mixed asset frame of
+    PNGs, baseline JPEGs, one progressive JPEG, and one corrupt payload
+    yields stats for the decodable assets and SKIPS the rest (no task
+    death)."""
+    from finetoo_sp_spark.codecs.png import encode_png
+    from finetoo_sp_spark.multimodal import decode_image, image_stats
+
+    gray = np.full((16, 16), 140, dtype=np.uint8)
+    jpg = encode_jpeg_baseline(gray)
+    assert (decode_image(jpg)[:, :, 0] == gray).all()
+
+    png_img = (np.arange(4 * 5 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    rows = [
+        (0, "image", bytearray(encode_png(png_img))),
+        (1, "image", bytearray(jpg)),
+        (2, "image", bytearray(prog)),       # progressive: skipped
+        (3, "image", bytearray(b"\x89PNG garbage")),  # corrupt: skipped
+    ]
+    assets = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
+    got = {r["asset_id"]: r for r in image_stats(assets).collect()}
+    assert set(got) == {0, 1}
+    assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (5, 4, 3)
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (16, 16, 1)
+    assert got[1]["sum_r"] == 140 * 16 * 16
