@@ -130,6 +130,7 @@ def main() -> None:
         "shard_assign",
         "robots_gate",
         "robots_gate_wildcard",
+        "robots_gate_agent",
         "compaction_plan",
         "budget_alloc",
         "script_profile",

@@ -196,3 +196,54 @@ def q_robots_gate_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("path"),
     )
     return gate_urls(urls, parse_robots(robots), agent="*")
+
+
+@_q(
+    "robots_gate_agent",
+    """
+SELECT a.agent, d.source AS host,
+  CASE CAST(d.doc_id % 3 AS INT)
+    WHEN 0 THEN '/ab/' || d.doc_id
+    WHEN 1 THEN '/gpt/' || d.doc_id
+    ELSE '/all/' || d.doc_id END AS path,
+  CASE a.agent
+    WHEN 'botb' THEN d.doc_id % 3 IN (1, 2)
+    ELSE d.doc_id % 3 IN (0, 1) END AS allowed
+FROM documents d, (VALUES ('botb'), ('newbot')) a(agent)""",
+)
+def q_robots_gate_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 group semantics end-to-end: a multi-agent group
+    (User-agent: BotA + BotB sharing Disallow /ab), a decoy GPTBot
+    group, and a '*' group (Disallow /all). Gating as BotB must apply
+    the shared group and IGNORE the star group (agent has its own);
+    gating as NewBot (no group anywhere) must fall back to the star
+    group. The oracle states both agents' verdict matrices
+    relationally."""
+    from finetoo_sp_spark.sources.robots import gate_urls, parse_robots
+
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.lit(
+            "User-agent: BotA\nUser-agent: BotB\nDisallow: /ab\n"
+            "\nUser-agent: GPTBot\nDisallow: /gpt\n"
+            "\nUser-agent: *\nDisallow: /all"
+        ).alias("robots_txt"),
+    )
+    m = (F.col("doc_id") % 3).cast("int")
+    urls = d.select(
+        F.col("source").alias("host"),
+        F.when(m == 0, F.concat(F.lit("/ab/"), F.col("doc_id")))
+        .when(m == 1, F.concat(F.lit("/gpt/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("/all/"), F.col("doc_id")))
+        .alias("path"),
+    )
+    rules = parse_robots(robots)
+    out = None
+    for agent in ("botb", "newbot"):
+        g = gate_urls(urls, rules, agent).select(
+            F.lit(agent).alias("agent"), "host", "path", "allowed"
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

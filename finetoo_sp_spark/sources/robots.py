@@ -23,10 +23,16 @@ with ``rlike``; literal rules keep the cheaper ``startswith`` fast
 path. Specificity for the most-specific-match rule is the rule path's
 written length (wildcards included), ties broken Allow-first.
 
-Simplifications (documented): single ``User-agent`` line per group
-(the dominant form; multi-agent groups would need one extra explode),
-and empty ``Disallow:`` (the RFC allow-all idiom) is dropped at parse
-time — equivalent to the default-allow verdict it encodes.
+Group semantics follow RFC 9309 §2.1: consecutive ``User-agent`` lines
+share the rule block that follows (each rule row is emitted once per
+member agent via the group join), and a crawler with no group of its
+own falls back to the ``*`` group per host (``gate_urls`` drops ``*``
+rules only for hosts where an agent-specific group exists).
+
+Simplifications (documented): agent matching is exact-token (the RFC's
+longest-prefix product-token match is not implemented), and empty
+``Disallow:`` (the RFC allow-all idiom) is dropped at parse time —
+equivalent to the default-allow verdict it encodes.
 """
 
 from __future__ import annotations
@@ -56,10 +62,7 @@ def parse_robots(
         F.col("kind").isNotNull()
     )
 
-    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    grouped = typed.withColumn(
-        "grp", F.sum(F.when(F.col("kind") == "ua", 1).otherwise(0)).over(w)
-    )
+    grouped = _group_lines(typed)
     agents = (
         grouped.filter(F.col("kind") == "ua")
         .select("host", "grp", F.lower("value").alias("agent"))
@@ -77,8 +80,24 @@ def parse_robots(
         # the rule is exactly equivalent to the default-allow verdict
         .filter(F.length("path_prefix") > 0)
     )
+    # multi-agent groups: the join fans each rule out to every member
     return rules.join(agents, ["host", "grp"]).select(
         "host", "agent", "rule_idx", "allow", "path_prefix"
+    )
+
+
+def _group_lines(typed: DataFrame) -> DataFrame:
+    """Assign RFC 9309 §2.1 group ids over typed directive lines: a
+    group STARTS at a ``User-agent`` line not immediately preceded by
+    another ``User-agent`` line (consecutive UA lines share the rule
+    block that follows), so grp = running count of group starts."""
+    seq = Window.partitionBy("host").orderBy("pos")
+    run = seq.rowsBetween(Window.unboundedPreceding, 0)
+    is_start = (F.col("kind") == "ua") & (
+        F.coalesce(F.lag("kind").over(seq), F.lit("")) != "ua"
+    )
+    return typed.withColumn(
+        "grp", F.sum(is_start.cast("int")).over(run)
     )
 
 
@@ -110,12 +129,19 @@ def gate_urls(
 
     Rule paths follow RFC 9309 §2.2.3: ``*`` matches any sequence, a
     trailing ``$`` anchors to the path end, specificity is the written
-    rule length with Allow winning ties. Rules beyond
-    ``max_rules_per_host`` (in file order, per RFC truncation guidance)
-    are dropped before the join, bounding per-URL fanout on adversarial
-    robots files; the join itself stays a host equi-join.
+    rule length with Allow winning ties. Per §2.1, a host where
+    ``agent`` has no group of its own falls back to that host's ``*``
+    group (an anti-join on the dimension-sized rules table). Rules
+    beyond ``max_rules_per_host`` (in file order, per RFC truncation
+    guidance) are dropped before the join, bounding per-URL fanout on
+    adversarial robots files; the join itself stays a host equi-join.
     """
-    r = rules.filter(F.lower(F.col("agent")) == agent.lower()).select(
+    r_agent = rules.filter(F.lower(F.col("agent")) == agent.lower())
+    if agent != "*":
+        star = rules.filter(F.col("agent") == "*")
+        agent_hosts = r_agent.select("host").distinct()
+        r_agent = r_agent.unionByName(star.join(agent_hosts, "host", "left_anti"))
+    r = r_agent.select(
         F.col("host").alias("_rh"), "allow", "path_prefix", "rule_idx"
     )
     cap_w = Window.partitionBy("_rh").orderBy("rule_idx")
@@ -175,10 +201,7 @@ def crawl_delays(
     typed = lines.select("host", "pos", kind.alias("kind"), value.alias("value")).filter(
         F.col("kind").isNotNull()
     )
-    w = Window.partitionBy("host").orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)
-    grouped = typed.withColumn(
-        "grp", F.sum(F.when(F.col("kind") == "ua", 1).otherwise(0)).over(w)
-    )
+    grouped = _group_lines(typed)
     agents = grouped.filter(F.col("kind") == "ua").select(
         "host", "grp", F.lower("value").alias("agent")
     )

@@ -120,6 +120,42 @@ def test_gate_rules_per_host_cap(spark):
     assert full == {"/blocked5/x": False, "/blocked25/x": False}
 
 
+def test_multi_agent_groups_share_rules(spark):
+    """RFC 9309 §2.1: consecutive User-agent lines form ONE group whose
+    rule block applies to every member."""
+    txt = (
+        "User-agent: bota\nUser-agent: botb\nDisallow: /ab\n\n"
+        "User-agent: *\nDisallow: /all"
+    )
+    rules = _rules(spark, txt)
+    got = {(r["agent"], r["path_prefix"]) for r in rules.collect()}
+    assert got == {("bota", "/ab"), ("botb", "/ab"), ("*", "/all")}
+    urls = spark.createDataFrame([("h1", "/ab/x"), ("h1", "/all/x")], "host string, path string")
+    for agent in ("BotA", "botb"):
+        verdicts = {r["path"]: r["allowed"] for r in gate_urls(urls, rules, agent).collect()}
+        # own group blocks /ab; star group does NOT apply (agent has a group)
+        assert verdicts == {"/ab/x": False, "/all/x": True}, agent
+
+
+def test_agent_without_group_falls_back_to_star(spark):
+    """RFC 9309 §2.1: a crawler with no matching group obeys the '*'
+    group — per host (h1 has a newbot group, h2 only star)."""
+    r1 = _rules(spark, "User-agent: newbot\nDisallow: /own\n\nUser-agent: *\nDisallow: /star", "h1")
+    r2 = _rules(spark, "User-agent: *\nDisallow: /star", "h2")
+    rules = r1.unionByName(r2)
+    urls = spark.createDataFrame(
+        [("h1", "/own/x"), ("h1", "/star/x"), ("h2", "/star/x"), ("h2", "/free")],
+        "host string, path string",
+    )
+    got = {(r["host"], r["path"]): r["allowed"] for r in gate_urls(urls, rules, "NewBot").collect()}
+    assert got == {
+        ("h1", "/own/x"): False,   # own group applies on h1
+        ("h1", "/star/x"): True,   # star ignored where own group exists
+        ("h2", "/star/x"): False,  # no newbot group on h2 -> star applies
+        ("h2", "/free"): True,
+    }
+
+
 def test_crawl_delays_per_group_and_dirty_values(spark):
     from finetoo_sp_spark.sources.robots import crawl_delays
 
