@@ -166,18 +166,27 @@ def _canonical_codes(bits, huffval):
     return codes
 
 
-def _decode_table(bits, huffval):
-    """((length, code) -> value) lookup for the bit-serial decoder."""
-    out = {}
+def _decode_lut(bits, huffval):
+    """16-bit peek tables (vals, lens): every index whose high bits
+    spell a canonical code maps to that code's value and length, so the
+    decoder resolves a symbol with ONE array lookup instead of walking
+    up to 16 bits (the entropy layer is the decoder's serial hot path).
+    lens == 0 marks an invalid prefix. 128 KiB per table, built once
+    per DHT segment with slice fills."""
+    vals = np.zeros(1 << 16, dtype=np.uint8)
+    lens = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            out[(length, code)] = huffval[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            vals[lo:hi] = huffval[k]
+            lens[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return out
+    return vals, lens
 
 
 class _BitWriter:
@@ -203,56 +212,73 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Bit-serial reader over entropy-coded data with 0xFF00 unstuffing;
-    stops cleanly at markers (RSTn handled by the caller)."""
+    """Buffered bit reader over entropy-coded data with 0xFF00
+    unstuffing. At a marker boundary the buffer is topped up with the
+    spec's 1-bit padding (T.81 F.1.2.3 pads the tail of each entropy
+    segment with 1s); ``padded`` lets the caller distinguish legitimate
+    end-of-segment padding from a truncated stream."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad_bits = 0  # virtual 1-bits appended past a marker/EOF
 
-    def _fill(self) -> None:
+    def _ensure(self, n: int) -> None:
         d = self.data
-        if self.pos >= len(d):
-            raise ValueError("truncated entropy data")
-        b = d[self.pos]
-        if b == 0xFF:
-            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-            if nxt == 0x00:
-                self.pos += 2
+        while self.nbits < n:
+            if self.pos < len(d):
+                b = d[self.pos]
+                if b == 0xFF:
+                    nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                    if nxt == 0x00:
+                        self.pos += 2
+                    else:  # marker: stop consuming, pad with 1-bits
+                        self.acc = (self.acc << 8) | 0xFF
+                        self.nbits += 8
+                        self.pad_bits += 8
+                        continue
+                else:
+                    self.pos += 1
+                self.acc = (self.acc << 8) | b
+                self.nbits += 8
             else:
-                raise _MarkerHit(nxt)
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                self.pad_bits += 8
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    @property
+    def consumed_pad(self) -> bool:
+        """True once decoding has actually consumed virtual pad bits
+        (peeking past a marker alone does not count — pads sit in the
+        LOW bits of the buffer, consumption takes from the top)."""
+        return self.nbits < self.pad_bits
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        self._ensure(n)
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1  # keep the acc a small int
         return v
 
-    def huff(self, table) -> int:
-        length = 0
-        code = 0
-        while length < 16:
-            code = (code << 1) | self.bit()
-            length += 1
-            v = table.get((length, code))
-            if v is not None:
-                return v
-        raise ValueError("bad Huffman code")
+    def huff(self, lut) -> int:
+        vals, lens = lut
+        self._ensure(16)
+        idx = (self.acc >> (self.nbits - 16)) & 0xFFFF
+        ln = lens[idx]
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        self.nbits -= int(ln)
+        self.acc &= (1 << self.nbits) - 1
+        return int(vals[idx])
 
     def align(self) -> None:
         self.nbits = 0
+        self.acc = 0
+        self.pad_bits = 0
 
     def at_marker(self) -> int | None:
         """Peek: is the (byte-aligned) stream sitting on a marker?"""
@@ -260,11 +286,6 @@ class _BitReader:
         if self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
             return d[self.pos + 1]
         return None
-
-
-class _MarkerHit(Exception):
-    def __init__(self, marker: int):
-        self.marker = marker
 
 
 def _category(v: int) -> int:
@@ -510,7 +531,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 bits = list(body[p + 1 : p + 17])
                 n = sum(bits)
                 vals = list(body[p + 17 : p + 17 + n])
-                huff[(cls, tid)] = _decode_table(bits, vals)
+                huff[(cls, tid)] = _decode_lut(bits, vals)
                 p += 17 + n
         elif marker in (0xC0, 0xC1):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
@@ -548,10 +569,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
-        for (_cid, hs, vs, _tq) in comps
-    ]
+    # coefficient blocks per component in raster order, filled during the
+    # entropy pass and IDCT'd in ONE batched einsum afterwards (per-block
+    # 8x8 matmuls cost more in Python/numpy dispatch than in math)
+    n_blocks = [mcuy * vs * mcux * hs for (_c, hs, vs, _t) in comps]
+    coefs = [np.zeros((n, 64), dtype=np.float64) for n in n_blocks]
+    zig = ZIGZAG  # local alias for the hot loop
 
     rdr = _BitReader(data, scan_pos)
     preds = [0] * len(comps)
@@ -565,46 +588,45 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 if m is not None and 0xD0 <= m <= 0xD7:
                     rdr.pos += 2
                     preds = [0] * len(comps)
+            elif rdr.consumed_pad:
+                # 1-bit padding is only legitimate at the tail of an
+                # entropy segment; needing it with MCUs left = truncated
+                raise ValueError("truncated entropy data")
             for ci, (_cid, hs, vs, _tq) in enumerate(comps):
                 dc_t = huff[(0, scan_tabs[ci][0])]
                 ac_t = huff[(1, scan_tabs[ci][1])]
+                row_w = mcux * hs
                 for by in range(vs):
                     for bx in range(hs):
-                        zz = np.zeros(64, dtype=np.float64)
-                        try:
-                            ssss = rdr.huff(dc_t)
-                            diff = _extend(rdr.bits(ssss), ssss) if ssss else 0
-                            preds[ci] += diff
-                            zz[0] = preds[ci]
-                            k = 1
-                            while k < 64:
-                                rs = rdr.huff(ac_t)
-                                r, s = rs >> 4, rs & 0xF
-                                if s == 0:
-                                    if r == 15:
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += r
-                                if k > 63:
-                                    raise ValueError("AC index overflow")
-                                zz[k] = _extend(rdr.bits(s), s)
-                                k += 1
-                        except _MarkerHit as mh:
-                            raise ValueError(
-                                f"unexpected marker 0x{mh.marker:02X} in scan"
-                            ) from None
-                        nat = np.zeros(64, dtype=np.float64)
-                        nat[ZIGZAG] = zz
-                        block = _A.T @ (nat.reshape(8, 8) * iq[ci]) @ _A
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+                        # natural-order coefficient row, written in place
+                        nat = coefs[ci][(my * vs + by) * row_w + mx * hs + bx]
+                        ssss = rdr.huff(dc_t)
+                        diff = _extend(rdr.bits(ssss), ssss) if ssss else 0
+                        preds[ci] += diff
+                        nat[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.huff(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            nat[zig[k]] = _extend(rdr.bits(s), s)
+                            k += 1
             mcu_count += 1
 
-    # upsample to full res, crop, level shift
+    # batched dequant + IDCT + raster assembly, then upsample/crop/shift
     full = []
-    for (_cid, hs, vs, _tq), pl in zip(comps, planes):
+    for ci, ((_cid, hs, vs, _tq), cf) in enumerate(zip(comps, coefs)):
+        n_by, n_bx = mcuy * vs, mcux * hs
+        deq = cf.reshape(n_by, n_bx, 8, 8) * iq[ci]
+        blocks = _A.T @ deq @ _A  # broadcast matmul: batched BLAS IDCT
+        pl = blocks.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8)
         if hs != hmax or vs != vmax:
             pl = np.repeat(np.repeat(pl, vmax // vs, axis=0), hmax // hs, axis=1)
         full.append(pl[:h, :w] + 128.0)

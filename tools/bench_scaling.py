@@ -125,9 +125,9 @@ def main() -> None:
             f"taskset-pinned to exactly its core budget (best of "
             f"{os.environ.get('SPARK_GRAFT_BENCH_REPEATS', '2')} alternating runs —\n"
             f"the sandbox shares a host whose spare capacity fluctuates):\n\n"
-            f"| cluster size | pages/sec | elapsed s |\n|---|---|---|\n"
-            f"| local[{n_small}] pinned to {n_small} cpus (N) | {pps_small:,.0f} | {results[n_small]['elapsed_sec']} |\n"
-            f"| local[{n_big}] pinned to {n_big} cpus (4N) | {pps_big:,.0f} | {results[n_big]['elapsed_sec']} |\n\n"
+            f"| cluster size | pages/sec | elapsed s | steal % |\n|---|---|---|---|\n"
+            f"| local[{n_small}] pinned to {n_small} cpus (N) | {pps_small:,.0f} | {results[n_small]['elapsed_sec']} | {results[n_small].get('host_steal_pct', 'n/a')} |\n"
+            f"| local[{n_big}] pinned to {n_big} cpus (4N) | {pps_big:,.0f} | {results[n_big]['elapsed_sec']} | {results[n_big].get('host_steal_pct', 'n/a')} |\n\n"
             f"**Scaling efficiency N->4N: {eff:.2f}** "
             f"(byte-identical text mismatches: {summary['mismatched_text_rows']})\n"
         )
