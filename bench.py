@@ -139,6 +139,12 @@ def main() -> None:
         "script_profile",
         "length_buckets",
         "mirror_hosts",
+        # round-4 additions
+        "dedup_window_stats",
+        "dedup_window_removal",
+        "url_canonicalize",
+        "sitemap_parse",
+        "multimodal_audio_stats",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -86,6 +86,7 @@ from finetoo_sp_spark.contract.q_textstats import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_pipeline import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_packing import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_robots import *  # noqa: F401,F403
+from finetoo_sp_spark.contract.q_crawl import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_webgraph import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_multimodal import *  # noqa: F401,F403
 

@@ -1,0 +1,167 @@
+"""Contract queries: crawl-side URL hygiene (canonicalization, sitemaps).
+
+New in round 4 — the crawl-frontier companions to the robots family:
+URL canonicalization feeds exact dedup (same resource under trivially
+different URLs), sitemap parsing feeds the frontier itself.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    DataFrame,
+    SparkSession,
+    F,
+    T,
+    _q,
+)
+
+
+@_q(
+    "url_canonicalize",
+    """
+SELECT doc_id AS id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END)
+  || '://'
+  || (CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM.'
+           ELSE source || '.example.com' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN
+             (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+           WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+  || (CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN '/dir//sub/./page' || doc_id
+        WHEN 1 THEN '/dir/skip/../page' || doc_id
+        WHEN 2 THEN '/../page' || doc_id
+        WHEN 3 THEN ''
+        ELSE '/page' || doc_id END)
+  || (CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN '?b=2&utm_source=x&a=1'
+        WHEN 1 THEN '?UTM_Campaign=c&fbclid=z&ref=home'
+        ELSE '' END)
+  || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END) AS url,
+  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+  || '://' || lower(source) || '.example.com'
+  || (CASE WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END)
+  || (CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN '/dir/sub/page' || doc_id
+        WHEN 1 THEN '/dir/page' || doc_id
+        WHEN 2 THEN '/page' || doc_id
+        WHEN 3 THEN '/'
+        ELSE '/page' || doc_id END)
+  || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END) AS url_canon
+FROM documents""",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 URL canonicalization: messy URLs synthesized from
+    documents (case-mangled scheme/host, trailing host dot, default and
+    non-default ports, doubled slashes, ./ and ../ segments, tracking
+    params in mixed case, fragments) run through the real operator; the
+    oracle reconstructs the expected canonical form RELATIONALLY from
+    the same synthesis parameters — the operator's fold/sort/strip
+    logic is never consulted by the oracle. Narrow JVM-only plan."""
+    from finetoo_sp_spark.operators.urlnorm import canonicalize_urls
+
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.upper("source"), F.lit(".Example.COM.")),
+        ).otherwise(F.concat("source", F.lit(".example.com"))),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.when(F.col("doc_id") % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(F.col("doc_id") % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("/dir//sub/./page"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit("/dir/skip/../page"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(F.lit("/../page"), F.col("doc_id").cast("string")),
+        )
+        .when(F.col("doc_id") % 5 == 3, F.lit(""))
+        .otherwise(F.concat(F.lit("/page"), F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("?b=2&utm_source=x&a=1"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("?UTM_Campaign=c&fbclid=z&ref=home"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    messy = d.select(F.col("doc_id").alias("id"), url.alias("url"))
+    return canonicalize_urls(messy, "url", "url_canon")
+
+
+@_q(
+    "sitemap_parse",
+    """
+SELECT source AS host,
+  'https://' || source || '.example.com/doc/' || doc_id AS loc,
+  CASE WHEN doc_id % 4 = 0 THEN
+    CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+  END AS lastmod,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' END AS changefreq,
+  CASE WHEN doc_id % 5 <> 4 THEN (doc_id % 10) * 100000 END AS priority_ppm
+FROM documents""",
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemaps.org parsing: per-host <urlset> bodies synthesized from
+    documents (lastmod only on every 4th entry, changefreq on 2/3,
+    priority absent on every 5th — every NULL branch executes), grouped
+    with a deterministic sort, then parsed back by the declarative
+    regexp pipeline. lastmod is a typed DATE (try-parse), priority an
+    integer-ppm decimal parse. Oracle relational from the same
+    synthesis parameters."""
+    from finetoo_sp_spark.sources.sitemap import parse_sitemaps
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        did.cast("string"),
+        F.lit("</loc>"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.lit("<changefreq>daily</changefreq>"))
+        .when(did % 3 == 1, F.lit("<changefreq>weekly</changefreq>"))
+        .otherwise(F.lit("")),
+        F.when(
+            did % 5 != 4,
+            F.concat(
+                F.lit("<priority>0."), (did % 10).cast("string"), F.lit("</priority>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        d.select(F.col("source").alias("host"), did.alias("doc_id"), entry.alias("_e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "_e"))),
+                        lambda s: s["_e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return parse_sitemaps(sitemaps)

@@ -401,3 +401,130 @@ def q_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_verify_pairs(
         d, pairs, "doc_id", "text", max_ratio_fp=2000, broadcast_pairs=True
     )
+
+
+# --- exact-substring (k-token window) dedup: Lee et al. 2022 shape ------
+
+_WIN_CORPUS_SQL = """tmpl AS (SELECT text FROM documents WHERE doc_id = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+  UNION ALL
+  SELECT 200000 + i, t.text || ' copy marker ' || CAST(i % 2 AS VARCHAR)
+  FROM tmpl t, UNNEST(generate_series(0, 19)) AS g(i)
+)"""
+
+_WIN_CORPUS_WORDS = _WORDS_SQL  # same canonicalization as every dedup path
+
+_WINS_SQL = f"""w AS (
+  SELECT doc_id, {_WIN_CORPUS_WORDS} AS ws FROM corpus
+), wins AS (
+  SELECT doc_id, i AS start,
+    {_H60.format(x="array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ')")} AS wh
+  FROM w, UNNEST(generate_series(0, len(ws) - 8)) AS t(i)
+  WHERE len(ws) >= 8
+)"""
+
+
+def _win_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _WIN_CORPUS_SQL: 200 base docs + 20 template copies
+    of doc 0 (guaranteed cross-doc duplicated 8-token windows)."""
+    docs = T(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") < 200).select("doc_id", "text")
+    tmpl = docs.filter(F.col("doc_id") == 0).select(F.col("text").alias("_t"))
+    copies = (
+        spark.range(20)
+        .crossJoin(F.broadcast(tmpl))  # broadcast-scalar: one template row
+        .select(
+            (F.lit(200000) + F.col("id")).alias("doc_id"),
+            F.concat(
+                "_t", F.lit(" copy marker "), (F.col("id") % 2).cast("string")
+            ).alias("text"),
+        )
+    )
+    return base.unionByName(copies)
+
+
+@_q(
+    "dedup_window_stats",
+    f"""
+WITH {_WIN_CORPUS_SQL}, {_WINS_SQL},
+occ AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+dup AS (SELECT wins.* FROM wins JOIN occ USING (wh)),
+cov AS (
+  SELECT doc_id, SUM(LEAST(8, COALESCE(nxt - start, 8))) AS dup_tokens
+  FROM (SELECT doc_id, start,
+          LEAD(start) OVER (PARTITION BY doc_id ORDER BY start) AS nxt
+        FROM dup)
+  GROUP BY doc_id
+),
+nw AS (SELECT doc_id, count(*) AS n_windows FROM wins GROUP BY doc_id),
+nd AS (SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY doc_id)
+SELECT w.doc_id AS id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+  COALESCE(n_windows, 0) AS n_windows,
+  COALESCE(n_dup_windows, 0) AS n_dup_windows,
+  COALESCE(dup_tokens, 0) AS dup_tokens,
+  COALESCE(dup_tokens, 0) * 1000000 // len(w.ws) AS dup_token_ppm
+FROM w
+LEFT JOIN nw USING (doc_id) LEFT JOIN nd USING (doc_id)
+LEFT JOIN cov USING (doc_id)""",
+)
+def q_dedup_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup pre-pass (Lee et al. 2022, arXiv:2107.06499,
+    re-expressed as window-hash groupBy): per-doc counts of duplicated
+    8-token windows plus exact interval-union duplicated-token coverage,
+    over a corpus with 20 planted template copies. One uniform-key
+    groupBy + one hash equi-join; coverage union is a per-doc lead()
+    window, never a global sort. Oracle recomputes every window hash."""
+    from finetoo_sp_spark.operators.substrdedup import window_dup_stats
+
+    return window_dup_stats(
+        _win_corpus(spark, sf_dir), "doc_id", "text", k=8, hash_mode="sha"
+    )
+
+
+@_q(
+    "dedup_window_removal",
+    f"""
+WITH {_WIN_CORPUS_SQL}, {_WINS_SQL},
+marked AS (
+  SELECT doc_id, start,
+    ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, start) AS rn,
+    COUNT(*) OVER (PARTITION BY wh) AS n_occ
+  FROM wins
+),
+removed AS (SELECT doc_id, start FROM marked WHERE n_occ >= 2 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, start + j AS pos
+  FROM removed, UNNEST(generate_series(0, 7)) AS g(j)
+),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, ws[CAST(i AS BIGINT)] AS word
+  FROM w, UNNEST(generate_series(1, len(ws))) AS t(i)
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.word FROM tok t
+  LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  WHERE c.doc_id IS NULL
+),
+clean AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id AS id, COALESCE(clean_text, '') AS clean_text,
+  CAST(len(w.ws) AS BIGINT) AS n_tokens,
+  CAST(len(w.ws) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM w LEFT JOIN clean USING (doc_id)""",
+)
+def q_dedup_window_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (Lee et al. 'except one occurrence'): every
+    token covered by a duplicated 8-window occurrence other than the
+    corpus-wide canonical one (min (doc_id, start) per window hash) is
+    dropped; docs reassemble from surviving tokens in order. The 20
+    planted template copies collapse to their unique ' copy marker N'
+    tails; byte-exact clean_text checked by the oracle."""
+    from finetoo_sp_spark.operators.substrdedup import remove_duplicate_windows
+
+    return remove_duplicate_windows(
+        _win_corpus(spark, sf_dir), "doc_id", "text", k=8, hash_mode="sha"
+    )

@@ -230,3 +230,31 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 50 + 1).cast("long").alias("n_frames"),
     )
     return frame_sample_plan(assets, every_n=10)
+
+
+@_q(
+    "multimodal_audio_stats",
+    """
+SELECT i AS asset_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(16 AS BIGINT) AS bits,
+  CAST(400 + (i%5)*80 AS BIGINT) AS n_samples,
+  CAST((400 + (i%5)*80) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST((400 + (i%5)*80) * (1000 + (i%7)*500) * (1000 + (i%7)*500) AS BIGINT) AS sumsq,
+  CAST(1000 + (i%7)*500 AS BIGINT) AS peak
+FROM range(0, 96) t(i)""",
+)
+def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM decode under a sample-exact oracle: synthetic mono
+    square waves (datagen.gen_wav_assets — every sample +/-A so energy
+    and peak have closed forms) round-trip through the pure-stdlib RIFF
+    parser inside the Arrow kernel; the DuckDB twin recomputes
+    n*A^2 / A from the synthesis formula alone — it never sees a WAV
+    byte, so agreement proves chunk walking, fmt parsing and PCM frame
+    decode are sample-correct. Compressed audio raises in the codec and
+    is skipped, never task-fatal."""
+    from finetoo_sp_spark.datagen import gen_wav_assets
+    from finetoo_sp_spark.multimodal import audio_stats
+
+    return audio_stats(gen_wav_assets(spark, 96))

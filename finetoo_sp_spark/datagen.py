@@ -324,3 +324,35 @@ def gen_jpeg_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFra
                 yield gen_jpeg_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_wav_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic synthetic WAV assets with CLOSED-FORM stats: mono
+    16-bit square waves at 8 kHz where every sample of asset i is
+    +/-A(i), A = 1000 + (i%7)*500, over n = 400 + (i%5)*80 frames — so
+    sumsq = n*A^2 and peak = A exactly, and an SQL oracle recomputes
+    both without decoding a byte."""
+    from finetoo_sp_spark.codecs.wav import encode_wav
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        n = 400 + (i % 5) * 80
+        amp = 1000 + (i % 7) * 500
+        period = 8 + (i % 4) * 2  # full period in samples (half = period//2)
+        t = np.arange(n)
+        s = np.where((t // (period // 2)) % 2 == 0, amp, -amp).astype(np.int16)
+        rows.append((i, "audio", encode_wav(s, 8000)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_wav_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic WAV corpus: spark.range -> mapInPandas."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_wav_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -236,3 +236,67 @@ def resize_images(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, schema=IMAGE_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("bits", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("sumsq", LongType(), False),
+        StructField("peak", LongType(), False),
+    ]
+)
+
+
+def audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL audio decode over the binary column: per asset, the PCM
+    header fields plus exact integer energy (sum of squared samples
+    across all channels) and peak |amplitude| — integer sums, like
+    image_stats, so an external oracle reproduces them with no
+    float-rounding ambiguity. duration_ms is integer-exact
+    (n_frames * 1000 div rate).
+
+    WAV/PCM decodes via the pure-stdlib codec (codecs/wav.py, numpy
+    frombuffer — no per-sample Python); compressed audio (MP3/Opus/...)
+    raises inside the codec and is SKIPPED, never task-fatal.
+    """
+    from finetoo_sp_spark.codecs.wav import WavError, decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    rate, ch, bits, samples = decode_wav(bytes(payload))
+                except (WavError, ValueError):
+                    continue
+                s64 = samples.astype(np.int64)
+                recs.append(
+                    (
+                        asset_id,
+                        rate,
+                        ch,
+                        bits,
+                        samples.shape[0],
+                        samples.shape[0] * 1000 // rate,
+                        int((s64 * s64).sum()),
+                        int(np.abs(s64).max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "sample_rate", "channels", "bits",
+                    "n_samples", "duration_ms", "sumsq", "peak",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=AUDIO_STATS_SCHEMA
+    )

@@ -57,12 +57,16 @@ def _row_hash(hash_mode: str):
 def _manifest_frame(
     result: DataFrame, input_counts: DataFrame, hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """One row per bucket: counts + order-independent content checksum."""
+    """One row per bucket: counts + order-independent content checksum.
+
+    ``result`` must already carry ``row_hash`` / ``text_chars`` columns
+    (stamped by :func:`write_with_manifests` before the write, or
+    recomputed from text by the strict verify path)."""
     out = result.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("output_count"),
         # XOR-fold of row hashes -> order/partition independent, no overflow
-        F.bit_xor(_row_hash(hash_mode)).alias("content_checksum"),
-        F.sum(F.length("text")).alias("output_chars"),
+        F.bit_xor("row_hash").alias("content_checksum"),
+        F.sum("text_chars").alias("output_chars"),
     )
     return (
         input_counts.join(out, "bucket", "left")
@@ -93,6 +97,7 @@ def write_with_manifests(
     input_counts: DataFrame | None = None,
     n_buckets: int | None = None,
     hash_mode: str = "xxhash64",
+    verify_content: bool = False,
 ) -> None:
     """Write a bucketed result + its manifest rows.
 
@@ -109,17 +114,38 @@ def write_with_manifests(
     - dynamic partition overwrite: re-running a bucket (after a failure)
       replaces exactly that bucket's files, never duplicates.
     - manifests land under ``out_dir/_manifests`` only after the data
-      commit succeeds (manifest presence == commit marker per bucket),
-      and are recomputed from the files actually on disk.
+      commit succeeds (manifest presence == commit marker per bucket).
+      Per-row lineage stats (``row_hash``, ``text_chars``) are stamped
+      as output columns BEFORE the write — the Iceberg discipline:
+      manifest stats are computed at commit time from the rows being
+      committed, then the manifest aggregation reads back ONLY those
+      slim columns from disk (parquet column pruning — the text bytes
+      are decompressed once, not twice). ``verify_content=True``
+      switches to the strict audit that re-hashes the text actually on
+      disk (catches silent data-file corruption beyond parquet's own
+      page checksums, at the cost of a full second text scan).
     """
     spark = result.sparkSession
     data_path = os.path.join(out_dir, "data")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    result = result.withColumn("row_hash", _row_hash(hash_mode)).withColumn(
+        "text_chars", F.length("text")
+    )
     if n_buckets:
         result = result.repartition(n_buckets, "bucket")
     result.write.mode("overwrite").partitionBy("bucket").parquet(data_path)
 
-    written = spark.read.parquet(data_path)
+    if verify_content:
+        written = (
+            spark.read.parquet(data_path)
+            .drop("row_hash", "text_chars")
+            .withColumn("row_hash", _row_hash(hash_mode))
+            .withColumn("text_chars", F.length("text"))
+        )
+    else:
+        written = spark.read.parquet(data_path).select(
+            "bucket", "row_hash", "text_chars"
+        )
     if input_counts is None:
         # extraction is row-preserving (one output row per page), so the
         # written data doubles as the input-count source when the caller

@@ -354,6 +354,30 @@ CHECKS = {
         ("NO nested-loop join (wildcard match is a join filter, not the key)",
          r"!BroadcastNestedLoopJoin"),
     ],
+    "url_canonicalize": [
+        ("fully narrow plan: no shuffle at all", r"!Exchange"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
+    "sitemap_parse": [
+        # tree lines render as '+- Exchange (n)': two tree occurrences
+        # means two shuffles, one is the per-host assembly groupBy
+        ("one shuffle only (the per-host assembly groupBy; parse side narrow)",
+         r"!\+- Exchange[\s\S]*\+- Exchange"),
+        ("partial aggregation before the host shuffle", r"HashAggregate|ObjectHashAggregate"),
+        ("NO join", r"!Join"),
+    ],
+    "dedup_window_stats": [
+        ("window-hash groupBy/window keyed on wh (uniform hash key)", r"\[wh#"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        # (the only nested-loop in this plan is the corpus CONSTRUCTION's
+        # broadcast-scalar template crossJoin — one row, test fixture only)
+    ],
+    "dedup_window_removal": [
+        ("keeper selection is a row_number window, not a self-join", r"row_number"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("position anti-join is a left-anti equi-join", r"LeftAnti"),
+    ],
 }
 
 
