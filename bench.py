@@ -145,6 +145,8 @@ def main() -> None:
         "url_canonicalize",
         "sitemap_parse",
         "multimodal_audio_stats",
+        "robots_sitemaps",
+        "embedding_quantize",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

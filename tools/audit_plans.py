@@ -378,6 +378,11 @@ CHECKS = {
         ("NO cartesian product", r"!CartesianProduct"),
         ("position anti-join is a left-anti equi-join", r"LeftAnti"),
     ],
+    "embedding_quantize": [
+        ("fully narrow plan: no shuffle at all", r"!\+- Exchange"),
+        ("NO join", r"!Join"),
+        ("only vec_id+embedding read", r"ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+    ],
 }
 
 
