@@ -165,3 +165,45 @@ def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parse_sitemaps(sitemaps)
+
+
+@_q(
+    "robots_sitemaps",
+    """
+WITH h AS (SELECT DISTINCT source AS host FROM documents)
+SELECT host, 'https://' || host || '.example.com/sitemap.xml' AS sitemap_url
+FROM h
+UNION ALL
+SELECT host, 'https://cdn.example.com/' || host || '/sitemap-news.xml'
+FROM h WHERE length(host) % 2 = 0""",
+)
+def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt: per-host robots bodies carry a
+    group-independent 'Sitemap:' directive buried between User-agent
+    groups (plus a second, mixed-case 'SITEMAP:' one on even-length
+    hosts, and a decoy 'sitemap.xml' path inside a Disallow rule that
+    must NOT match); the flat line scan recovers exactly the directive
+    URLs. Oracle relational."""
+    from finetoo_sp_spark.sources.robots import sitemap_directives
+
+    d = T(spark, sf_dir, "documents")
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/sitemap.xml\n"),
+            F.lit("Sitemap: https://"),
+            F.col("host"),
+            F.lit(".example.com/sitemap.xml\n"),
+            F.when(
+                F.length("host") % 2 == 0,
+                F.concat(
+                    F.lit("User-agent: gptbot\nDisallow: /\n"),
+                    F.lit("SITEMAP:   https://cdn.example.com/"),
+                    F.col("host"),
+                    F.lit("/sitemap-news.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return sitemap_directives(robots)

@@ -316,3 +316,43 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         T(spark, sf_dir, "documents"), "doc_id", "text", list(_BM25_TERMS), k=10
     )
+
+
+@_q(
+    "embedding_quantize",
+    """
+WITH e AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS fp
+  FROM embeddings
+), m AS (
+  SELECT vec_id, fp, list_min(fp) AS mn, list_max(fp) AS mx FROM e
+), q AS (
+  SELECT vec_id, fp, mn, mx,
+    CASE WHEN mx = mn THEN list_transform(fp, x -> CAST(0 AS BIGINT))
+         ELSE list_transform(fp, x -> (x - mn) * 255 // (mx - mn)) END AS qv
+  FROM m
+), err AS (
+  SELECT vec_id,
+    max(abs(fp[CAST(i AS BIGINT)]
+        - (mn + (qv[CAST(i AS BIGINT)] * (mx - mn)) // 255))) AS max_err
+  FROM q, UNNEST(generate_series(1, len(fp))) AS t(i)
+  GROUP BY vec_id
+)
+SELECT q.vec_id AS id, CAST(len(fp) AS INT) AS n_dims,
+  mn AS min_fp, mx AS max_fp,
+  array_to_string(qv, ',') AS q_str,
+  COALESCE(max_err, 0) AS max_err_fp
+FROM q LEFT JOIN err ON q.vec_id = err.vec_id""",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (FAISS SQ8 shape) in integer
+    fixed point: codes, per-vector (min, max) dequantization key, and
+    the exact worst-dimension reconstruction error — the 4x memory cut
+    that keeps rerank tiers in executor memory at 10^12 vectors. Fully
+    narrow plan (no shuffle); oracle recomputes every code and error
+    bound from the same fixed-point definition."""
+    from finetoo_sp_spark.operators.quantize import quantize_int8
+
+    return quantize_int8(T(spark, sf_dir, "embeddings"))

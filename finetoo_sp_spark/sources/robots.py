@@ -213,3 +213,26 @@ def crawl_delays(
         .join(agents, ["host", "grp"])
         .select("host", "agent", "delay_s")
     )
+
+
+def sitemap_directives(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap_url) — ``Sitemap:`` directives from robots.txt.
+
+    Per sitemaps.org's robots extension (and RFC 9309 §2.3 "other
+    records"), Sitemap lines are group-INDEPENDENT: they apply to every
+    crawler regardless of surrounding User-agent groups, so extraction
+    is a flat line scan, not a group join. The URL is taken with a
+    single anchored regexp (``substring_index(':')`` would split inside
+    ``https://``). Feeds sources/sitemap.py's fetch-and-parse loop.
+    """
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(text_col, "\n")).alias("line"),
+    )
+    url = F.regexp_extract(F.trim("line"), r"(?i)^sitemap:\s*(\S+)", 1)
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+    )
