@@ -147,6 +147,9 @@ def main() -> None:
         "multimodal_audio_stats",
         "robots_sitemaps",
         "embedding_quantize",
+        "gopher_rules",
+        "bpe_pair_counts",
+        "sentence_stats",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

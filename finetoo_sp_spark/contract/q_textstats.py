@@ -637,3 +637,78 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level bigram document-frequency top-20 — the boilerplate
     discovery / max_df tuning surface."""
     return dd.top_ngrams(T(spark, sf_dir, "documents"), "doc_id", "text", n=2, k=20)
+
+
+@_q(
+    "gopher_rules",
+    f"""
+WITH w AS (
+  SELECT doc_id, text, {_WORDS_SQL} AS ws,
+    regexp_split_to_array(text, '\\n') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(ws) AS INTEGER) AS n_words,
+    round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+          / greatest(len(ws), 1), 4) AS mean_word_len,
+    round(((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / greatest(len(ws), 1), 4) AS symbol_ratio,
+    round(CAST(len(list_filter(lines,
+            l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS DOUBLE)
+          / greatest(len(lines), 1), 4) AS bullet_line_frac,
+    round(CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS DOUBLE)
+          / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+    round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / greatest(len(ws), 1), 4) AS alpha_word_frac
+  FROM w
+)
+SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio,
+  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+  (n_words BETWEEN 50 AND 100000
+   AND mean_word_len BETWEEN 3 AND 10
+   AND symbol_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8) AS keep
+FROM m""",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.gopher_rules(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@_q(
+    "bpe_pair_counts",
+    f"""
+WITH occ AS (
+  SELECT unnest({_WORDS_SQL}) AS w FROM documents
+), v AS (
+  SELECT w, count(*) AS n FROM occ WHERE length(w) >= 2 GROUP BY w
+), p AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, n
+  FROM v, UNNEST(generate_series(1, length(w) - 1)) AS t(i)
+)
+SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 30""",
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.bpe_pair_counts(T(spark, sf_dir, "documents"), "text", k=30)
+
+
+@_q(
+    "sentence_stats",
+    f"""
+WITH s AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws,
+    len(list_filter(regexp_split_to_array(text, '[.!?]+(\\s+|$)'),
+        x -> length(trim(x)) > 0)) AS n_sent
+  FROM documents
+)
+SELECT doc_id AS id,
+  CAST(n_sent AS INTEGER) AS n_sentences,
+  CAST(len(ws) AS INTEGER) AS n_words,
+  round(CAST(len(ws) AS DOUBLE) / greatest(n_sent, 1), 4) AS avg_sentence_words
+FROM s""",
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ts.sentence_stats(T(spark, sf_dir, "documents"), "doc_id", "text")

@@ -462,10 +462,14 @@ def simhash(
     keeps the fingerprint positive in a signed BIGINT on both engines).
 
     Per doc: for each bit j, sum +-1 over base_hash(word)'s bit j; the
-    fingerprint's bit j = (sum > 0). Expressed as nbits conditional-sum
-    aggregates in one groupBy (partial-agg friendly; shuffle carries
-    nbits longs/doc/partition). Sign convention ties (sum==0 -> bit 0)
-    are deterministic.
+    fingerprint's bit j = (sum > 0). Expressed as nbits BIT-COUNT
+    aggregates plus one count(*) in one groupBy: with cnt_j = number of
+    words whose hash has bit j set and n = word count, the +-1 sum is
+    2*cnt_j - n, so bit j = (2*cnt_j > n) — value-identical to the
+    conditional-sum form but branch-free per row
+    (shiftrightunsigned+AND instead of when/otherwise) and the same
+    partial-agg-friendly shape (nbits+1 longs/doc/partition on the
+    shuffle). Sign convention ties (sum==0 -> bit 0) are deterministic.
     """
     nbits = SIMHASH_BITS[hash_mode]
     words = df.select(
@@ -487,21 +491,17 @@ def simhash(
         # expression (else nbits hash calls per row)
         words = words.select("id", _base_hash("w", hash_mode).alias("hw"))
     h = F.col("hw")
-    sums = [
-        F.sum(
-            F.when(
-                h.bitwiseAND(F.lit((1 << j) if j < 63 else -(1 << 63))) != 0,
-                F.lit(1),
-            ).otherwise(F.lit(-1))
-        ).alias(f"s{j}")
+    cnts = [
+        F.sum(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1))).alias(f"c{j}")
         for j in range(nbits)
     ]
-    agg = words.groupBy("id").agg(*sums)
+    agg = words.groupBy("id").agg(*cnts, F.count(F.lit(1)).alias("n"))
     fp = None
     for j in range(nbits):
-        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j if j < 63 else -(1 << 63))).otherwise(
-            F.lit(0)
-        )
+        # 2*cnt_j - n > 0  <=>  the +-1 sum over bit j is positive
+        bit = F.when(
+            F.col(f"c{j}") * 2 > F.col("n"), F.lit(1 << j if j < 63 else -(1 << 63))
+        ).otherwise(F.lit(0))
         fp = bit if fp is None else fp.bitwiseXOR(bit)
     return agg.select("id", fp.alias("simhash"))
 

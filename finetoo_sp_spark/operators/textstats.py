@@ -537,3 +537,113 @@ def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("long")
         .alias("n_other"),
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, keep) — the Gopher repetition-free
+    document-quality rules (Rae et al. 2021 §A.1.1, the public recipe
+    behind MassiveText; complements quality_scores' C4-style features):
+
+      keep iff 50 <= n_words <= 100000
+           and 3 <= mean_word_len <= 10
+           and symbol_ratio <= 0.1        (# and ... per word)
+           and bullet_line_frac <= 0.9    (lines starting with a bullet)
+           and ellipsis_line_frac <= 0.3  (lines ending with ...)
+           and alpha_word_frac >= 0.8     (words containing a letter)
+
+    All JVM column expressions over one staged pass (words + lines bound
+    once each); ratios rounded to 4 dp at the boundary so the DuckDB twin
+    matches bit-for-bit. No reference analogue — this is the
+    training-pipeline extension surface.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        _words(text_col).alias("_w"),
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    )
+    words, lines, t = F.col("_w"), F.col("_lines"), F.col("_text")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    sum_wl = F.aggregate(words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+    mean_wl = F.round(sum_wl / F.greatest(n_words, F.lit(1)), 4)
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.round((n_hash + n_ellipsis) / F.greatest(n_words, F.lit(1)), 4)
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.ltrim(l).startswith("-") | F.ltrim(l).startswith("*"))
+    )
+    n_ell_line = F.size(F.filter(lines, lambda l: F.rtrim(l).endswith("...")))
+    bullet_frac = F.round(n_bullet / F.greatest(n_lines, F.lit(1)), 4)
+    ell_frac = F.round(n_ell_line / F.greatest(n_lines, F.lit(1)), 4)
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    alpha_frac = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4)
+    out = staged.select(
+        "id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ell_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8),
+    )
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str, k: int = 30) -> DataFrame:
+    """(pair, cnt) — corpus-wide adjacent character-pair frequencies, i.e.
+    the candidate table for the FIRST byte-pair-encoding merge (Sennrich
+    2016): the foundation of vocabulary induction over a training corpus.
+
+    Scale shape: occurrences collapse to the VOCABULARY before the pair
+    explode — groupBy(word) first, then explode length(w)-1 pairs per
+    DISTINCT word weighted by its count. The explode factor applies to
+    vocab size (slow-growing, Heaps' law), not corpus size; the final agg
+    keys on a ~1k-row pair space, so the last shuffle is tiny. Ordering is
+    (cnt desc, pair asc) — fully deterministic under ties.
+    """
+    words = df.select(F.explode(_words(text_col)).alias("w")).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    pairs = vocab.select(
+        F.explode(F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).alias(
+            "pair"
+        ),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_sentences, n_words, avg_sentence_words) — sentence
+    segmentation by terminal punctuation runs ([.!?]+ followed by
+    whitespace or end), with the words-per-sentence mean rounded to 4 dp.
+    One narrow JVM pass (split + filter + size); the splitter regex is
+    shared verbatim with the DuckDB twin.
+    """
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        _words(text_col).alias("_w"),
+        F.split(F.col(text_col), r"[.!?]+(\s+|$)").alias("_s"),
+    )
+    n_sent = F.size(F.filter(F.col("_s"), lambda s: F.length(F.trim(s)) > 0))
+    n_words = F.size(F.col("_w"))
+    return staged.select(
+        "id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        F.round(n_words / F.greatest(n_sent, F.lit(1)), 4).alias("avg_sentence_words"),
+    )
