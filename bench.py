@@ -150,6 +150,9 @@ def main() -> None:
         "gopher_rules",
         "bpe_pair_counts",
         "sentence_stats",
+        "pii_scan",
+        "hll_sketch",
+        "kmv_distinct",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

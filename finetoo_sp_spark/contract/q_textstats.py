@@ -712,3 +712,122 @@ FROM s""",
 )
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.sentence_stats(T(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# PII synthesis: the corpus is built from scratch strings (never the free
+# text, which could contain accidental matches) so the oracle can state
+# expected counts AND the exact redacted string RELATIONALLY — DuckDB
+# never runs a regex, so an over-/under-matching Spark pattern fails the
+# value check instead of being mirrored.
+_PII_SYNTH_SQL = """
+  SELECT doc_id,
+    'Account page ' || doc_id || ' notes: '
+    || (CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN 'write to user' || doc_id || '@mail.example.com for help'
+          WHEN 1 THEN 'call (' || (100 + doc_id % 900) || ') '
+                      || (200 + doc_id % 800) || '-' || (1000 + doc_id % 9000)
+                      || ' now'
+          WHEN 2 THEN 'host 10.' || (doc_id % 200) || '.' || (doc_id % 250)
+                      || '.' || (doc_id % 100) || ' is up'
+          WHEN 3 THEN 'id on file 512-' || (10 + doc_id % 90) || '-'
+                      || (1000 + doc_id % 9000) || ' ok'
+          ELSE 'v1.2.3 build 4567 released; reach support at example dot com'
+        END)
+    || (CASE WHEN doc_id % 7 = 0
+             THEN ' cc admin' || doc_id || '@example.org' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' origin 192.168.0.1' ELSE '' END)
+    AS text
+  FROM documents
+"""
+
+
+@_q(
+    "pii_scan",
+    f"""
+WITH synth AS ({_PII_SYNTH_SQL})
+SELECT doc_id AS id,
+  CAST((CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emails,
+  CAST(CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_phones,
+  CAST((CASE WHEN doc_id % 5 = 2 THEN 1 ELSE 0 END)
+     + (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ipv4,
+  CAST(CASE WHEN doc_id % 5 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_ssn,
+  (doc_id % 5 <= 3 OR doc_id % 7 = 0 OR doc_id % 11 = 0) AS has_pii,
+  'Account page ' || doc_id || ' notes: '
+  || (CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN 'write to [EMAIL] for help'
+        WHEN 1 THEN 'call [PHONE] now'
+        WHEN 2 THEN 'host [IP] is up'
+        WHEN 3 THEN 'id on file [SSN] ok'
+        ELSE 'v1.2.3 build 4567 released; reach support at example dot com'
+      END)
+  || (CASE WHEN doc_id % 7 = 0 THEN ' cc [EMAIL]' ELSE '' END)
+  || (CASE WHEN doc_id % 11 = 0 THEN ' origin [IP]' ELSE '' END) AS redacted
+FROM synth""",
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact end-to-end: a controlled corpus (emails,
+    NANP phones, dotted-quad IPs, SSN-shaped ids, plus a decoy class
+    with version strings / digit runs / spelled-out addresses that must
+    NOT match) synthesized from documents, run through the real
+    regex operators; the oracle reconstructs counts and the exact
+    redacted string from the synthesis parameters — regex-free."""
+    from finetoo_sp_spark.operators.pii import pii_scan
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    m5 = (i % 5).cast("int")
+    s = lambda c: c.cast("string")  # noqa: E731
+    body = (
+        F.when(
+            m5 == 0,
+            F.concat(F.lit("write to user"), s(i), F.lit("@mail.example.com for help")),
+        )
+        .when(
+            m5 == 1,
+            F.concat(
+                F.lit("call ("),
+                s(i % 900 + 100),
+                F.lit(") "),
+                s(i % 800 + 200),
+                F.lit("-"),
+                s(i % 9000 + 1000),
+                F.lit(" now"),
+            ),
+        )
+        .when(
+            m5 == 2,
+            F.concat(
+                F.lit("host 10."),
+                s(i % 200),
+                F.lit("."),
+                s(i % 250),
+                F.lit("."),
+                s(i % 100),
+                F.lit(" is up"),
+            ),
+        )
+        .when(
+            m5 == 3,
+            F.concat(
+                F.lit("id on file 512-"),
+                s(i % 90 + 10),
+                F.lit("-"),
+                s(i % 9000 + 1000),
+                F.lit(" ok"),
+            ),
+        )
+        .otherwise(F.lit("v1.2.3 build 4567 released; reach support at example dot com"))
+    )
+    text = F.concat(
+        F.lit("Account page "),
+        s(i),
+        F.lit(" notes: "),
+        body,
+        F.when(
+            i % 7 == 0, F.concat(F.lit(" cc admin"), s(i), F.lit("@example.org"))
+        ).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(" origin 192.168.0.1")).otherwise(F.lit("")),
+    )
+    synth = d.select("doc_id", text.alias("text"))
+    return pii_scan(synth, "doc_id", "text")

@@ -383,6 +383,21 @@ CHECKS = {
         ("NO join", r"!Join"),
         ("only vec_id+embedding read", r"ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
     ],
+    "pii_scan": [
+        ("fully narrow plan: no shuffle at all", r"!\+- Exchange"),
+        ("NO join", r"!Join"),
+        ("whole-stage codegen", r"codegen id : "),
+    ],
+    "hll_sketch": [
+        ("one partial aggregation (map-side combine)", r"HashAggregate"),
+        ("NO join", r"!Join"),
+        ("only doc_id+source read", r"ReadSchema: struct<doc_id:bigint,source:string>"),
+    ],
+    "kmv_distinct": [
+        ("per-group k-cut is a window, not a self-join", r"row_number"),
+        ("NO join", r"!Join"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
 }
 
 
