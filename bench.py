@@ -153,6 +153,8 @@ def main() -> None:
         "pii_scan",
         "hll_sketch",
         "kmv_distinct",
+        "image_dhash",
+        "image_neardup_pairs",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -258,3 +258,77 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import audio_stats
 
     return audio_stats(gen_wav_assets(spark, 96))
+
+
+# Closed-form dHash oracle over the textured corpus (datagen.
+# gen_dhash_pandas): grid gray values from the pixel formula + the
+# integer floor-rule resample, adjacent-column comparisons packed at
+# bit index r*8+c (bit 63 = the sign bit, SimHash convention; DuckDB
+# sums in HUGEINT so the signed wrap is explicit, never an overflow).
+_DHASH_SQL = """
+  WITH gsrc AS (
+    SELECT i, r, c,
+      13*i + 3*rr*rr + 5*cc*cc + (1 + i%4)*rr*cc AS b
+    FROM (
+      SELECT i, r, c,
+        (r*(12 + i%5))//8 AS rr, (c*(16 + i%8))//9 AS cc
+      FROM range(0, 80) t(i), range(0, 8) tr(r), range(0, 9) tc(c)
+    )
+  ),
+  g AS (
+    SELECT i, r, c,
+      ((b % 256) + ((b+11) % 256) + ((b+22) % 256)) // 3 AS gray
+    FROM gsrc
+  ),
+  bits AS (
+    SELECT a.i, a.r*8 + a.c AS idx,
+      CASE WHEN a.gray > n.gray THEN 1 ELSE 0 END AS bit
+    FROM g a JOIN g n ON n.i = a.i AND n.r = a.r AND n.c = a.c + 1
+    WHERE a.c < 8
+  )
+  SELECT i AS asset_id,
+    CAST(sum(CASE WHEN bit = 1 THEN
+      CASE WHEN idx <= 61 THEN (CAST(1 AS BIGINT) << idx)
+           WHEN idx = 62 THEN CAST(4611686018427387904 AS BIGINT)
+           ELSE CAST(-9223372036854775808 AS BIGINT) END
+      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS dhash
+  FROM bits GROUP BY i
+"""
+
+
+@_q("image_dhash", _DHASH_SQL)
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual difference hash over the REAL decode path: textured
+    synthetic PNGs (quadratic + cross-term pixels — a linear gradient
+    would collapse every hash to one value) decoded, floor-rule-sampled
+    to 8x9, integer-grayscaled, adjacent columns compared. The DuckDB
+    twin recomputes all 64 bits of every hash from the pixel formula —
+    it never sees a PNG."""
+    from finetoo_sp_spark.datagen import gen_dhash_assets
+    from finetoo_sp_spark.multimodal import image_dhash
+
+    return image_dhash(gen_dhash_assets(spark, 80))
+
+
+@_q(
+    "image_neardup_pairs",
+    f"""
+WITH d AS ({_DHASH_SQL})
+SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM d a JOIN d b ON a.asset_id < b.asset_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 10""",
+)
+def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection end-to-end: ids congruent mod 40 are
+    planted brightness-shifted copies (all 40 land at hamming 1..10);
+    the operator finds them by pigeonhole banding over the 8-byte
+    fingerprints (the image bytes never join); the oracle is the
+    brute-force all-pairs Hamming join over SQL-recomputed hashes."""
+    from finetoo_sp_spark.datagen import gen_dhash_assets
+    from finetoo_sp_spark.multimodal import dhash_pairs, image_dhash
+
+    h = image_dhash(gen_dhash_assets(spark, 80))
+    return dhash_pairs(h, max_hamming=10).withColumn(
+        "hamming", F.col("hamming").cast("int")
+    )

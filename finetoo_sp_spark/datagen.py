@@ -356,3 +356,41 @@ def gen_wav_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFram
                 yield gen_wav_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_dhash_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Textured synthetic PNGs for perceptual-hash tests: pixel(r,c,ch) =
+    (13*id + 3r^2 + 5c^2 + (1 + id%4)*rc + 11ch) % 256. The quadratic +
+    cross terms give every image real 2-D structure (a pure linear
+    gradient collapses every dHash to one value); ids congruent mod 40
+    share geometry AND texture class and differ only by a +8 brightness
+    shift (13*40 % 256), so (i, i+40) are planted NEAR-dups — dHash
+    distance 1..10 from wrap-straddling comparisons — while cross-class
+    pairs sit far away. Closed form, so an SQL oracle recomputes every
+    hash."""
+    from finetoo_sp_spark.codecs.png import encode_png
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 16 + i % 8, 12 + i % 5
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = ((13 * i + 3 * r * r + 5 * c * c + (1 + i % 4) * r * c + 11 * ch) % 256).astype(
+            np.uint8
+        )
+        rows.append((i, "image", encode_png(img, filter_type=i % 5)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_dhash_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed textured PNG corpus for perceptual-hash queries."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_dhash_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

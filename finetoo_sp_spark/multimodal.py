@@ -300,3 +300,99 @@ def audio_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=AUDIO_STATS_SCHEMA
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """(asset_id, dhash: bigint) — 64-bit difference hash over the REAL
+    decode path: decode, nearest-neighbor sample to an 8x9 grid with the
+    integer floor rule (src = dst*src_dim // dst_dim), integer grayscale
+    gray = (r+g+b) // 3, bit (row, col) = gray[row][col] >
+    gray[row][col+1], packed at index row*8+col (bit 63 wraps to the
+    sign bit, same convention as SimHash fingerprints).
+
+    dHash is the standard perceptual near-dup key for image corpora
+    (brightness-shift invariant by construction: a constant luma offset
+    flips only comparisons that straddle a wrap). Every step is integer
+    arithmetic, so an external oracle can recompute each hash from the
+    synthesis pixel formula alone. Arrow-batched mapInPandas; the grid
+    sample is two numpy take() calls; undecodable payloads are skipped,
+    never task-fatal.
+    """
+    gh, gw = 8, 9
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                h, w, ch = img.shape
+                rows = (np.arange(gh, dtype=np.int64) * h) // gh
+                cols = (np.arange(gw, dtype=np.int64) * w) // gw
+                grid = img.take(rows, axis=0).take(cols, axis=1).astype(np.int64)
+                gray = grid[:, :, :3].sum(axis=2) // 3 if ch >= 3 else grid[:, :, 0]
+                bits = (gray[:, :-1] > gray[:, 1:]).astype(np.uint64).reshape(-1)
+                dh = int((bits * weights).sum(dtype=np.uint64).astype(np.int64))
+                recs.append((asset_id, dh))
+            yield pd.DataFrame(recs, columns=["asset_id", "dhash"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_pairs(
+    hashes: DataFrame, max_hamming: int = 7, bucket_cap: int | None = 10_000
+) -> DataFrame:
+    """(id_a, id_b, hamming) — image near-dup pairs from dHash values by
+    pigeonhole banding (identical machinery to text SimHash pairs:
+    max_hamming+1 bands guarantee every pair within distance d shares an
+    exact band; verify with bit_count(xor); hot buckets salt-split past
+    ``bucket_cap``). The decode kernel runs once per image; the pair
+    join runs on 8-byte fingerprints only — at 100 TB the image bytes
+    never shuffle.
+    """
+    from finetoo_sp_spark.operators.dedup import _bucket_self_pairs
+
+    nb = max_hamming + 1
+    width = 64 // nb
+    banded = hashes.select(
+        F.col("asset_id").alias("id"),
+        F.col("dhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftrightunsigned("dhash", bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bits"),
+                    )
+                    for bi in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "dhash", "bb.band", "bb.bits")
+    pairs = _bucket_self_pairs(
+        banded, ["band", "bits"], payload_cols=["dhash"], bucket_cap=bucket_cap
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("dhash_a").bitwiseXOR(F.col("dhash_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -398,6 +398,16 @@ CHECKS = {
         ("NO join", r"!Join"),
         ("partial aggregation", r"HashAggregate"),
     ],
+    "image_dhash": [
+        ("Arrow-batched python kernel (not per-row UDF)", r"MapInPandas"),
+        ("NO join", r"!Join"),
+        ("NO shuffle", r"!\+- Exchange"),
+    ],
+    "image_neardup_pairs": [
+        ("banded equi-join, never cartesian", r"!CartesianProduct"),
+        ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
+        ("hamming verify via bit_count", r"bit_count"),
+    ],
 }
 
 
