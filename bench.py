@@ -155,6 +155,8 @@ def main() -> None:
         "kmv_distinct",
         "image_dhash",
         "image_neardup_pairs",
+        "cms_heavyhitters",
+        "length_quantiles",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -93,3 +93,91 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.operators.sketch import kmv_distinct
 
     return kmv_distinct(_urls(spark, sf_dir), "url", "grp", k=64)
+
+
+@_q(
+    "cms_heavyhitters",
+    """
+WITH cells AS (
+  SELECT i.i AS row,
+    CAST('0x' || substr(sha256('cms' || i.i || ':' || CAST(user_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 256 AS col
+  FROM events, range(0, 4) i(i)
+),
+sk AS (SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col),
+tc AS (SELECT user_id, count(*) AS true_cnt FROM events GROUP BY user_id),
+probes AS (SELECT user_id, true_cnt FROM tc ORDER BY true_cnt DESC, user_id LIMIT 10),
+pc AS (
+  SELECT p.user_id, p.true_cnt, i.i AS row,
+    CAST('0x' || substr(sha256('cms' || i.i || ':' || CAST(p.user_id AS VARCHAR)), 1, 15)
+         AS BIGINT) % 256 AS col
+  FROM probes p, range(0, 4) i(i)
+)
+SELECT pc.user_id, CAST(max(pc.true_cnt) AS BIGINT) AS true_cnt,
+  CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS est_cnt
+FROM pc LEFT JOIN sk ON sk.row = pc.row AND sk.col = pc.col
+GROUP BY pc.user_id""",
+)
+def q_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch end-to-end: build the 4x256 sketch over all
+    event user_ids, point-query the true top-10 heavy hitters, report
+    estimate vs truth (est >= true by construction — one-sided error).
+    The oracle rebuilds the identical sketch cell-for-cell in SQL."""
+    from finetoo_sp_spark.operators.sketch import cms_estimate, cms_sketch
+
+    ev = T(spark, sf_dir, "events")
+    sk = cms_sketch(ev, "user_id", d=4, w=256)
+    probes = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), F.col("user_id"))
+        .limit(10)
+    )
+    est = cms_estimate(sk, probes, "user_id", d=4, w=256)
+    return (
+        probes.join(est, probes.user_id == est.key)
+        .select("user_id", F.col("true_cnt").cast("long"), F.col("est_cnt").cast("long"))
+    )
+
+
+@_q(
+    "length_quantiles",
+    """
+WITH s AS (
+  SELECT source AS grp, greatest(n_chars, 1) AS x FROM documents
+),
+b AS (
+  SELECT grp, x, (CAST(1 AS BIGINT) << (length(bin(x)) - 1)) AS base FROM s
+),
+binned AS (
+  SELECT grp,
+    (length(bin(base)) - 1) * 16 + ((x - base) * 16 // base) AS bucket,
+    base + ((x - base) * 16 // base) * base // 16 AS lo
+  FROM b
+),
+sk AS (SELECT grp, bucket, lo, count(*) AS cnt FROM binned GROUP BY grp, bucket, lo),
+cum AS (
+  SELECT grp, bucket, lo,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM sk
+),
+q AS (SELECT unnest([500000, 900000, 990000]) AS q_ppm)
+SELECT grp, CAST(q_ppm AS BIGINT) AS q_ppm,
+  CAST(arg_min(lo, bucket) AS BIGINT) AS est
+FROM cum, q
+WHERE cum * 1000000 >= q_ppm * total
+GROUP BY grp, q_ppm""",
+)
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (HdrHistogram shape: octave = bit
+    length, 16 linear sub-buckets) over document lengths per source:
+    p50/p90/p99 read out as the lower bound of the first bucket whose
+    cumulative count reaches ceil(q*total) — entirely integer, bounded
+    1/16 relative error at ANY value scale. Oracle rebuilds buckets and
+    the read-out in SQL."""
+    from finetoo_sp_spark.operators.sketch import quantile_sketch, sketch_quantiles
+
+    d = T(spark, sf_dir, "documents")
+    sk = quantile_sketch(d, "n_chars", "source")
+    return sketch_quantiles(sk, [500000, 900000, 990000])

@@ -1,4 +1,5 @@
-"""Distributed cardinality sketches: HyperLogLog registers + KMV.
+"""Distributed sketches: HyperLogLog / KMV (distinct), count-min
+(frequency), HdrHistogram-style buckets (quantiles).
 
 The 100 TB motivation: "how many distinct URLs / users / shingles per
 group" is the first question every crawl and dedup job asks, and exact
@@ -104,3 +105,123 @@ def kmv_distinct(df: DataFrame, key_col: str, group_col: str, k: int = 256) -> D
         F.expr(f"CAST({k - 1} AS BIGINT) * {1 << 40} div greatest(kth_hash >> 20, 1)")
     )
     return agg.select("grp", "n_kept", "kth_hash", est.cast("long").alias("est_distinct"))
+
+
+def cms_sketch(df: DataFrame, key_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """(row, col, cnt) — count-min sketch (Cormode 2005): d independent
+    hash rows of width w; every key increments one cell per row. One
+    partially-aggregated groupBy on the (d*w)-cell space — frequency
+    state bounded regardless of key cardinality, merged by cell-wise
+    sum. Hash i = portable sha-60 over a salted key, so an external
+    engine rebuilds the identical sketch.
+    """
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 hash rows and w >= 2 columns")
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (
+                        sha60(F.concat(F.lit(f"cms{i}:"), F.col(key_col).cast("string"))) % w
+                    ).alias("col"),
+                )
+                for i in range(d)
+            ]
+        )
+    ).alias("cell")
+    return (
+        df.select(cells)
+        .select("cell.row", "cell.col")
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """(key, est_cnt) — point-query the sketch for each probe key:
+    min over the d cells the key hashes to. est >= true always
+    (one-sided error); probes are dimension-sized and broadcast, the
+    sketch itself is at most d*w rows — no large shuffle anywhere.
+    """
+    coords = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            sha60(F.concat(F.lit(f"cms{i}:"), F.col(key_col).cast("string"))) % w
+                        ).alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("cell"),
+    ).select("key", "cell.row", "cell.col")
+    joined = F.broadcast(coords).join(sketch, ["row", "col"], "left").fillna(0, ["cnt"])
+    return joined.groupBy("key").agg(F.min("cnt").alias("est_cnt"))
+
+
+SUB_BITS = 4  # 16 linear sub-buckets per octave: <= 1/16 relative error
+
+
+def quantile_sketch(df: DataFrame, val_col: str, group_col: str) -> DataFrame:
+    """(grp, bucket, lo, cnt) — HdrHistogram-style quantile sketch over
+    positive integer values: octave = bit length, 16 linear sub-buckets
+    per octave (bucket = (octave-1)*16 + sub), so every bucket spans at
+    most 1/16 of its value — bounded RELATIVE error at any scale, from
+    byte-sized to terabyte-sized values, with at most 16*63 cells of
+    state per group. Entirely integer (bit length via length(bin(x)),
+    never log2); mergeable by per-bucket count sum. ``lo`` is the
+    bucket's inclusive lower bound, the deterministic quantile
+    read-out value.
+    """
+    sb = 1 << SUB_BITS
+    staged = df.select(
+        F.col(group_col).alias("grp"),
+        F.greatest(F.col(val_col).cast("long"), F.lit(1)).alias("x"),
+    ).select(
+        "grp",
+        "x",
+        # base = 2^(octave-1): the largest power of two <= x
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(length(bin(x)) AS INT) - 1)").alias("base"),
+    )
+    # sub in [0, 16): linear position inside the octave; lo is recomputed
+    # from (base, sub) alone so it is a pure function of the bucket id.
+    binned = staged.select(
+        "grp",
+        F.expr(f"(x - base) * {sb} div base").alias("sub"),
+        F.col("base"),
+    ).select(
+        "grp",
+        ((F.length(F.bin("base")).cast("long") - 1) * sb + F.col("sub")).alias("bucket"),
+        F.expr(f"base + sub * base div {sb}").alias("lo"),
+    )
+    return binned.groupBy("grp", "bucket", "lo").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def sketch_quantiles(sketch: DataFrame, q_ppm: list[int]) -> DataFrame:
+    """(grp, q_ppm, est) — read quantiles out of a quantile_sketch:
+    target rank = ceil(q * total) in integer ppm arithmetic, estimate =
+    lower bound of the first bucket whose cumulative count reaches the
+    target. Window cumsum over the per-group bucket order + a broadcast
+    quantile dimension — sketch-sized input, deterministic output.
+    """
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("grp").orderBy("bucket")
+    cum = sketch.select(
+        "grp",
+        "bucket",
+        "lo",
+        F.sum("cnt").over(win).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).alias("total"),
+    )
+    qdim = F.explode(F.array(*[F.lit(q).cast("long") for q in q_ppm])).alias("q_ppm")
+    hit = cum.select("grp", "bucket", "lo", "cum", "total", qdim).filter(
+        F.col("cum") * 1_000_000 >= F.col("q_ppm") * F.col("total")
+    )
+    first = hit.groupBy("grp", "q_ppm").agg(F.min(F.struct("bucket", "lo")).alias("s"))
+    return first.select("grp", "q_ppm", F.col("s.lo").alias("est"))

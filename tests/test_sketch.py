@@ -94,3 +94,60 @@ def test_kmv_groups_are_independent(spark):
     df = _keys(spark, 0, 100, "g1").union(_keys(spark, 0, 30, "g2"))
     rows = {r.grp: r for r in kmv_distinct(df, "k", "grp", k=64).collect()}
     assert rows["g2"].est_distinct == 30 and rows["g1"].n_kept == 64
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    from finetoo_sp_spark.operators.sketch import cms_estimate, cms_sketch
+
+    # zipf-ish: key j appears 200//(j+1) times
+    rows = [(f"k{j}",) for j in range(60) for _ in range(200 // (j + 1))]
+    df = spark.createDataFrame(rows, "k string")
+    sk = cms_sketch(df, "k", d=4, w=128)
+    probes = df.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = {r.key: r.est_cnt for r in cms_estimate(sk, probes, "k", d=4, w=128).collect()}
+    truth = {r.k: r.true_cnt for r in probes.collect()}
+    assert all(est[k] >= truth[k] for k in truth)
+    # heavy hitters are near-exact (few collisions at this load factor)
+    assert est["k0"] == truth["k0"]
+    # merge law: sketch(A) cellwise-+ sketch(B) == sketch(A union B)
+    half = len(rows) // 2
+    a = spark.createDataFrame(rows[:half], "k string")
+    b = spark.createDataFrame(rows[half:], "k string")
+    merged = (
+        cms_sketch(a, "k", d=4, w=128)
+        .union(cms_sketch(b, "k", d=4, w=128))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sk.collect()))
+
+
+def test_quantile_sketch_bounded_relative_error(spark):
+    from finetoo_sp_spark.operators.sketch import quantile_sketch, sketch_quantiles
+
+    vals = [(i * i + 7,) for i in range(1, 2001)]  # wide dynamic range
+    df = spark.createDataFrame(vals, "v long").withColumn("g", F.lit("g"))
+    sk = quantile_sketch(df, "v", "g")
+    out = {r.q_ppm: r.est for r in sketch_quantiles(sk, [500000, 900000, 990000]).collect()}
+    import math
+
+    xs = sorted(v for (v,) in vals)
+    for q_ppm, est in out.items():
+        true = xs[math.ceil(q_ppm / 1e6 * len(xs)) - 1]
+        # est is the bucket lower bound: within one bucket (1/16) below
+        assert est <= true and true <= est + est // 16 + 1, (q_ppm, est, true)
+
+
+def test_quantile_sketch_merge_is_count_sum(spark):
+    from finetoo_sp_spark.operators.sketch import quantile_sketch
+
+    a = spark.range(1, 5000).selectExpr("'g' AS g", "id * 3 AS v")
+    b = spark.range(1, 3000).selectExpr("'g' AS g", "id * 17 AS v")
+    whole = quantile_sketch(a.union(b), "v", "g")
+    merged = (
+        quantile_sketch(a, "v", "g")
+        .union(quantile_sketch(b, "v", "g"))
+        .groupBy("grp", "bucket", "lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))

@@ -408,6 +408,16 @@ CHECKS = {
         ("NO nested-loop join", r"!BroadcastNestedLoopJoin"),
         ("hamming verify via bit_count", r"bit_count"),
     ],
+    "cms_heavyhitters": [
+        ("probe side broadcast to the tiny sketch", r"BroadcastHashJoin"),
+        ("NO cartesian", r"!CartesianProduct"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
+    "length_quantiles": [
+        ("NO join (sketch + window only)", r"!Join"),
+        ("only source+n_chars read", r"ReadSchema: struct<source:string,n_chars:bigint>"),
+        ("partial aggregation", r"HashAggregate"),
+    ],
 }
 
 
