@@ -157,6 +157,8 @@ def main() -> None:
         "image_neardup_pairs",
         "cms_heavyhitters",
         "length_quantiles",
+        "corpus_report",
+        "bpe_encode_tokens",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

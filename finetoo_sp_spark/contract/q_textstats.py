@@ -831,3 +831,113 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     synth = d.select("doc_id", text.alias("text"))
     return pii_scan(synth, "doc_id", "text")
+
+
+@_q(
+    "corpus_report",
+    f"""
+WITH w AS (
+  SELECT doc_id, source, text, {_WORDS_SQL} AS ws,
+    regexp_split_to_array(text, '\\n') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+    CAST(len(ws) AS INTEGER) AS n_words,
+    round(CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)
+          / greatest(len(ws), 1), 4) AS mean_word_len,
+    round(((length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / greatest(len(ws), 1), 4) AS symbol_ratio,
+    round(CAST(len(list_filter(lines,
+            l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%')) AS DOUBLE)
+          / greatest(len(lines), 1), 4) AS bullet_line_frac,
+    round(CAST(len(list_filter(lines, l -> rtrim(l) LIKE '%...')) AS DOUBLE)
+          / greatest(len(lines), 1), 4) AS ellipsis_line_frac,
+    round(CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / greatest(len(ws), 1), 4) AS alpha_word_frac
+  FROM w
+), k AS (
+  SELECT source AS grp, n_words,
+    (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+     AND symbol_ratio <= 0.1 AND bullet_line_frac <= 0.9
+     AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8) AS keep
+  FROM m
+), counts AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+    CAST(sum(CASE WHEN keep THEN n_words ELSE 0 END) AS BIGINT) AS total_kept_words
+  FROM k GROUP BY grp
+), b2 AS (
+  SELECT grp, greatest(n_words, 1) AS x,
+    (CAST(1 AS BIGINT) << (length(bin(greatest(n_words, 1))) - 1)) AS base
+  FROM k WHERE keep
+), binned AS (
+  SELECT grp,
+    (length(bin(base)) - 1) * 16 + ((x - base) * 16 // base) AS bucket,
+    base + ((x - base) * 16 // base) * base // 16 AS lo
+  FROM b2
+), sk AS (SELECT grp, bucket, lo, count(*) AS cnt FROM binned GROUP BY grp, bucket, lo),
+cum AS (
+  SELECT grp, bucket, lo,
+    sum(cnt) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+    sum(cnt) OVER (PARTITION BY grp) AS total
+  FROM sk
+), q50 AS (
+  SELECT grp, min(bucket) AS b FROM cum
+  WHERE cum * 1000000 >= 500000 * total GROUP BY grp
+), q90 AS (
+  SELECT grp, min(bucket) AS b FROM cum
+  WHERE cum * 1000000 >= 900000 * total GROUP BY grp
+)
+SELECT c.grp, c.n_docs, c.n_keep,
+  CAST(c.n_keep * 1000000 // c.n_docs AS BIGINT) AS kept_frac_ppm,
+  c.total_kept_words,
+  CAST(p50.lo AS BIGINT) AS p50_words,
+  CAST(p90.lo AS BIGINT) AS p90_words
+FROM counts c
+LEFT JOIN q50 ON q50.grp = c.grp
+LEFT JOIN cum p50 ON p50.grp = q50.grp AND p50.bucket = q50.b
+LEFT JOIN q90 ON q90.grp = c.grp
+LEFT JOIN cum p90 ON p90.grp = q90.grp AND p90.bucket = q90.b""",
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 composition capstone: the per-source curation dashboard
+    (Gopher keep rate in exact ppm, kept token budget, sketch-read
+    p50/p90 word counts) in one lazy plan — one text pass, two partial
+    aggregations, dimension-sized joins. The oracle composes the same
+    gate + bucket + ceil-rank CTEs relationally."""
+    from finetoo_sp_spark.operators.report import corpus_report
+
+    return corpus_report(T(spark, sf_dir, "documents"), "doc_id", "text", "source")
+
+
+@_q(
+    "bpe_encode_tokens",
+    """
+SELECT doc_id AS id,
+  CAST(3 AS BIGINT) AS n_words,
+  CAST(((1 + doc_id % 7) + 1) // 2   -- repeat('ab', k): k 'ab' tokens pair up to ceil(k/2)
+     + (1 + doc_id % 5)              -- repeat('cde', m): (c,d) then (cd,e) -> m 'cde' tokens
+     + 3 AS BIGINT) AS n_tokens      -- 'xyz': no merges apply, 3 char tokens
+FROM documents""",
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BPE apply under a closed-form oracle: a corpus with provable
+    tokenization — repeat('ab', k) merges (a,b) then (ab,ab) into
+    ceil(k/2) tokens, repeat('cde', m) chains two merges into m tokens,
+    'xyz' stays 3 characters — is encoded by the vocabulary-collapsed
+    merge kernel; the oracle states every token budget arithmetically
+    from doc_id, never running a merge."""
+    from finetoo_sp_spark.operators.tokenize import bpe_token_counts
+
+    d = T(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.expr("repeat('ab', 1 + doc_id % 7)"),
+            F.lit(" "),
+            F.expr("repeat('cde', 1 + doc_id % 5)"),
+            F.lit(" xyz"),
+        ).alias("text"),
+    )
+    return bpe_token_counts(synth, "doc_id", "text")

@@ -539,9 +539,12 @@ def script_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
-    ellipsis_line_frac, alpha_word_frac, keep) — the Gopher repetition-free
+def gopher_rules(
+    df: DataFrame, id_col: str, text_col: str, passthrough: list[str] | None = None
+) -> DataFrame:
+    """(id, [passthrough...,] n_words, mean_word_len, symbol_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac, keep) — the
+    Gopher repetition-free
     document-quality rules (Rae et al. 2021 §A.1.1, the public recipe
     behind MassiveText; complements quality_scores' C4-style features):
 
@@ -557,8 +560,10 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     matches bit-for-bit. No reference analogue — this is the
     training-pipeline extension surface.
     """
+    extra = list(passthrough or [])
     staged = df.select(
         F.col(id_col).alias("id"),
+        *extra,
         F.col(text_col).alias("_text"),
         _words(text_col).alias("_w"),
         F.split(F.col(text_col), "\n").alias("_lines"),
@@ -581,6 +586,7 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     alpha_frac = F.round(n_alpha / F.greatest(n_words, F.lit(1)), 4)
     out = staged.select(
         "id",
+        *extra,
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),

@@ -418,6 +418,16 @@ CHECKS = {
         ("only source+n_chars read", r"ReadSchema: struct<source:string,n_chars:bigint>"),
         ("partial aggregation", r"HashAggregate"),
     ],
+    "corpus_report": [
+        ("pruned to text+source only (id unused, dropped)", r"ReadSchema: struct<text:string,source:string>"),
+        ("dimension-sized joins stay broadcast", r"!SortMergeJoin"),
+        ("NO cartesian", r"!CartesianProduct"),
+    ],
+    "bpe_encode_tokens": [
+        ("kernel over the distinct vocabulary", r"MapInPandas"),
+        ("token dimension joined broadcast", r"BroadcastHashJoin"),
+        ("NO cartesian", r"!CartesianProduct"),
+    ],
 }
 
 
