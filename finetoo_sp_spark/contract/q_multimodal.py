@@ -332,3 +332,70 @@ def q_image_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash_pairs(h, max_hamming=10).withColumn(
         "hamming", F.col("hamming").cast("int")
     )
+
+
+@_q(
+    "image_dup_clusters",
+    f"""
+WITH RECURSIVE d AS ({_DHASH_SQL}),
+pairs AS (
+  SELECT a.asset_id AS u, b.asset_id AS v
+  FROM d a JOIN d b ON a.asset_id <> b.asset_id
+  WHERE bit_count(xor(a.dhash, b.dhash)) <= 10
+),
+reach(u, r) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM pairs)
+  UNION
+  SELECT reach.u, pairs.v FROM reach JOIN pairs ON reach.r = pairs.u
+),
+comp AS (SELECT u AS id, min(r) AS component FROM reach GROUP BY u)
+SELECT id, component, count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp""",
+)
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup CLUSTERS: dHash banding finds candidate pairs over
+    the real PNG decode path, then distributed min-label propagation
+    (operators/components.py) closes them transitively — the dedup
+    survivor set per cluster is min(id). The window that adds
+    cluster_size partitions by component over the (tiny) duplicate node
+    set only; the oracle recomputes hashes from the pixel formula and
+    closes the same pairs with a recursive CTE."""
+    from pyspark.sql import Window
+
+    from finetoo_sp_spark.datagen import gen_dhash_assets
+    from finetoo_sp_spark.multimodal import dhash_pairs, image_dhash
+    from finetoo_sp_spark.operators.components import connected_components
+
+    h = image_dhash(gen_dhash_assets(spark, 80))
+    pairs = dhash_pairs(h, max_hamming=10)
+    comp = connected_components(pairs)
+    return comp.withColumn(
+        "cluster_size", F.count("*").over(Window.partitionBy("component"))
+    )
+
+
+@_q(
+    "video_metadata",
+    """
+SELECT i AS asset_id,
+  CASE WHEN i % 2 = 0 THEN 'isom' ELSE 'mp42' END AS major_brand,
+  CAST(600 AS BIGINT) AS timescale,
+  CAST(600 * (1 + i % 7) + i AS BIGINT) AS duration_ticks,
+  (600 * (1 + i % 7) + i) * 1000 // 600 AS duration_ms,
+  CAST(1 + i % 2 AS BIGINT) AS n_tracks,
+  CAST(8 * (2 + i % 6) AS BIGINT) AS width,
+  CAST(8 * (2 + i % 4) AS BIGINT) AS height,
+  CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1' ELSE 'av01' END
+    AS video_codec
+FROM range(0, 96) t(i)""",
+)
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video leg of the multimodal trio: REAL ISO-BMFF box parse
+    (codecs/mp4.py — ftyp/mvhd/tkhd/hdlr/stsd) over deterministic
+    synthetic containers; every probed field has a closed form the
+    oracle recomputes from the asset id. Header-only Arrow kernel, mdat
+    never touched, no shuffle."""
+    from finetoo_sp_spark.datagen import gen_mp4_assets
+    from finetoo_sp_spark.multimodal import video_metadata
+
+    return video_metadata(gen_mp4_assets(spark, 96))

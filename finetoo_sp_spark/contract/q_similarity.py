@@ -253,6 +253,71 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "ccnet_lm_filter",
+    f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws, (source = 'src0') AS is_ref FROM documents
+),
+bk AS (
+  SELECT doc_id, is_ref,
+    ('0x' || substr(md5(ws[g.i] || ' ' || ws[g.i + 1]), 1, 15))::BIGINT % 256 AS bg_bucket,
+    ('0x' || substr(md5(ws[g.i]), 1, 15))::BIGINT % 256 AS ctx_bucket
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+),
+bgc AS (SELECT bg_bucket, count(*) AS cnt_bg FROM bk WHERE is_ref GROUP BY 1),
+ctxc AS (SELECT ctx_bucket, count(*) AS cnt_ctx FROM bk WHERE is_ref GROUP BY 1),
+costed AS (
+  SELECT bk.doc_id,
+    ((coalesce(cnt_ctx, 0) + 256) * 65536) // (CAST(coalesce(cnt_bg, 0) AS BIGINT) + 1)
+      AS cost_fp
+  FROM bk LEFT JOIN bgc USING (bg_bucket) LEFT JOIN ctxc USING (ctx_bucket)
+),
+sc AS (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cost_fp) AS BIGINT) AS lm_cost_fp
+  FROM costed GROUP BY 1
+),
+per_doc AS (
+  SELECT d.doc_id AS id, (d.source = 'src0') AS is_ref,
+    coalesce(sc.n_bigrams, 0) AS n_bigrams,
+    coalesce(sc.lm_cost_fp, 0) AS lm_cost_fp,
+    coalesce(sc.lm_cost_fp // sc.n_bigrams, 0) AS cost_per_bigram_fp
+  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+),
+tiles AS (
+  SELECT id, cost_per_bigram_fp,
+    ntile(3) OVER (ORDER BY cost_per_bigram_fp, id) AS tile
+  FROM per_doc WHERE is_ref
+),
+th AS (
+  SELECT max(CASE WHEN tile = 1 THEN cost_per_bigram_fp END) AS t1,
+         max(CASE WHEN tile = 2 THEN cost_per_bigram_fp END) AS t2
+  FROM tiles
+)
+SELECT id, n_bigrams, lm_cost_fp, cost_per_bigram_fp,
+  CASE WHEN cost_per_bigram_fp <= t1 THEN 'head'
+       WHEN cost_per_bigram_fp <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM per_doc, th""",
+)
+def q_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter (arXiv:1911.00359) with src0 as the
+    trusted reference: a reference-trained hashed-bigram LM costs every
+    document in exact integer fixed point, and reference-derived tercile
+    thresholds split the corpus into head/middle/tail. Corpus-side plan
+    is explode -> two 256-row broadcast probes -> one partial agg; the
+    only global sort (ntile) runs over the bounded reference slice."""
+    from finetoo_sp_spark.operators import lmfilter as lmf
+
+    return lmf.ccnet_lm_scores(
+        T(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        F.col("source") == "src0",
+        n_buckets=256,
+        scale=1 << 16,
+    )
+
+
+@_q(
     "phrase_hits",
     f"""
 WITH t AS (

@@ -394,3 +394,48 @@ def gen_dhash_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFr
                 yield gen_dhash_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_mp4_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic synthetic MP4 containers with CLOSED-FORM metadata:
+    asset i has major_brand isom/mp42 (i%2), movie timescale 600,
+    duration 600*(1 + i%7) + i ticks, one video track (w = 8*(2 + i%6),
+    h = 8*(2 + i%4), codec avc1/hvc1/av01 by i%3) plus an audio track
+    when i%2 == 1 — every probed field recomputable by a SQL oracle
+    from i alone. The mdat carries i%97 filler bytes so payload size
+    also varies deterministically."""
+    from finetoo_sp_spark.codecs.mp4 import encode_mp4
+
+    codecs = ["avc1", "hvc1", "av01"]
+    rows = []
+    for i in ids:
+        i = int(i)
+        tracks = [("vide", 8 * (2 + i % 6), 8 * (2 + i % 4), codecs[i % 3])]
+        if i % 2 == 1:
+            tracks.append(("soun", 0, 0, "mp4a"))
+        rows.append(
+            (
+                i,
+                "video",
+                encode_mp4(
+                    "isom" if i % 2 == 0 else "mp42",
+                    600,
+                    600 * (1 + i % 7) + i,
+                    tracks,
+                    mdat=b"\x00" * (i % 97),
+                ),
+            )
+        )
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_mp4_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic MP4 corpus: spark.range -> mapInPandas."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_mp4_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -1,0 +1,116 @@
+"""MP4/ISO-BMFF metadata probe + CCNet-style LM filter."""
+
+import struct
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from finetoo_sp_spark.codecs.mp4 import Mp4Error, decode_mp4, encode_mp4
+
+
+def test_mp4_roundtrip_two_tracks():
+    b = encode_mp4("mp42", 600, 1234, [("vide", 640, 360, "avc1"), ("soun", 0, 0, "mp4a")])
+    m = decode_mp4(b)
+    assert m["major_brand"] == "mp42"
+    assert m["timescale"] == 600 and m["duration"] == 1234
+    assert [t["handler"] for t in m["tracks"]] == ["vide", "soun"]
+    assert m["tracks"][0]["width"] == 640 and m["tracks"][0]["height"] == 360
+    assert m["tracks"][0]["codec"] == "avc1"
+    assert m["tracks"][1]["codec"] == "mp4a"
+
+
+def test_mp4_hand_pinned_bytes():
+    """The encoder is a fixture generator — pin its exact box layout so
+    silent format drift can't pass both halves of the oracle."""
+    b = encode_mp4("isom", 600, 600, [("vide", 16, 16, "av01")])
+    assert b[0:4] == struct.pack(">I", 20)  # ftyp: 8 hdr + 12 payload
+    assert b[4:8] == b"ftyp" and b[8:12] == b"isom"
+    moov_off = 20
+    assert b[moov_off + 4 : moov_off + 8] == b"moov"
+    mvhd_off = moov_off + 8
+    assert b[mvhd_off + 4 : mvhd_off + 8] == b"mvhd"
+    # v0 mvhd: timescale at payload+12, duration at payload+16
+    assert struct.unpack_from(">II", b, mvhd_off + 8 + 12) == (600, 600)
+    assert b[-8:] == struct.pack(">I", 8) + b"mdat"  # empty mdat tail
+
+
+def test_mp4_v1_mvhd_and_largesize():
+    """Version-1 (64-bit) mvhd and size==1 largesize boxes parse too."""
+    mvhd_v1 = (
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 90000, 2**33)
+        + b"\x00" * 80
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_v1)) + b"mvhd" + mvhd_v1
+    moov_payload = mvhd
+    # moov written with the largesize encoding (size==1 -> uint64 follows)
+    moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"iso5" + struct.pack(">I", 0)
+    m = decode_mp4(ftyp + moov)
+    assert m["major_brand"] == "iso5"
+    assert m["timescale"] == 90000 and m["duration"] == 2**33
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [b"", b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00"[:12], b"\x00" * 32,
+     struct.pack(">I", 99) + b"ftyp" + b"x" * 8],
+)
+def test_mp4_malformed_raises(bad):
+    with pytest.raises(Mp4Error):
+        decode_mp4(bad)
+
+
+def test_video_metadata_skips_garbage(spark):
+    from finetoo_sp_spark.multimodal import video_metadata
+
+    good = encode_mp4("isom", 600, 900, [("vide", 32, 16, "hvc1")])
+    df = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(good)),
+         Row(asset_id=2, payload=bytearray(b"not a video at all"))]
+    )
+    rows = video_metadata(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.asset_id, r.major_brand, r.duration_ms, r.width, r.height,
+            r.video_codec, r.n_tracks) == (1, "isom", 1500, 32, 16, "hvc1", 1)
+
+
+def test_ccnet_buckets_reference_like_text_as_head(spark):
+    """Docs made of reference vocabulary must land in head; gibberish
+    with bigrams the reference LM never saw lands in tail."""
+    from finetoo_sp_spark.operators.lmfilter import ccnet_lm_scores
+
+    ref = [(i, "the quick brown fox jumps over the lazy dog", True) for i in range(9)]
+    head_doc = [(100, "the quick brown fox", False)]
+    tail_doc = [(101, "zzq xkcd vvv qqq zzq xkcd", False)]
+    df = spark.createDataFrame(ref + head_doc + tail_doc, "id long, text string, is_ref boolean")
+    out = {
+        r.id: r
+        for r in ccnet_lm_scores(df, "id", "text", F.col("is_ref")).collect()
+    }
+    assert out[100].ppl_bucket == "head"
+    assert out[101].ppl_bucket == "tail"
+    assert out[100].cost_per_bigram_fp < out[101].cost_per_bigram_fp
+    # empty/one-word docs cost 0 -> head, never a crash
+    df2 = spark.createDataFrame(ref + [(200, "single", False)], "id long, text string, is_ref boolean")
+    out2 = {r.id: r for r in ccnet_lm_scores(df2, "id", "text", F.col("is_ref")).collect()}
+    assert out2[200].n_bigrams == 0 and out2[200].ppl_bucket == "head"
+
+
+def test_ccnet_thresholds_from_reference_only(spark):
+    """Tercile thresholds must come from the reference slice: adding
+    extreme NON-reference docs must not move any bucket boundary."""
+    from finetoo_sp_spark.operators.lmfilter import ccnet_lm_scores
+
+    ref = [(i, f"alpha beta gamma delta w{i} w{i+1}", True) for i in range(12)]
+    probe = [(500, "alpha beta gamma", False)]
+    noise = [(600 + j, "zz" + " zz".join(str(k) for k in range(j + 2)), False) for j in range(8)]
+    base = spark.createDataFrame(ref + probe, "id long, text string, is_ref boolean")
+    with_noise = spark.createDataFrame(ref + probe + noise, "id long, text string, is_ref boolean")
+    b1 = {r.id: r.ppl_bucket for r in ccnet_lm_scores(base, "id", "text", F.col("is_ref")).collect()}
+    b2 = {r.id: r.ppl_bucket for r in ccnet_lm_scores(with_noise, "id", "text", F.col("is_ref")).collect()}
+    assert b1[500] == b2[500]
+    for i in range(12):
+        assert b1[i] == b2[i]
