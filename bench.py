@@ -159,6 +159,11 @@ def main() -> None:
         "length_quantiles",
         "corpus_report",
         "bpe_encode_tokens",
+        "ccnet_lm_filter",
+        "video_metadata",
+        "image_dup_clusters",
+        "image_dimensions",
+        "curation_v3",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -207,3 +207,69 @@ def q_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robots_txt"),
     )
     return sitemap_directives(robots)
+
+
+@_q(
+    "blocklist_gate",
+    """
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 5 AS INTEGER)
+      WHEN 0 THEN 'www.spam' || (doc_id % 3) || '.example'
+      WHEN 1 THEN 'sub.a.blocked' || (doc_id % 3) || '.net'
+      WHEN 2 THEN 'ok' || (doc_id % 3) || '.org'
+      WHEN 3 THEN 'blocked' || (doc_id % 3) || '.net'
+      ELSE 'deep.x.notspam' || (doc_id % 3) || '.example' END AS host
+  FROM documents
+),
+bl AS (
+  SELECT 'spam' || g.k || '.example' AS domain FROM UNNEST(generate_series(0, 2)) g(k)
+  UNION ALL
+  SELECT 'blocked' || g.k || '.net' FROM UNNEST(generate_series(0, 2)) g(k)
+),
+p AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM u),
+s AS (
+  SELECT doc_id, host, array_to_string(parts[CAST(g.i AS BIGINT):len(parts)], '.') AS suf
+  FROM p, UNNEST(generate_series(1, len(parts))) AS g(i)
+),
+hits AS (
+  SELECT s.doc_id, max(length(suf)) AS l
+  FROM s JOIN bl ON s.suf = bl.domain GROUP BY 1
+),
+best AS (
+  SELECT s.doc_id, s.suf AS matched_domain
+  FROM s JOIN hits ON s.doc_id = hits.doc_id AND length(s.suf) = hits.l
+  JOIN bl ON s.suf = bl.domain
+)
+SELECT u.doc_id AS id, u.host,
+  best.matched_domain IS NOT NULL AS blocked,
+  coalesce(best.matched_domain, '') AS matched_domain
+FROM u LEFT JOIN best ON u.doc_id = best.doc_id""",
+)
+def q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate: hosts synthesized from documents (spam
+    subdomain / nested blocked / clean / exact blocked / decoy whose
+    label is a SUPERSTRING of a blocked domain — must NOT match),
+    blocked-domain dimension of 6 rows, suffix-at-label-boundary
+    semantics via the dot-suffix explode + broadcast equi-join. The
+    oracle restates the same suffix algebra relationally."""
+    from finetoo_sp_spark.operators.blocklist import blocklist_gate
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 5).cast("int")
+    k = F.col("doc_id") % 3
+    u = d.select(
+        "doc_id",
+        F.when(m == 0, F.concat(F.lit("www.spam"), k, F.lit(".example")))
+        .when(m == 1, F.concat(F.lit("sub.a.blocked"), k, F.lit(".net")))
+        .when(m == 2, F.concat(F.lit("ok"), k, F.lit(".org")))
+        .when(m == 3, F.concat(F.lit("blocked"), k, F.lit(".net")))
+        .otherwise(F.concat(F.lit("deep.x.notspam"), k, F.lit(".example")))
+        .alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [(f"spam{i}.example",) for i in range(3)]
+        + [(f"blocked{i}.net",) for i in range(3)],
+        "domain string",
+    )
+    return blocklist_gate(u, bl)

@@ -399,3 +399,54 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import video_metadata
 
     return video_metadata(gen_mp4_assets(spark, 96))
+
+
+@_q(
+    "image_dimensions",
+    """
+SELECT i AS asset_id,
+  CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
+  CAST(CASE CAST(i % 4 AS INTEGER)
+    WHEN 0 THEN 16 + i % 8
+    WHEN 1 THEN 8 * (2 + i % 3)
+    WHEN 2 THEN 100 + i
+    ELSE 1 + i % 200 END AS BIGINT) AS width,
+  CAST(CASE CAST(i % 4 AS INTEGER)
+    WHEN 0 THEN 12 + i % 5
+    WHEN 1 THEN 8 * (2 + i % 2)
+    WHEN 2 THEN 50 + i % 7
+    ELSE 1 + (i * 3) % 150 END AS BIGINT) AS height
+FROM range(0, 120) t(i)""",
+)
+def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-decode image gate: header-only format/dimension probe over a
+    mixed PNG (real encoder) / JPEG (real encoder) / GIF / WebP corpus
+    — formats whose full decode is out of scope still yield the fields
+    curation filters on. Oracle recomputes everything from the id."""
+    from finetoo_sp_spark.datagen import gen_mixed_image_assets
+    from finetoo_sp_spark.multimodal import image_dimensions
+
+    return image_dimensions(gen_mixed_image_assets(spark, 120))
+
+
+@_q(
+    "frame_sample_times",
+    """
+WITH v AS (
+  SELECT i, (600 * (1 + i % 7) + i) * 1000 // 600 AS dms FROM range(0, 96) t(i)
+)
+SELECT i AS asset_id,
+  CAST(g.ts // 500 AS BIGINT) AS sample_idx,
+  CAST(g.ts AS BIGINT) AS ts_ms
+FROM v, UNNEST(generate_series(0, dms, 500)) AS g(ts)""",
+)
+def q_frame_sample_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based frame sampling over the REAL ISO-BMFF duration probe:
+    every 500 ms of each synthetic MP4's mvhd duration becomes a
+    work-list row; the oracle recomputes duration_ms from the id
+    formula and unrolls the same inclusive series."""
+    from finetoo_sp_spark.datagen import gen_mp4_assets
+    from finetoo_sp_spark.multimodal import frame_sample_times
+
+    return frame_sample_times(gen_mp4_assets(spark, 96), interval_ms=500)

@@ -547,3 +547,67 @@ def q_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node_type string, property string, dtype string, is_unique boolean, "
         "is_indexed boolean, is_comparable boolean, is_aggregable boolean",
     )
+
+
+def _curation_v3_oracle() -> str:
+    from finetoo_sp_spark.contract.q_similarity import CCNET_ORACLE
+    from finetoo_sp_spark.contract.q_textstats import GOPHER_ORACLE
+
+    return f"""
+WITH gopher AS ({GOPHER_ORACLE}),
+ccnet AS ({CCNET_ORACLE}),
+kept AS (
+  SELECT d.doc_id, d.source, d.text, c.ppl_bucket
+  FROM documents d
+  JOIN gopher g ON g.id = d.doc_id AND g.keep
+  JOIN ccnet c ON c.id = d.doc_id AND c.ppl_bucket <> 'tail'
+),
+surv AS (
+  SELECT * FROM (
+    SELECT kept.*, min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id
+    FROM kept
+  ) WHERE doc_id = keep_id
+)
+SELECT source,
+  count(*) AS n_kept,
+  CAST(sum(CASE WHEN ppl_bucket = 'head' THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+  CAST(sum(CASE WHEN ppl_bucket = 'middle' THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+  CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM surv GROUP BY source"""
+
+
+@_q("curation_v3", _curation_v3_oracle())
+def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #3 — the round-4 LM filter composed with the Gopher
+    gate and exact dedup as one lazy plan: documents pass the Gopher
+    quality rules AND land in the CCNet head/middle terciles (reference
+    = src0), then exact dedup keeps the min-id survivor per content
+    sha; output is the per-source kept-corpus report (doc counts by
+    tercile + total chars). Both filters are broadcast-probe plans over
+    one corpus scan each, the dedup is one uniform-sha shuffle, and the
+    final agg groups on the tiny source dimension. The DuckDB twin
+    composes the HAND-WRITTEN gopher + ccnet oracle texts — not
+    generated code — so the composition verifies end to end."""
+    from finetoo_sp_spark.operators.dedup import apply_exact_dedup
+    from finetoo_sp_spark.operators.lmfilter import ccnet_lm_scores
+    from finetoo_sp_spark.operators.textstats import gopher_rules
+
+    d = T(spark, sf_dir, "documents")
+    gate = (
+        gopher_rules(d, "doc_id", "text")
+        .filter("keep")
+        .select(F.col("id").alias("doc_id"))
+    )
+    lm = (
+        ccnet_lm_scores(d, "doc_id", "text", F.col("source") == "src0")
+        .filter(F.col("ppl_bucket") != "tail")
+        .select(F.col("id").alias("doc_id"), "ppl_bucket")
+    )
+    kept = d.select("doc_id", "source", "text").join(gate, "doc_id").join(lm, "doc_id")
+    surv = apply_exact_dedup(kept, "doc_id", "text")
+    return surv.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.when(F.col("ppl_bucket") == "head", 1).otherwise(0)).alias("n_head"),
+        F.sum(F.when(F.col("ppl_bucket") == "middle", 1).otherwise(0)).alias("n_middle"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )

@@ -252,9 +252,7 @@ def q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "ccnet_lm_filter",
-    f"""
+CCNET_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, {_WORDS_SQL} AS ws, (source = 'src0') AS is_ref FROM documents
 ),
@@ -296,8 +294,10 @@ th AS (
 SELECT id, n_bigrams, lm_cost_fp, cost_per_bigram_fp,
   CASE WHEN cost_per_bigram_fp <= t1 THEN 'head'
        WHEN cost_per_bigram_fp <= t2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
-FROM per_doc, th""",
-)
+FROM per_doc, th"""
+
+
+@_q("ccnet_lm_filter", CCNET_ORACLE)
 def q_ccnet_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filter (arXiv:1911.00359) with src0 as the
     trusted reference: a reference-trained hashed-bigram LM costs every

@@ -639,9 +639,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.top_ngrams(T(spark, sf_dir, "documents"), "doc_id", "text", n=2, k=20)
 
 
-@_q(
-    "gopher_rules",
-    f"""
+GOPHER_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, text, {_WORDS_SQL} AS ws,
     regexp_split_to_array(text, '\\n') AS lines
@@ -671,8 +669,10 @@ SELECT doc_id AS id, n_words, mean_word_len, symbol_ratio,
    AND bullet_line_frac <= 0.9
    AND ellipsis_line_frac <= 0.3
    AND alpha_word_frac >= 0.8) AS keep
-FROM m""",
-)
+FROM m"""
+
+
+@_q("gopher_rules", GOPHER_ORACLE)
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.gopher_rules(T(spark, sf_dir, "documents"), "doc_id", "text")
 

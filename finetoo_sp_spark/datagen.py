@@ -439,3 +439,50 @@ def gen_mp4_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFram
                 yield gen_mp4_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_mixed_image_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic mixed-format image corpus for the header probe:
+    i%4 routes to a REAL PNG (encode_png), REAL baseline JPEG
+    (encode_jpeg_baseline), minimal GIF89a, or minimal WebP/VP8L, each
+    with closed-form dimensions an SQL oracle recomputes from i."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+    from finetoo_sp_spark.codecs.png import encode_png
+    from finetoo_sp_spark.codecs.probe import (
+        encode_gif_header,
+        encode_webp_vp8l_header,
+    )
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        kind = i % 4
+        if kind == 0:
+            w, h = 16 + i % 8, 12 + i % 5
+            r = np.arange(h)[:, None, None]
+            c = np.arange(w)[None, :, None]
+            ch = np.arange(3)[None, None, :]
+            img = ((i + 3 * r + 5 * c + 11 * ch) % 256).astype(np.uint8)
+            payload = encode_png(img, filter_type=i % 5)
+        elif kind == 1:
+            bw, bh = 2 + i % 3, 2 + i % 2
+            vals = np.full((bh, bw), 128, dtype=np.uint8)
+            payload = encode_jpeg_baseline(np.repeat(np.repeat(vals, 8, 0), 8, 1))
+        elif kind == 2:
+            payload = encode_gif_header(100 + i, 50 + i % 7)
+        else:
+            payload = encode_webp_vp8l_header(1 + i % 200, 1 + (i * 3) % 150)
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_mixed_image_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed mixed-format (PNG/JPEG/GIF/WebP) image corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_mixed_image_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

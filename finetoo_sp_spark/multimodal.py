@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from struct import error as struct_error
 
 import numpy as np
 import pandas as pd
@@ -465,4 +466,58 @@ def video_metadata(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=VIDEO_META_SCHEMA
+    )
+
+
+DIMS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("format", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+    ]
+)
+
+
+def image_dimensions(assets: DataFrame) -> DataFrame:
+    """Header-only format + dimension probe (codecs/probe.py) across
+    PNG/JPEG/GIF/WebP — the pre-decode gate a crawl pipeline filters on
+    (drop trackers/icons, route formats, bucket by resolution). Covers
+    formats whose full decode is out of scope (GIF, WebP, progressive
+    JPEG) because only the header is read; unrecognized payloads are
+    SKIPPED, never task-fatal. One Arrow pass, no shuffle."""
+    from finetoo_sp_spark.codecs.probe import ProbeError, probe_image_dims
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    fmt, w, h = probe_image_dims(bytes(payload))
+                except (ProbeError, ValueError, struct_error):
+                    continue
+                recs.append((asset_id, fmt, w, h))
+            yield pd.DataFrame(recs, columns=["asset_id", "format", "width", "height"])
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=DIMS_SCHEMA)
+
+
+def frame_sample_times(assets: DataFrame, interval_ms: int = 500) -> DataFrame:
+    """Time-based video frame sampling driven by the REAL container
+    parse: probe each MP4's mvhd duration (video_metadata), then emit
+    one (asset_id, sample_idx, ts_ms) row per ``interval_ms`` — the
+    work-list a frame-decode stage would map over (the decode itself
+    needs an entropy codec and stays stubbed). The explode is bounded
+    by duration/interval, stays JVM-side (sequence + explode), and
+    partitions by asset like any downstream decode batch would need."""
+    meta = video_metadata(assets).select("asset_id", "duration_ms")
+    ts = F.explode(
+        F.sequence(F.lit(0), F.col("duration_ms"), F.lit(int(interval_ms)))
+    ).alias("ts_ms")
+    return meta.select("asset_id", ts).select(
+        "asset_id",
+        (F.col("ts_ms") / F.lit(int(interval_ms))).cast("long").alias("sample_idx"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
     )

@@ -114,3 +114,84 @@ def test_ccnet_thresholds_from_reference_only(spark):
     assert b1[500] == b2[500]
     for i in range(12):
         assert b1[i] == b2[i]
+
+
+def test_probe_image_dims_formats():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+    from finetoo_sp_spark.codecs.png import encode_png
+    from finetoo_sp_spark.codecs.probe import (
+        ProbeError,
+        encode_gif_header,
+        encode_webp_vp8l_header,
+        probe_image_dims,
+    )
+
+    png = encode_png(np.zeros((5, 7, 3), dtype=np.uint8))
+    assert probe_image_dims(png) == ("png", 7, 5)
+    jpg = encode_jpeg_baseline(np.full((16, 24), 128, dtype=np.uint8))
+    assert probe_image_dims(jpg) == ("jpeg", 24, 16)
+    assert probe_image_dims(encode_gif_header(321, 77)) == ("gif", 321, 77)
+    assert probe_image_dims(encode_webp_vp8l_header(1, 1)) == ("webp", 1, 1)
+    assert probe_image_dims(encode_webp_vp8l_header(16383, 100)) == ("webp", 16383, 100)
+    # progressive JPEG (SOF2) probes fine even though decode rejects it
+    sof0 = jpg.index(b"\xff\xc0")
+    prog = jpg[:sof0] + b"\xff\xc2" + jpg[sof0 + 2 :]
+    assert probe_image_dims(prog) == ("jpeg", 24, 16)
+    for bad in (b"", b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, b"RIFF\x00\x00\x00\x00WAVE",
+                b"\xff\xd8\xff\xd9"):
+        with pytest.raises(ProbeError):
+            probe_image_dims(bad)
+
+
+def test_image_dimensions_spark(spark):
+    from finetoo_sp_spark.datagen import gen_mixed_image_assets
+    from finetoo_sp_spark.multimodal import image_dimensions
+
+    out = {r.asset_id: r for r in image_dimensions(gen_mixed_image_assets(spark, 8)).collect()}
+    assert len(out) == 8
+    assert out[0].format == "png" and (out[0].width, out[0].height) == (16, 12)
+    assert out[1].format == "jpeg"
+    assert out[2].format == "gif" and out[2].width == 102
+    assert out[3].format == "webp" and out[3].height == 1 + 9 % 150
+
+
+def test_blocklist_gate_suffix_semantics(spark):
+    from finetoo_sp_spark.operators.blocklist import blocklist_gate
+
+    pages = spark.createDataFrame(
+        [
+            (1, "ads.x.spam.example"),     # nested subdomain -> blocked
+            (2, "spam.example"),            # exact -> blocked
+            (3, "notspam.example"),         # label superstring -> NOT blocked
+            (4, "spam.example.org"),        # blocked domain as PREFIX -> NOT blocked
+            (5, "deep.a.b.tracker.net"),    # longest-rule check (both rules match)
+            (6, "clean.org"),
+        ],
+        "doc_id long, host string",
+    )
+    bl = spark.createDataFrame(
+        [("spam.example",), ("tracker.net",), ("b.tracker.net",)], "domain string"
+    )
+    out = {r.id: r for r in blocklist_gate(pages, bl).collect()}
+    assert out[1].blocked and out[1].matched_domain == "spam.example"
+    assert out[2].blocked
+    assert not out[3].blocked and out[3].matched_domain == ""
+    assert not out[4].blocked
+    assert out[5].blocked and out[5].matched_domain == "b.tracker.net"
+    assert not out[6].blocked
+
+
+def test_frame_sample_times(spark):
+    from finetoo_sp_spark.codecs.mp4 import encode_mp4
+    from finetoo_sp_spark.multimodal import frame_sample_times
+    from pyspark.sql import Row
+
+    # 1500 ms duration at interval 500 -> ts 0,500,1000,1500 (inclusive)
+    b = encode_mp4("isom", 600, 900, [("vide", 16, 16, "avc1")])
+    df = spark.createDataFrame([Row(asset_id=7, payload=bytearray(b))])
+    rows = sorted(
+        (r.sample_idx, r.ts_ms) for r in frame_sample_times(df, 500).collect()
+    )
+    assert rows == [(0, 0), (1, 500), (2, 1000), (3, 1500)]
