@@ -18,6 +18,35 @@ sys.path.insert(0, ".")
 
 CHECKS = {
     # query -> list of (description, regex that must appear in the plan)
+    "ccnet_lm_filter": [
+        ("LM count tables broadcast to the gram stream", r"BroadcastHashJoin"),
+        ("scan pruned to doc_id/text/source", r"ReadSchema: struct<doc_id:bigint,text:string,source:string>"),
+        ("partial aggregation", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
+    "blocklist_gate": [
+        ("blocklist dimension broadcast", r"BroadcastHashJoin"),
+        ("suffix explode stays JVM-side", r"Generate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "video_metadata": [
+        ("Arrow-batched kernel", r"MapInPandas"),
+        ("NO shuffle (header-only probe)", r"!Exchange"),
+    ],
+    "image_dimensions": [
+        ("Arrow-batched kernel", r"MapInPandas"),
+        ("NO shuffle (header-only probe)", r"!Exchange"),
+    ],
+    "frame_sample_times": [
+        ("JVM-side sequence explode", r"Generate"),
+        ("NO shuffle", r"!Exchange"),
+    ],
+    "curation_v3": [
+        ("dimension-sized gates broadcast", r"BroadcastHashJoin"),
+        ("partial aggregation on source", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "q1_pricing_summary": [
         ("shipdate filter pushed to scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
         ("column pruning (no l_orderkey read)", r"ReadSchema: [^\n]*l_returnflag"),
