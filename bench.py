@@ -164,6 +164,7 @@ def main() -> None:
         "image_dup_clusters",
         "image_dimensions",
         "curation_v3",
+        "bpe_learn_merges",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -941,3 +941,42 @@ def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return bpe_token_counts(synth, "doc_id", "text")
+
+
+@_q(
+    "bpe_learn_merges",
+    """
+SELECT * FROM (VALUES
+  (0, 'l', 'o', 'lo', CAST(900 AS BIGINT)),
+  (1, 'lo', 'w', 'low', CAST(900 AS BIGINT)),
+  (2, 'low', 'e', 'lowe', CAST(300 AS BIGINT)),
+  (3, 'lowe', 'r', 'lower', CAST(200 AS BIGINT)),
+  (4, 'lowe', 's', 'lowes', CAST(100 AS BIGINT)),
+  (5, 'lowes', 't', 'lowest', CAST(100 AS BIGINT))
+) t(merge_idx, "left", "right", merged, cnt)""",
+)
+def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-table LEARNING end to end (Sennrich 2016 train phase,
+    the classic low/lower/lowest worked example): a 900-occurrence
+    vocabulary synthesized from range (600 low / 200 lower / 100
+    lowest), six find-top-pair -> greedy-merge rounds over the
+    vocabulary only. Every merge, its order, and its count are
+    hand-derived in the oracle — including both tie-breaks ((l,o) vs
+    (o,w) at 900 and (lowe,s) vs (s,t) at 100, resolved by pair-asc).
+    Scale: the loop touches the Heaps'-law vocabulary, never the
+    corpus; each round is one partial agg + a 1-row collect."""
+    from finetoo_sp_spark.operators.tokenize import bpe_learn
+
+    i = F.col("id")
+    vocab = (
+        spark.range(0, 900, 1, 4)
+        .select(
+            F.when(i < 600, F.lit("low"))
+            .when(i < 800, F.lit("lower"))
+            .otherwise(F.lit("lowest"))
+            .alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return bpe_learn(vocab, 6)

@@ -110,3 +110,89 @@ def bpe_token_counts(
         F.count(F.lit(1)).alias("n_words"),
         F.sum("n_tokens_word").alias("n_tokens"),
     )
+
+
+def bpe_learn(
+    vocab: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    count_col: str = "cnt",
+) -> DataFrame:
+    """BPE merge-table LEARNING (Sennrich 2016 train phase): run
+    ``n_merges`` rounds of find-most-frequent-adjacent-pair -> merge
+    over a (word, cnt) vocabulary. Returns the learned table
+    (merge_idx, left, right, merged, cnt) — the input ``ranks`` of
+    :func:`encode_word` / `bpe_token_counts`.
+
+    Tie-break: (count desc, left asc, right asc) — a total order, so
+    the learned table is deterministic on any partitioning.
+
+    Scale shape: the loop runs over the VOCABULARY (Heaps' law), never
+    the corpus — build ``vocab`` with one corpus-wide word count first.
+    Each round is one partial-aggregating groupBy over the vocab's
+    adjacent-pair space plus a single-row collect; the merge itself is
+    a JVM ``aggregate`` fold over each word's token array (greedy
+    left-to-right, non-overlapping, matching encode_word). The plan is
+    localCheckpoint'd per round so lineage stays flat across merges.
+    """
+    spark = vocab.sparkSession
+    toks = vocab.select(
+        F.split(F.col(word_col), "").alias("toks"),
+        F.col(count_col).cast("long").alias("cnt"),
+    ).localCheckpoint()
+
+    out_rows = []
+    for idx in range(n_merges):
+        n = F.size("toks")
+        pairs = toks.filter(n >= 2).select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n - 1),
+                    F.slice("toks", 2, n - 1),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merged = left + right
+        out_rows.append((idx, left, right, merged, cnt))
+        # greedy non-overlapping left-to-right merge, as one JVM fold:
+        # acc = (out, pend); pend==left and t==right -> emit merged.
+        fold = F.expr(
+            f"""
+            aggregate(
+              toks,
+              struct(cast(array() as array<string>) as out,
+                     cast(null as string) as pend),
+              (acc, t) -> CASE
+                WHEN acc.pend = {_sql_str(left)} AND t = {_sql_str(right)}
+                  THEN named_struct('out',
+                         array_append(acc.out, {_sql_str(merged)}),
+                         'pend', cast(null as string))
+                WHEN acc.pend IS NULL
+                  THEN named_struct('out', acc.out, 'pend', cast(t as string))
+                ELSE named_struct('out', array_append(acc.out, acc.pend),
+                                  'pend', cast(t as string)) END,
+              acc -> CASE WHEN acc.pend IS NULL THEN acc.out
+                          ELSE array_append(acc.out, acc.pend) END
+            )"""
+        )
+        toks = toks.select(fold.alias("toks"), "cnt").localCheckpoint()
+
+    return spark.createDataFrame(
+        out_rows, "merge_idx int, left string, right string, merged string, cnt bigint"
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

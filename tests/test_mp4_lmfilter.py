@@ -195,3 +195,46 @@ def test_frame_sample_times(spark):
         (r.sample_idx, r.ts_ms) for r in frame_sample_times(df, 500).collect()
     )
     assert rows == [(0, 0), (1, 500), (2, 1000), (3, 1500)]
+
+
+def test_bpe_learn_matches_encode_word_semantics(spark):
+    """The learned merges must drive encode_word to the expected
+    tokenization (train/apply consistency), and ties must resolve
+    (count desc, pair asc)."""
+    from finetoo_sp_spark.operators.tokenize import bpe_learn, encode_word
+
+    vocab = spark.createDataFrame(
+        [("low", 600), ("lower", 200), ("lowest", 100)], "word string, cnt long"
+    )
+    merges = bpe_learn(vocab, 6).collect()
+    table = [(r["left"], r["right"]) for r in sorted(merges, key=lambda r: r.merge_idx)]
+    assert table == [
+        ("l", "o"), ("lo", "w"), ("low", "e"),
+        ("lowe", "r"), ("lowe", "s"), ("lowes", "t"),
+    ]
+    ranks = {p: i for i, p in enumerate(table)}
+    assert encode_word("low", ranks) == ["low"]
+    assert encode_word("lowest", ranks) == ["lowest"]
+    assert encode_word("slower", ranks) == ["s", "lower"]
+
+
+def test_bpe_learn_overlapping_pairs_greedy(spark):
+    """'aaaa' x1: pair (a,a) counts 3 but greedy non-overlap merges to
+    two 'aa' tokens; next round merges (aa,aa)."""
+    from finetoo_sp_spark.operators.tokenize import bpe_learn
+
+    vocab = spark.createDataFrame([("aaaa", 10)], "word string, cnt long")
+    merges = bpe_learn(vocab, 2).collect()
+    assert [(r["left"], r["right"], r.cnt) for r in merges] == [
+        ("a", "a", 30), ("aa", "aa", 10)
+    ]
+
+
+def test_bpe_learn_stops_when_dry(spark):
+    from finetoo_sp_spark.operators.tokenize import bpe_learn
+
+    vocab = spark.createDataFrame([("ab", 5), ("x", 9)], "word string, cnt long")
+    merges = bpe_learn(vocab, 10).collect()
+    # one merge possible, then every word is a single token -> stop early
+    assert len(merges) == 2 or len(merges) == 1
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "b")
