@@ -43,11 +43,16 @@ def probe_image_dims(b: bytes) -> tuple[str, int, int]:
             if b[pos] != 0xFF:
                 raise ProbeError("JPEG marker desync")
             marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte before a marker (T.81 B.1.1.2)
+                pos += 1
+                continue
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                 if pos + 9 > len(b):
                     raise ProbeError("truncated SOF")
                 h, w = struct.unpack_from(">HH", b, pos + 5)
                 return "jpeg", w, h
+            if marker in (0xD9, 0xDA):  # EOI / SOS: entropy data follows,
+                break  # a SOF can no longer appear at marker positions
             if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # no length field
                 pos += 2
                 continue

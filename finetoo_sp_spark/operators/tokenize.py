@@ -195,4 +195,6 @@ def bpe_learn(
 
 
 def _sql_str(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+    # Spark SQL string literals process backslash escapes (Hive rules),
+    # so both backslash and quote must be escaped for arbitrary tokens.
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"

@@ -238,3 +238,34 @@ def test_bpe_learn_stops_when_dry(spark):
     # one merge possible, then every word is a single token -> stop early
     assert len(merges) == 2 or len(merges) == 1
     assert (merges[0]["left"], merges[0]["right"]) == ("a", "b")
+
+
+def test_probe_jpeg_fill_bytes_and_sos_guard():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+    from finetoo_sp_spark.codecs.probe import ProbeError, probe_image_dims
+
+    jpg = encode_jpeg_baseline(np.full((8, 8), 128, dtype=np.uint8))
+    # inject T.81 fill bytes before the first marker segment after SOI
+    padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert probe_image_dims(padded) == ("jpeg", 8, 8)
+    # a JPEG whose SOF was stripped must fail cleanly at SOS, never
+    # walk into entropy-coded bytes
+    sof = jpg.index(b"\xff\xc0")
+    seglen = int.from_bytes(jpg[sof + 2 : sof + 4], "big")
+    no_sof = jpg[:sof] + jpg[sof + 2 + seglen :]
+    with pytest.raises(ProbeError):
+        probe_image_dims(no_sof)
+
+
+def test_bpe_learn_backslash_quote_tokens(spark):
+    """Tokens with SQL-hostile characters must survive the merge fold."""
+    from finetoo_sp_spark.operators.tokenize import bpe_learn
+
+    vocab = spark.createDataFrame([("a\\'b", 4)], "word string, cnt long")
+    merges = bpe_learn(vocab, 3).collect()
+    # pair-asc tie-break: "'" (0x27) < "\\" (0x5c) < "a" (0x61)
+    assert [(r["left"], r["right"], r["merged"]) for r in merges] == [
+        ("'", "b", "'b"), ("\\", "'b", "\\'b"), ("a", "\\'b", "a\\'b")
+    ]
