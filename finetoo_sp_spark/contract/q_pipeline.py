@@ -611,3 +611,36 @@ def q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ppl_bucket") == "middle", 1).otherwise(0)).alias("n_middle"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+@_q(
+    "wet_roundtrip",
+    """
+SELECT 'https://' || source || '.example/' || doc_id AS url,
+  TIMESTAMP '2026-01-01 00:00:00' AS warc_ts,
+  text
+FROM documents""",
+)
+def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET export/ingest round trip (the Common Crawl extracted-text
+    interchange format): documents written as WARC/1.0 conversion
+    records (operators/sinks.write_wet — one JVM concat per record, one
+    .wet file per partition, no driver collection), read back through
+    the binaryFile + Arrow parse path (sources/warc.read_wet_text).
+    Content-Length binds each body, so multi-line text and embedded
+    'WARC/' decoys survive byte-exactly; the oracle restates the
+    expected rows from documents directly."""
+    import os as _os
+
+    from finetoo_sp_spark.operators.sinks import write_wet
+    from finetoo_sp_spark.sources.warc import read_wet_text
+
+    d = T(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/"), F.col("doc_id")
+        ).alias("url"),
+        "text",
+    )
+    path = _tmp_out("wet_roundtrip")
+    write_wet(d, path)
+    return read_wet_text(spark, _os.path.join(path, "*.txt"))

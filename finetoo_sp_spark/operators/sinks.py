@@ -121,3 +121,41 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     ).option("ignoreLeadingWhiteSpace", False).option(
         "ignoreTrailingWhiteSpace", False
     ).csv(path)
+
+
+def write_wet(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    text_col: str = "text",
+    ts_col: str | None = None,
+) -> None:
+    """WET export (WARC/1.0 ``conversion`` records — the Common Crawl
+    extracted-text interchange format): one record per row with
+    WARC-Target-URI / WARC-Date headers and the UTF-8 text as the body,
+    Content-Length in bytes.
+
+    Fully distributed: each record is assembled as ONE JVM string
+    column (concat of headers + body, CRLF line ends) and written with
+    the text sink — one .wet file per partition, no driver collection.
+    The text source appends a single '\\n' between rows; readers bind
+    the body by Content-Length, so the separator is inert padding
+    (sources/warc.py read_wet_text round-trips it)."""
+    ts = (
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if ts_col
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: conversion"), crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("WARC-Date: "), ts, crlf,
+        F.lit("Content-Type: text/plain"), crlf,
+        F.lit("Content-Length: "),
+        F.octet_length(F.col(text_col)).cast("string"), crlf,
+        crlf,
+        F.col(text_col), crlf,
+    )
+    df.select(record.alias("value")).write.mode("overwrite").text(path)

@@ -66,10 +66,14 @@ def make_warc(
     return out.getvalue()
 
 
-def parse_warc(data: bytes) -> list[tuple[str, dt.datetime | None, bytes]]:
-    """(url, warc_ts, html_payload) for every response record. Tolerant:
-    malformed records are skipped, never raised — a corrupt archive
-    must cost its records, not the task."""
+def parse_warc(
+    data: bytes, types: tuple[bytes, ...] = (b"response",)
+) -> list[tuple[str, dt.datetime | None, bytes]]:
+    """(url, warc_ts, payload) for every record whose WARC-Type is in
+    ``types``. Tolerant: malformed records are skipped, never raised —
+    a corrupt archive must cost its records, not the task. The HTTP
+    envelope is stripped for ``response`` records only; ``conversion``
+    (WET) bodies are taken verbatim."""
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)  # handles concatenated members
@@ -96,7 +100,8 @@ def parse_warc(data: bytes) -> list[tuple[str, dt.datetime | None, bytes]]:
             continue
         body = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
-        if headers.get(b"warc-type") != b"response":
+        rec_type = headers.get(b"warc-type")
+        if rec_type not in types:
             continue
         url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
         ts = None
@@ -107,7 +112,7 @@ def parse_warc(data: bytes) -> list[tuple[str, dt.datetime | None, bytes]]:
             pass
         # strip the HTTP response envelope if present
         payload = body
-        if body[:5] in (b"HTTP/",):
+        if rec_type == b"response" and body[:5] in (b"HTTP/",):
             sep = body.find(_CRLF + _CRLF)
             if sep >= 0:
                 payload = body[sep + 4 :]
@@ -134,3 +139,27 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.select("content").mapInPandas(run, schema=PAGES_FROM_WARC_SCHEMA)
+
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string"
+
+
+def read_wet_text(spark: SparkSession, path: str) -> DataFrame:
+    """WET directory/glob -> (url, warc_ts, text): the read twin of
+    operators/sinks.write_wet. Same shape as read_warc_pages (one file
+    per task via binaryFile, Arrow-batched parse) but keeps
+    ``conversion`` records and decodes bodies as UTF-8 text."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                for url, ts, payload in parse_warc(
+                    bytes(blob), types=(b"conversion",)
+                ):
+                    rows.append((url, ts, payload.decode("utf-8", "replace")))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    return files.select("content").mapInPandas(run, schema=WET_SCHEMA)

@@ -269,3 +269,24 @@ def test_bpe_learn_backslash_quote_tokens(spark):
     assert [(r["left"], r["right"], r["merged"]) for r in merges] == [
         ("'", "b", "'b"), ("\\", "'b", "\\'b"), ("a", "\\'b", "a\\'b")
     ]
+
+
+def test_wet_roundtrip_decoys(spark, tmp_path):
+    """Multi-line bodies, embedded 'WARC/1.0' decoys, and bodies that
+    START with 'HTTP/' must survive the WET write/read byte-exactly
+    (Content-Length binding, no HTTP-envelope strip on conversion)."""
+    from finetoo_sp_spark.operators.sinks import write_wet
+    from finetoo_sp_spark.sources.warc import read_wet_text
+
+    rows = [
+        ("https://a.example/1", "plain text"),
+        ("https://a.example/2", "line one\nline two\r\nline three"),
+        ("https://a.example/3", "decoy\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nx"),
+        ("https://a.example/4", "HTTP/1.1 200 OK\r\n\r\nlooks like an envelope"),
+        ("https://a.example/5", "unicode café € 𝄞"),
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = str(tmp_path / "wet")
+    write_wet(df, out)
+    back = {r.url: r.text for r in read_wet_text(spark, out + "/*.txt").collect()}
+    assert back == dict(rows)
