@@ -165,6 +165,8 @@ def main() -> None:
         "image_dimensions",
         "curation_v3",
         "bpe_learn_merges",
+        "blocklist_gate",
+        "wet_roundtrip",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this
