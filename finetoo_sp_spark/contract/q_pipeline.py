@@ -644,3 +644,46 @@ def q_wet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_out("wet_roundtrip")
     write_wet(d, path)
     return read_wet_text(spark, _os.path.join(path, "*.txt"))
+
+
+@_q(
+    "table_time_travel",
+    """
+WITH v0 AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+v1 AS (SELECT doc_id FROM documents),
+v2 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+SELECT 0 AS version, count(*) AS n_rows, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM v0
+UNION ALL SELECT 1, count(*), CAST(sum(doc_id) AS BIGINT) FROM v1
+UNION ALL SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT) FROM v2
+UNION ALL SELECT 3, count(*), CAST(sum(doc_id) AS BIGINT) FROM v1""",
+)
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-log versioned table (sources/table.py — the Iceberg
+    commit discipline on plain parquet): v0 = initial commit
+    (doc_id<300), v1 = APPEND of the rest (parent files REUSED, only
+    the delta written), v2 = OVERWRITE with the even half, v3 =
+    ROLLBACK to v1 (a new manifest, history immutable). Every
+    historical version is then snapshot-read back and summarized; the
+    oracle recomputes each version's row count and exact id sum from
+    the commit semantics alone — it never sees a manifest."""
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        read_version,
+        rollback,
+    )
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    path = _tmp_out("table_tt")
+    commit_version(d.filter(F.col("doc_id") < 300), path, mode="overwrite")
+    commit_version(d.filter(F.col("doc_id") >= 300), path, mode="append")
+    commit_version(d.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite")
+    rollback(spark, path, 1)
+    out = None
+    for v in (0, 1, 2, 3):
+        s = read_version(spark, path, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out

@@ -1,0 +1,120 @@
+"""Snapshot-log versioned tables on plain parquet (Iceberg discipline).
+
+sources/catalog.py routes to real Iceberg when a catalog is configured;
+this module supplies the same COMMIT SEMANTICS when it is not — the
+mechanics the north rule's sink story needs, built from scratch:
+
+- **Atomic commits**: data files land first, then one version manifest
+  (``_versions/v{N}.json``) is published via write-temp + atomic
+  ``os.replace``. Readers either see version N complete or not at all —
+  a crashed writer leaves unreferenced data files, never a torn table.
+- **Snapshot isolation / time travel**: a manifest lists exactly the
+  data files of its version; ``read_version(path, n)`` reads any
+  historical version while writers keep committing.
+- **File reuse**: ``append`` commits reference the parent's files plus
+  the new ones — no rewrite of existing data (Iceberg's manifest-reuse
+  model, the property that makes commits O(delta) at 100 TB).
+- **Rollback**: ``rollback`` publishes a NEW version whose file list is
+  a past version's — history stays immutable, like Iceberg's
+  ``rollback_to_snapshot``.
+
+Not wire-compatible with Iceberg (no Avro manifests, single-writer
+only: the atomic rename arbitrates one committer per version number) —
+it is the discipline, not the format, and swaps out for the real thing
+through sources/catalog.py on a cluster with the runtime jar.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def current_version(path: str) -> int | None:
+    """Highest committed version number, or None for an empty table."""
+    vdir = _versions_dir(path)
+    if not os.path.isdir(vdir):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    with open(os.path.join(_versions_dir(path), f"v{version}.json")) as f:
+        return json.load(f)
+
+
+def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit ``df`` as the next table version; returns its number.
+
+    ``mode``: 'append' references the parent version's files plus the
+    newly written ones; 'overwrite' references only the new ones (the
+    old files stay on disk, still referenced by older manifests).
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown commit mode {mode!r}")
+    snap_dir = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(snap_dir)
+    new_files = sorted(
+        os.path.join("data", os.path.basename(snap_dir), f)
+        for f in os.listdir(snap_dir)
+        if f.endswith(".parquet")
+    )
+    parent = current_version(path)
+    files = list(new_files)
+    if mode == "append" and parent is not None:
+        files = _load_manifest(path, parent)["files"] + new_files
+    return _publish(path, files, mode, parent)
+
+
+def rollback(spark: SparkSession, path: str, to_version: int) -> int:
+    """Publish a new version whose contents are ``to_version``'s.
+    History is immutable — this never deletes manifests or data."""
+    files = _load_manifest(path, to_version)["files"]
+    return _publish(path, files, f"rollback:{to_version}", current_version(path))
+
+
+def _publish(path: str, files: list[str], mode: str, parent: int | None) -> int:
+    version = 0 if parent is None else parent + 1
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "mode": mode,
+        "files": files,
+        "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    tmp = os.path.join(vdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
+    final = os.path.join(vdir, f"v{version}.json")
+    if os.path.exists(final):
+        raise RuntimeError(f"version {version} already committed (concurrent writer?)")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, final)  # the atomic commit point
+    return version
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read of ``version`` (default: latest). Historical
+    versions stay readable after later commits and rollbacks."""
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+    files = [os.path.join(path, f) for f in _load_manifest(path, version)["files"]]
+    return spark.read.parquet(*files)

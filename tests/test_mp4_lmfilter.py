@@ -290,3 +290,47 @@ def test_wet_roundtrip_decoys(spark, tmp_path):
     write_wet(df, out)
     back = {r.url: r.text for r in read_wet_text(spark, out + "/*.txt").collect()}
     assert back == dict(rows)
+
+
+def test_versioned_table_atomicity_and_reuse(spark, tmp_path):
+    import json
+    import os
+
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        current_version,
+        read_version,
+        rollback,
+    )
+
+    path = str(tmp_path / "tbl")
+    d = spark.range(0, 100).select(F.col("id").alias("k"))
+    assert commit_version(d.filter("k < 40"), path, mode="overwrite") == 0
+    assert commit_version(d.filter("k >= 40"), path, mode="append") == 1
+    # append REUSES parent files: v1's manifest is a superset of v0's
+    m0 = json.load(open(os.path.join(path, "_versions", "v0.json")))
+    m1 = json.load(open(os.path.join(path, "_versions", "v1.json")))
+    assert set(m0["files"]) < set(m1["files"])
+    assert read_version(spark, path, 0).count() == 40
+    assert read_version(spark, path, 1).count() == 100
+    # overwrite: new snapshot only, old versions still readable
+    assert commit_version(d.filter("k % 10 = 0"), path, mode="overwrite") == 2
+    assert read_version(spark, path).count() == 10
+    assert read_version(spark, path, 1).count() == 100
+    # rollback publishes a NEW version with v1's files; history intact
+    assert rollback(spark, path, 1) == 3
+    assert current_version(path) == 3
+    assert read_version(spark, path).count() == 100
+    assert read_version(spark, path, 2).count() == 10
+    # crash before the manifest publish: orphan data dir is invisible
+    orphan = os.path.join(path, "data", "deadbeef")
+    d.limit(5).write.parquet(orphan)
+    assert current_version(path) == 3
+    assert read_version(spark, path).count() == 100
+    # duplicate version number refuses (single-writer arbitration)
+    import pytest as _pytest
+
+    from finetoo_sp_spark.sources import table as _t
+
+    with _pytest.raises(RuntimeError):
+        _t._publish(path, m1["files"], "append", 2)  # v3 already exists
