@@ -86,7 +86,16 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     return _publish(path, files, f"rollback:{to_version}", current_version(path))
 
 
-def _publish(path: str, files: list[str], mode: str, parent: int | None) -> int:
+def _publish(
+    path: str,
+    files: list[str],
+    mode: str,
+    parent: int | None,
+    extra: dict | None = None,
+) -> int:
+    """Atomic commit point. ``extra`` fields (e.g. a streaming epoch id)
+    ride the SAME atomic rename as the file list — a manifest is never
+    visible without them (exactly-once depends on this)."""
     version = 0 if parent is None else parent + 1
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
@@ -96,6 +105,7 @@ def _publish(path: str, files: list[str], mode: str, parent: int | None) -> int:
         "mode": mode,
         "files": files,
         "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        **(extra or {}),
     }
     tmp = os.path.join(vdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
     final = os.path.join(vdir, f"v{version}.json")

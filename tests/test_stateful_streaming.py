@@ -253,3 +253,59 @@ def test_bloom_helpers_deterministic():
     bloom2 = np.zeros(m // 8, dtype=np.uint8)
     _bloom_add(bloom2, list(reversed(shas[:25])), m, 5)
     assert (bloom == bloom2).all()
+
+
+def test_versioned_epoch_sink_exactly_once(spark, tmp_path):
+    """A replayed foreachBatch epoch (Structured Streaming's
+    at-least-once crash semantics) must be skipped BEFORE any write —
+    the versioned table sees each epoch exactly once."""
+    from finetoo_sp_spark.sources.table import current_version, read_version
+    from finetoo_sp_spark.streaming.versioned import (
+        committed_epochs,
+        versioned_epoch_sink,
+    )
+
+    path = str(tmp_path / "vt")
+    sink = versioned_epoch_sink(path)
+    b0 = spark.range(0, 10).selectExpr("id AS k")
+    b1 = spark.range(10, 25).selectExpr("id AS k")
+    sink(b0, 0)
+    sink(b1, 1)
+    assert read_version(spark, path).count() == 25
+    # crash replay: epoch 1 delivered again -> skipped, no new version
+    v_before = current_version(path)
+    sink(b1, 1)
+    assert current_version(path) == v_before
+    assert read_version(spark, path).count() == 25
+    assert committed_epochs(path) == {0, 1}
+    # a genuinely new epoch still commits
+    sink(spark.range(25, 30).selectExpr("id AS k"), 2)
+    assert read_version(spark, path).count() == 30
+    # history: version 0 still reads the first batch alone
+    assert read_version(spark, path, 0).count() == 10
+
+
+def test_versioned_sink_through_real_stream(spark, tmp_path, pages_dir=None):
+    """Drive the sink through an actual Structured Streaming query
+    (availableNow file stream -> foreachBatch)."""
+    import os
+
+    from finetoo_sp_spark.sources.table import read_version
+    from finetoo_sp_spark.streaming.versioned import versioned_epoch_sink
+
+    src_dir = str(tmp_path / "src")
+    spark.range(0, 200).selectExpr("id AS k").repartition(4).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema("k long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    path = str(tmp_path / "vt2")
+    q = (
+        stream.writeStream.foreachBatch(versioned_epoch_sink(path))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert read_version(spark, path).count() == 200
