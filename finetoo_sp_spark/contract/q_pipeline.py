@@ -687,3 +687,65 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+@_q(
+    "table_upsert_mor",
+    """
+WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+v0 AS (SELECT doc_id, n FROM d),
+v1 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN -1 ELSE n END AS n FROM d),
+v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 0 THEN -2 WHEN doc_id % 5 = 0 THEN -1 ELSE n END AS n
+  FROM d
+  UNION ALL SELECT doc_id + 100000, -3 FROM d WHERE doc_id < 10
+)
+SELECT 0 AS version, count(*) AS n_rows, CAST(sum(n) AS BIGINT) AS n_sum FROM v0
+UNION ALL SELECT 1, count(*), CAST(sum(n) AS BIGINT) FROM v1
+UNION ALL SELECT 2, count(*), CAST(sum(n) AS BIGINT) FROM v2""",
+)
+def q_table_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read upserts (Iceberg equality-delete model,
+    sources/table.upsert_version): v0 = full corpus, v1 = upsert every
+    5th key (no parent rewrite — the commit is the delta + an
+    equality-delete file), v2 = upsert every 7th key PLUS brand-new
+    keys. Each historical version snapshot-reads through the delete
+    chain; the oracle recomputes all three states from the upsert
+    semantics alone. New data wins per key, untouched rows pass
+    through, inserts appear once."""
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        read_version,
+        upsert_version,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    path = _tmp_out("table_mor")
+    commit_version(d, path, mode="overwrite")
+    upsert_version(
+        d.filter(F.col("doc_id") % 5 == 0).select("doc_id", F.lit(-1).alias("n")),
+        path,
+        "doc_id",
+    )
+    v2_rows = (
+        d.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", F.lit(-2).alias("n"))
+        .unionByName(
+            d.filter(F.col("doc_id") < 10).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), F.lit(-3).alias("n")
+            )
+        )
+    )
+    upsert_version(v2_rows, path, "doc_id")
+    out = None
+    for v in (0, 1, 2):
+        s = read_version(spark, path, v).agg(
+            F.lit(v).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("n").alias("n_sum"),
+        )
+        out = s if out is None else out.unionByName(s)
+    return out

@@ -81,9 +81,17 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
 
 def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     """Publish a new version whose contents are ``to_version``'s.
-    History is immutable — this never deletes manifests or data."""
+    History is immutable — this never deletes manifests or data. The
+    manifest delegates resolution to the target (``resolve_as``), so
+    rolling back to a merge-on-read version keeps its delete chain."""
     files = _load_manifest(path, to_version)["files"]
-    return _publish(path, files, f"rollback:{to_version}", current_version(path))
+    return _publish(
+        path,
+        files,
+        f"rollback:{to_version}",
+        current_version(path),
+        extra={"resolve_as": to_version},
+    )
 
 
 def _publish(
@@ -126,5 +134,63 @@ def read_version(
         version = current_version(path)
         if version is None:
             raise FileNotFoundError(f"no committed versions under {path}")
-    files = [os.path.join(path, f) for f in _load_manifest(path, version)["files"]]
-    return spark.read.parquet(*files)
+    return _resolve(spark, path, version)
+
+
+def upsert_version(df: DataFrame, path: str, key_col: str) -> int:
+    """Merge-on-read UPSERT commit (Iceberg equality-delete model):
+    publish ``df`` as the next version WITHOUT rewriting parent data —
+    the commit writes (a) the new rows and (b) an equality-delete file
+    of their keys, and readers apply the deletes to PARENT rows only,
+    so new data wins per key and untouched rows pass through. Commits
+    stay O(delta) at any table size; read cost grows with upsert-chain
+    depth until a compacting ``commit_version(mode='overwrite')``
+    (documented Iceberg discipline: MOR writes, periodic COW compaction).
+    """
+    snap_dir = os.path.join(path, "data", uuid.uuid4().hex)
+    df.write.mode("error").parquet(snap_dir)
+    del_dir = os.path.join(path, "deletes", uuid.uuid4().hex)
+    df.select(key_col).distinct().write.mode("error").parquet(del_dir)
+
+    def _rel(d: str) -> list[str]:
+        return sorted(
+            os.path.join(os.path.relpath(d, path), f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    parent = current_version(path)
+    files = _rel(snap_dir)
+    if parent is not None:
+        files = _load_manifest(path, parent)["files"] + files
+    return _publish(
+        path,
+        files,
+        "upsert",
+        parent,
+        extra={
+            "new_files": _rel(snap_dir),
+            "delete_files": _rel(del_dir),
+            "delete_key": key_col,
+        },
+    )
+
+
+def _resolve(spark: SparkSession, path: str, version: int) -> DataFrame:
+    m = _load_manifest(path, version)
+    if m.get("resolve_as") is not None:  # rollback: delegate to the target
+        return _resolve(spark, path, m["resolve_as"])
+    if not m.get("delete_files"):
+        files = [os.path.join(path, f) for f in m["files"]]
+        return spark.read.parquet(*files)
+    # MOR read: parent rows minus this commit's equality deletes,
+    # unioned with this commit's new rows (new data wins per key).
+    parent = _resolve(spark, path, m["parent"])
+    deletes = spark.read.parquet(
+        *[os.path.join(path, f) for f in m["delete_files"]]
+    )
+    new_rows = spark.read.parquet(
+        *[os.path.join(path, f) for f in m["new_files"]]
+    )
+    key = m["delete_key"]
+    return parent.join(deletes, key, "left_anti").unionByName(new_rows)

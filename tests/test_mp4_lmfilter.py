@@ -334,3 +334,34 @@ def test_versioned_table_atomicity_and_reuse(spark, tmp_path):
 
     with _pytest.raises(RuntimeError):
         _t._publish(path, m1["files"], "append", 2)  # v3 already exists
+
+
+def test_upsert_mor_and_rollback_chain(spark, tmp_path):
+    """MOR semantics: upserted keys replaced, untouched rows pass,
+    inserts appear once; rollback to an upsert version keeps its
+    delete chain; compaction (overwrite) resets read cost."""
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        read_version,
+        rollback,
+        upsert_version,
+    )
+
+    path = str(tmp_path / "mor")
+    d = spark.createDataFrame([(i, i * 10) for i in range(6)], "k long, v long")
+    commit_version(d, path, mode="overwrite")                       # v0
+    upsert_version(
+        spark.createDataFrame([(2, -1), (99, -1)], "k long, v long"), path, "k"
+    )                                                               # v1
+    got1 = {r.k: r.v for r in read_version(spark, path).collect()}
+    assert got1 == {0: 0, 1: 10, 2: -1, 3: 30, 4: 40, 5: 50, 99: -1}
+    commit_version(read_version(spark, path, 1), path, "overwrite")  # v2 compaction
+    got2 = {r.k: r.v for r in read_version(spark, path, 2).collect()}
+    assert got2 == got1
+    rollback(spark, path, 1)                                        # v3 -> v1 chain
+    got3 = {r.k: r.v for r in read_version(spark, path, 3).collect()}
+    assert got3 == got1
+    # history: v0 untouched by the whole chain
+    assert {r.k: r.v for r in read_version(spark, path, 0).collect()} == {
+        i: i * 10 for i in range(6)
+    }
