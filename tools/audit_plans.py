@@ -47,6 +47,10 @@ CHECKS = {
         ("partial aggregation on source", r"HashAggregate"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "table_upsert_mor": [
+        ("equality deletes apply as anti hash join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*LeftAnti|LeftAnti"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "q1_pricing_summary": [
         ("shipdate filter pushed to scan", r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate"),
         ("column pruning (no l_orderkey read)", r"ReadSchema: [^\n]*l_returnflag"),
