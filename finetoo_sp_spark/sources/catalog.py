@@ -19,6 +19,12 @@ per-bucket manifests, anti-join resume. On Iceberg the manifest table is
 just another table in the same catalog and each bucket commit rides an
 Iceberg snapshot, so a crashed writer leaves no torn bucket at all.
 
+When Iceberg is absent and SNAPSHOT SEMANTICS are needed (atomic
+commits, time travel, rollback, merge-on-read upserts, exactly-once
+streaming epochs), ``sources/table.py`` supplies the same commit
+discipline on plain parquet — see its module docstring; it is the
+from-scratch stand-in this seam swaps out on a real cluster.
+
 Production config (cluster with the Iceberg runtime on the classpath)::
 
     spark.sql.catalog.lake = org.apache.iceberg.spark.SparkCatalog
