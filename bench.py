@@ -167,6 +167,9 @@ def main() -> None:
         "bpe_learn_merges",
         "blocklist_gate",
         "wet_roundtrip",
+        "frame_sample_times",
+        "table_time_travel",
+        "table_upsert_mor",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this
