@@ -194,3 +194,80 @@ def _resolve(spark: SparkSession, path: str, version: int) -> DataFrame:
     )
     key = m["delete_key"]
     return parent.join(deletes, key, "left_anti").unionByName(new_rows)
+
+
+def _required_versions(path: str, version: int, acc: set[int]) -> None:
+    """Versions transitively needed to RESOLVE ``version``: rollback
+    targets, and the parent chain wherever merge-on-read deletes apply."""
+    if version in acc:
+        return
+    acc.add(version)
+    m = _load_manifest(path, version)
+    if m.get("resolve_as") is not None:
+        _required_versions(path, m["resolve_as"], acc)
+    if m.get("delete_files") and m.get("parent") is not None:
+        _required_versions(path, m["parent"], acc)
+
+
+def expire_versions(path: str, keep_last: int = 2) -> list[int]:
+    """Drop the manifests of versions older than the newest
+    ``keep_last`` — EXCEPT any version a kept version still resolves
+    through (rollback targets, merge-on-read parents), which must
+    survive or the kept versions would become unreadable (Iceberg's
+    ``expire_snapshots`` has the same reachability rule). Data files are
+    untouched; run :func:`vacuum` afterwards to reclaim them."""
+    latest = current_version(path)
+    if latest is None:
+        return []
+    keep = set(range(max(0, latest - keep_last + 1), latest + 1))
+    required: set[int] = set()
+    for v in keep:
+        _required_versions(path, v, required)
+    vdir = _versions_dir(path)
+    existing = sorted(
+        int(f[1:-5]) for f in os.listdir(vdir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    removed = [v for v in existing if v not in required]
+    for v in removed:
+        os.remove(os.path.join(vdir, f"v{v}.json"))
+    return removed
+
+
+def vacuum(path: str) -> list[str]:
+    """Delete data/delete files referenced by NO remaining manifest
+    (orphans from crashed writers + files owned only by expired
+    versions — Iceberg's ``remove_orphan_files``). Returns the deleted
+    relative paths."""
+    vdir = _versions_dir(path)
+    referenced: set[str] = set()
+    if os.path.isdir(vdir):
+        for f in os.listdir(vdir):
+            if f.startswith("v") and f.endswith(".json"):
+                m = _load_manifest(path, int(f[1:-5]))
+                referenced.update(m["files"])
+                referenced.update(m.get("delete_files") or [])
+    removed: list[str] = []
+    for sub in ("data", "deletes"):
+        root = os.path.join(path, sub)
+        if not os.path.isdir(root):
+            continue
+        for snap in sorted(os.listdir(root)):
+            snap_dir = os.path.join(root, snap)
+            if not os.path.isdir(snap_dir):
+                continue
+            kept_any = False
+            for f in sorted(os.listdir(snap_dir)):
+                rel = os.path.relpath(os.path.join(snap_dir, f), path)
+                if f.endswith(".parquet"):
+                    if rel in referenced:
+                        kept_any = True
+                    else:
+                        os.remove(os.path.join(snap_dir, f))
+                        removed.append(rel)
+            if not kept_any:
+                # snapshot dir owns no referenced data: drop sidecars too
+                import shutil
+
+                shutil.rmtree(snap_dir, ignore_errors=True)
+    return removed

@@ -365,3 +365,46 @@ def test_upsert_mor_and_rollback_chain(spark, tmp_path):
     assert {r.k: r.v for r in read_version(spark, path, 0).collect()} == {
         i: i * 10 for i in range(6)
     }
+
+
+def test_expire_and_vacuum_preserve_mor_chains(spark, tmp_path):
+    import os
+
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        expire_versions,
+        read_version,
+        upsert_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "gc")
+    d = spark.createDataFrame([(i, i) for i in range(8)], "k long, v long")
+    commit_version(d, path, mode="overwrite")                        # v0
+    upsert_version(
+        spark.createDataFrame([(1, -1)], "k long, v long"), path, "k"
+    )                                                                # v1 (MOR -> needs v0)
+    commit_version(
+        spark.createDataFrame([(50, 50)], "k long, v long"), path, "append"
+    )                                                                # v2
+    # orphan from a "crashed writer"
+    d.limit(3).write.parquet(os.path.join(path, "data", "orphan"))
+    # keep only the newest 2 (v1, v2) -> v0 must SURVIVE (v1 resolves
+    # through it, and v2 appends its files)
+    removed = expire_versions(path, keep_last=2)
+    assert removed == []
+    gone = vacuum(path)
+    assert any("orphan" in g for g in gone)
+    assert {r.k for r in read_version(spark, path, 1).collect()} == set(range(8))
+    # now a compacting overwrite, then expire everything older
+    commit_version(read_version(spark, path, 2), path, "overwrite")  # v3
+    removed = expire_versions(path, keep_last=1)
+    assert removed == [0, 1, 2]
+    reclaimed = vacuum(path)
+    assert reclaimed  # old snapshot + delete files reclaimed
+    rows = {r.k: r.v for r in read_version(spark, path).collect()}
+    assert rows == {0: 0, 1: -1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7, 50: 50}
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, path, 0)
