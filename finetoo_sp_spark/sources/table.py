@@ -271,3 +271,45 @@ def vacuum(path: str) -> list[str]:
 
                 shutil.rmtree(snap_dir, ignore_errors=True)
     return removed
+
+
+def compact_table(
+    spark: SparkSession, path: str, small_bytes: int = 8 * 1024 * 1024
+) -> int | None:
+    """Rewrite-data-files compaction: consolidate the CURRENT version's
+    small files (< ``small_bytes``) into one new snapshot and publish a
+    version that references the consolidated files plus the untouched
+    large ones — file-level surgery, the large files are never read or
+    moved (Iceberg's ``rewrite_data_files``). Resolves merge-on-read
+    chains first, so a compacted version reads with zero delete joins.
+    Returns the new version, or None when there is nothing to compact.
+
+    Scale note: at 10^12 rows this runs per partition-range with the
+    bin packing of sources/compaction.plan_compaction; here the bin is
+    simply "every small file" because local snapshots are single-digit
+    file counts.
+    """
+    latest = current_version(path)
+    if latest is None:
+        return None
+    m = _load_manifest(path, latest)
+    if m.get("delete_files") or m.get("resolve_as") is not None:
+        # MOR/rollback chain: materialize the resolved rows, then the
+        # new version is a clean overwrite (COW compaction).
+        return commit_version(read_version(spark, path, latest), path, "overwrite")
+    small = [
+        f for f in m["files"]
+        if os.path.getsize(os.path.join(path, f)) < small_bytes
+    ]
+    if len(small) < 2:
+        return None
+    big = [f for f in m["files"] if f not in set(small)]
+    consolidated = spark.read.parquet(*[os.path.join(path, f) for f in small])
+    snap_dir = os.path.join(path, "data", uuid.uuid4().hex)
+    consolidated.coalesce(1).write.mode("error").parquet(snap_dir)
+    new_files = sorted(
+        os.path.join("data", os.path.basename(snap_dir), f)
+        for f in os.listdir(snap_dir)
+        if f.endswith(".parquet")
+    )
+    return _publish(path, big + new_files, "compact", latest)

@@ -408,3 +408,44 @@ def test_expire_and_vacuum_preserve_mor_chains(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_version(spark, path, 0)
+
+
+def test_compact_table_small_file_surgery(spark, tmp_path):
+    import json
+    import os
+
+    from finetoo_sp_spark.sources.table import (
+        _load_manifest,
+        commit_version,
+        compact_table,
+        read_version,
+        upsert_version,
+    )
+
+    path = str(tmp_path / "cmp")
+    for i in range(4):  # four tiny append commits -> many small files
+        commit_version(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id AS k").coalesce(1),
+            path,
+            "overwrite" if i == 0 else "append",
+        )
+    before = _load_manifest(path, 3)["files"]
+    v = compact_table(spark, path)
+    after = _load_manifest(path, v)["files"]
+    assert len(after) < len(before)
+    assert read_version(spark, path).count() == 40
+    assert {r.k for r in read_version(spark, path).collect()} == set(range(40))
+    # history intact
+    assert read_version(spark, path, 1).count() == 20
+    # MOR chain compaction goes copy-on-write and reads clean after
+    upsert_version(spark.createDataFrame([(0, )], "k long"), path, "k")
+    v2 = compact_table(spark, path)
+    m2 = _load_manifest(path, v2)
+    assert not m2.get("delete_files") and read_version(spark, path).count() == 40
+    # compaction converges: repeated calls end at None (a single
+    # consolidated file is never "2+ small files") and rows never change
+    for _ in range(3):
+        if compact_table(spark, path) is None:
+            break
+    assert compact_table(spark, path) is None
+    assert read_version(spark, path).count() == 40
