@@ -219,15 +219,17 @@ def expire_versions(path: str, keep_last: int = 2) -> list[int]:
     latest = current_version(path)
     if latest is None:
         return []
-    keep = set(range(max(0, latest - keep_last + 1), latest + 1))
-    required: set[int] = set()
-    for v in keep:
-        _required_versions(path, v, required)
     vdir = _versions_dir(path)
     existing = sorted(
         int(f[1:-5]) for f in os.listdir(vdir)
         if f.startswith("v") and f.endswith(".json")
     )
+    # intersect with what still exists: a prior expire with a smaller
+    # keep_last may already have dropped part of the nominal keep range
+    keep = set(range(max(0, latest - keep_last + 1), latest + 1)) & set(existing)
+    required: set[int] = set()
+    for v in keep:
+        _required_versions(path, v, required)
     removed = [v for v in existing if v not in required]
     for v in removed:
         os.remove(os.path.join(vdir, f"v{v}.json"))

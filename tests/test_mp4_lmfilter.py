@@ -449,3 +449,25 @@ def test_compact_table_small_file_surgery(spark, tmp_path):
             break
     assert compact_table(spark, path) is None
     assert read_version(spark, path).count() == 40
+
+
+def test_expire_widening_keep_after_narrow_expire(spark, tmp_path):
+    """expire(keep_last=5) after expire(keep_last=1) must not crash on
+    the already-expired part of the nominal keep range."""
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        expire_versions,
+        read_version,
+    )
+
+    path = str(tmp_path / "exp")
+    for i in range(4):
+        commit_version(
+            spark.range(i, i + 1).selectExpr("id AS k"), path,
+            "overwrite" if i == 0 else "append",
+        )
+    # keep only v3 (append chain: v3 references ALL files, reads fine)
+    assert expire_versions(path, keep_last=1) == [0, 1, 2]
+    # widening the window later must be a no-op, not a crash
+    assert expire_versions(path, keep_last=5) == []
+    assert read_version(spark, path).count() == 4
