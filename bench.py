@@ -170,6 +170,7 @@ def main() -> None:
         "frame_sample_times",
         "table_time_travel",
         "table_upsert_mor",
+        "trap_urls",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

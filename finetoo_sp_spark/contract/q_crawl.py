@@ -273,3 +273,55 @@ def q_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "domain string",
     )
     return blocklist_gate(u, bl)
+
+
+@_q(
+    "trap_urls",
+    """
+WITH u AS (
+  SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS m,
+    'https://' || source || '.example' ||
+    CASE CAST(doc_id % 6 AS INTEGER)
+      WHEN 0 THEN '/page/' || doc_id
+      WHEN 1 THEN '/a/b/c/d/e/f/g/h/i/' || doc_id
+      WHEN 2 THEN '/x/y/x/y/x/' || doc_id
+      WHEN 3 THEN '/blog/2024/03/15/p' || doc_id
+      WHEN 4 THEN '/s?a=1&b=2&c=3&d=4&e=5&f=6&g=' || doc_id
+      ELSE '/blog/2024/p' || doc_id END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+  CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 10 WHEN 2 THEN 6 WHEN 3 THEN 5
+       WHEN 4 THEN 1 ELSE 3 END AS INTEGER) AS path_depth,
+  CAST(CASE WHEN m = 4 THEN 7 ELSE 0 END AS INTEGER) AS n_params,
+  m = 1 AS deep_path,
+  m = 2 AS repeated_segment,
+  m = 3 AS calendar,
+  m = 4 AS query_explosion,
+  m IN (1, 2, 3, 4) AS is_trap
+FROM u""",
+)
+def q_trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection from URL shape alone (Heritrix
+    path-repetition / IRLbot budget-cap lineage): six synthesized URL
+    classes — clean, deep path, self-similar loop, calendar walk,
+    faceted-query explosion, and a year-without-month decoy that must
+    NOT flag. Four narrow JVM column checks, no UDF, no shuffle; the
+    oracle states every flag per class."""
+    from finetoo_sp_spark.operators.traps import flag_trap_urls
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 6).cast("int")
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example"),
+            F.when(m == 0, F.concat(F.lit("/page/"), F.col("doc_id")))
+            .when(m == 1, F.concat(F.lit("/a/b/c/d/e/f/g/h/i/"), F.col("doc_id")))
+            .when(m == 2, F.concat(F.lit("/x/y/x/y/x/"), F.col("doc_id")))
+            .when(m == 3, F.concat(F.lit("/blog/2024/03/15/p"), F.col("doc_id")))
+            .when(m == 4, F.concat(F.lit("/s?a=1&b=2&c=3&d=4&e=5&f=6&g="), F.col("doc_id")))
+            .otherwise(F.concat(F.lit("/blog/2024/p"), F.col("doc_id"))),
+        ).alias("url"),
+    )
+    return flag_trap_urls(u)

@@ -471,3 +471,26 @@ def test_expire_widening_keep_after_narrow_expire(spark, tmp_path):
     # widening the window later must be a no-op, not a crash
     assert expire_versions(path, keep_last=5) == []
     assert read_version(spark, path).count() == 4
+
+
+def test_trap_urls_hand_cases(spark):
+    from finetoo_sp_spark.operators.traps import flag_trap_urls
+
+    rows = [
+        (1, "https://a.example/ok/page"),
+        (2, "https://a.example/a/b/a/b/a/x"),          # repeated a,b
+        (3, "https://a.example/blog/2023/12/31/post"),  # calendar
+        (4, "https://a.example/blog/2023/13/05/post"),  # month 13 -> NOT calendar
+        (5, "https://a.example/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7"),
+        (6, "https://a.example/events/1999/01"),        # calendar, no day
+        (7, "https://a.example/"),                      # empty path
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    out = {r.id: r for r in flag_trap_urls(df).collect()}
+    assert not out[1].is_trap
+    assert out[2].repeated_segment and out[2].is_trap
+    assert out[3].calendar
+    assert not out[4].calendar and not out[4].is_trap
+    assert out[5].query_explosion and out[5].n_params == 7
+    assert out[6].calendar
+    assert out[7].path_depth == 0 and not out[7].is_trap
