@@ -171,6 +171,7 @@ def main() -> None:
         "table_time_travel",
         "table_upsert_mor",
         "trap_urls",
+        "snapshot_drift",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

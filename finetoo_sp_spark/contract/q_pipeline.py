@@ -749,3 +749,58 @@ def q_table_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = s if out is None else out.unionByName(s)
     return out
+
+
+@_q(
+    "snapshot_drift",
+    """
+WITH newd AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 1000000, source, text || ' brand new page'
+  FROM documents WHERE doc_id % 13 = 1
+),
+a AS (
+  SELECT source AS grp, count(*) AS n_old,
+    CAST(sum(length(text)) AS BIGINT) AS chars_old
+  FROM documents GROUP BY 1
+),
+b AS (
+  SELECT source AS grp, count(*) AS n_new,
+    CAST(sum(length(text)) AS BIGINT) AS chars_new
+  FROM newd GROUP BY 1
+)
+SELECT coalesce(a.grp, b.grp) AS source,
+  coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+  coalesce(chars_old, 0) AS chars_old, coalesce(chars_new, 0) AS chars_new,
+  CASE WHEN coalesce(n_old, 0) = 0 THEN NULL
+       ELSE ((coalesce(n_new, 0) - n_old) * 1000000) // n_old END AS docs_delta_ppm,
+  CASE WHEN coalesce(chars_old, 0) = 0 THEN NULL
+       ELSE ((coalesce(chars_new, 0) - chars_old) * 1000000) // chars_old END
+    AS chars_delta_ppm
+FROM a FULL OUTER JOIN b ON a.grp = b.grp""",
+)
+def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift report between two crawl snapshots (the
+    monitoring twin of snapshot_churn's row-level delta): snapshot B is
+    the standard synthetic evolution (every 11th doc dropped, every 7th
+    edited, every 13th spawning a new page). Counts, exact char totals,
+    integer-ppm deltas; one tiny-dimension agg per side + a
+    dimension-sized full-outer join."""
+    from finetoo_sp_spark.operators.report import snapshot_drift
+
+    d = T(spark, sf_dir, "documents")
+    kept = d.filter(F.col("doc_id") % 11 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" rev2"))).otherwise(
+            F.col("text")
+        ),
+    )
+    added = (
+        d.filter(F.col("doc_id") % 13 == 1)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("text", F.concat("text", F.lit(" brand new page")))
+    )
+    return snapshot_drift(d, kept.unionByName(added))

@@ -55,3 +55,47 @@ def corpus_report(
         "p50_words",
         "p90_words",
     )
+
+
+def snapshot_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus drift between two snapshots: doc counts, exact
+    char totals, and integer-ppm deltas — the monitoring table a
+    recurring crawl publishes next to each new snapshot so volume
+    collapses or boilerplate floods surface as numbers, not incidents.
+
+    Exact-integer throughout (counts, char sums, ppm via BIGINT div),
+    so the report is byte-stable across partitionings and a relational
+    oracle reproduces it. One partial-aggregating groupBy per side over
+    the tiny group dimension, then a full-outer join of two
+    dimension-sized aggregates — nothing corpus-scaled shuffles twice.
+    """
+    def agg(df: DataFrame, suffix: str) -> DataFrame:
+        return df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count("*").alias(f"n_{suffix}"),
+            F.sum(F.length(text_col)).alias(f"chars_{suffix}"),
+        )
+
+    a, b = agg(old, "old"), agg(new, "new")
+    joined = a.join(b, "grp", "full_outer").select(
+        F.col("grp").alias(group_col),
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        F.coalesce("chars_old", F.lit(0)).alias("chars_old"),
+        F.coalesce("chars_new", F.lit(0)).alias("chars_new"),
+    )
+    return joined.select(
+        "*",
+        F.expr(
+            "CASE WHEN n_old = 0 THEN NULL"
+            " ELSE ((n_new - n_old) * 1000000) div n_old END"
+        ).alias("docs_delta_ppm"),
+        F.expr(
+            "CASE WHEN chars_old = 0 THEN NULL"
+            " ELSE ((chars_new - chars_old) * 1000000) div chars_old END"
+        ).alias("chars_delta_ppm"),
+    )
