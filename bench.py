@@ -172,6 +172,9 @@ def main() -> None:
         "table_upsert_mor",
         "trap_urls",
         "snapshot_drift",
+        "og_meta_extract",
+        "hreflang_edges",
+        "microdata_extract",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

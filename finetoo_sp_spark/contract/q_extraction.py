@@ -549,3 +549,105 @@ def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price").cast("double").alias("price"),
         "status",
     )
+
+
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized page HEADs for the structured-metadata trio: og:
+    tags with a name= decoy, alternates with an rss decoy (consumes a
+    document-order index but must not emit) and a stylesheet decoy,
+    plus one element-style and one meta-style microdata prop."""
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="T'), did,
+        F.lit('"/><meta name="description" content="decoy"/>'),
+        F.lit('<meta property="og:type" content="article"/>'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<meta property="og:image" content="https://img.example/'),
+                did, F.lit('.jpg"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="alternate" hreflang="en" href="https://'),
+        F.col("source"), F.lit(".example/en/"), did, F.lit('"/>'),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed.xml"/>'),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="de" href="https://'),
+                F.col("source"), F.lit(".example/de/"), did, F.lit('"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('<link rel="stylesheet" href="c.css"/></head><body>'),
+        F.lit('<span itemprop="name">N'), did, F.lit("</span>"),
+        F.lit('<meta itemprop="price" content="'), did, F.lit('.00"/>'),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"), did).alias("url"),
+        html.alias("html"),
+        "doc_id",
+    )
+
+
+@_q(
+    "og_meta_extract",
+    """
+WITH u AS (
+  SELECT doc_id, 'https://' || source || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 0 AS idx, 'title' AS og_key, 'T' || doc_id AS og_value FROM u
+UNION ALL SELECT url, 1, 'type', 'article' FROM u
+UNION ALL SELECT url, 2, 'image', 'https://img.example/' || doc_id || '.jpg'
+FROM u WHERE doc_id % 2 = 0""",
+)
+def q_og_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph extraction: og: meta tags lifted in document order
+    (name= decoy excluded), key/value parsed per element — all JVM
+    regexp work, narrow plan, no shuffle."""
+    from finetoo_sp_spark.extraction.meta import og_meta
+
+    return og_meta(_meta_pages(spark, sf_dir))
+
+
+@_q(
+    "hreflang_edges",
+    """
+WITH u AS (
+  SELECT doc_id, source, 'https://' || source || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 0 AS idx, 'en' AS hreflang,
+  'https://' || source || '.example/en/' || doc_id AS href FROM u
+UNION ALL SELECT url, 2, 'de', 'https://' || source || '.example/de/' || doc_id
+FROM u WHERE doc_id % 3 = 0""",
+)
+def q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language edition graph: rel=alternate hreflang links (the
+    multilingual-dedup edge set). The rss alternate consumes a
+    document-order index but must not emit a row; the stylesheet link
+    never lifts."""
+    from finetoo_sp_spark.extraction.meta import link_alternates
+
+    return link_alternates(_meta_pages(spark, sf_dir))
+
+
+@_q(
+    "microdata_extract",
+    """
+WITH u AS (
+  SELECT doc_id, 'https://' || source || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, 0 AS idx, 'name' AS prop, 'N' || doc_id AS value FROM u
+UNION ALL SELECT url, 1, 'price', doc_id || '.00' FROM u""",
+)
+def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org microdata: element-style itemprop takes the inner
+    text, meta-style takes content= — completing the structured-data
+    trio (JSON-LD + microdata + OpenGraph)."""
+    from finetoo_sp_spark.extraction.meta import microdata_props
+
+    return microdata_props(_meta_pages(spark, sf_dir))

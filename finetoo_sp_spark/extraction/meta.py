@@ -1,0 +1,95 @@
+"""Page-metadata extraction: OpenGraph, hreflang alternates, microdata.
+
+Extraction-tier extension completing the structured-data trio next to
+extraction/jsonld.py and extraction/tables.py — the three machine-
+readable surfaces a curation pipeline mines from page HEADs:
+
+- **OpenGraph** ``<meta property="og:x" content="y">``: canonical
+  title/image/type supervision and social-preview dedup keys;
+- **hreflang alternates** ``<link rel="alternate" hreflang="x"
+  href="y">``: the cross-language edition graph (feeds multilingual
+  dedup — the same article under /en/ /de/ /fr/ is one document);
+- **microdata** ``itemprop`` attributes (schema.org's inline encoding,
+  the older sibling of JSON-LD).
+
+Shape (same as jsonld.py): one ``regexp_extract_all`` lifts the
+matching tags, ``posexplode`` preserves document order, per-element
+``regexp_extract`` parses the attributes — all JVM, no Python per row,
+no shuffle; narrow plans over the page scan. Attribute order within a
+tag is not assumed beyond the common property-then-content serialization
+(the synthesized fixtures and real generators emit it); a tag missing
+either attribute yields '' fields rather than dropping the row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType
+
+
+def _html_str(pages: DataFrame, html_col: str):
+    c = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, BinaryType):
+        c = c.cast("string")
+    return c
+
+
+def _lift(pages: DataFrame, url_col: str, html_col: str, tag_re: str) -> DataFrame:
+    tags = F.expr(f"regexp_extract_all({html_col}_str, '{tag_re}', 0)")
+    return (
+        pages.select(F.col(url_col).alias("url"), _html_str(pages, html_col).alias(f"{html_col}_str"))
+        .select("url", F.posexplode(tags).alias("idx", "tag"))
+    )
+
+
+def og_meta(pages: DataFrame, url_col: str = "url", html_col: str = "html") -> DataFrame:
+    """(url, idx, og_key, og_value) — one row per og: meta tag in
+    document order; og_key excludes the 'og:' prefix."""
+    lifted = _lift(
+        pages, url_col, html_col,
+        r'(?i)<meta\\s[^>]*property\\s*=\\s*["\\x27]og:[a-z:_]+["\\x27][^>]*>',
+    )
+    return lifted.select(
+        "url",
+        "idx",
+        F.regexp_extract("tag", r'(?i)property\s*=\s*["\x27]og:([a-z:_]+)["\x27]', 1).alias("og_key"),
+        F.regexp_extract("tag", r'(?i)content\s*=\s*["\x27]([^"\x27]*)["\x27]', 1).alias("og_value"),
+    )
+
+
+def link_alternates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, idx, hreflang, href) — the cross-language edition edges."""
+    lifted = _lift(
+        pages, url_col, html_col,
+        r'(?i)<link\\s[^>]*rel\\s*=\\s*["\\x27]alternate["\\x27][^>]*>',
+    )
+    return lifted.select(
+        "url",
+        "idx",
+        F.regexp_extract("tag", r'(?i)hreflang\s*=\s*["\x27]([a-zA-Z-]+)["\x27]', 1).alias("hreflang"),
+        F.regexp_extract("tag", r'(?i)href\s*=\s*["\x27]([^"\x27]*)["\x27]', 1).alias("href"),
+    ).filter(F.col("hreflang") != "")
+
+
+def microdata_props(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, idx, prop, value) — schema.org microdata: meta-style
+    ``itemprop`` tags take their ``content`` attribute; element-style
+    ones (<span itemprop=...>text</span>) take the inner text of the
+    same tag."""
+    lifted = _lift(
+        pages, url_col, html_col,
+        r'(?i)<[a-z0-9]+\\s[^>]*itemprop\\s*=\\s*["\\x27][a-zA-Z]+["\\x27][^>]*>'
+        r"([^<]*)",
+    )
+    content = F.regexp_extract("tag", r'(?i)content\s*=\s*["\x27]([^"\x27]*)["\x27]', 1)
+    inner = F.regexp_extract("tag", r">([^<]*)$", 1)
+    return lifted.select(
+        "url",
+        "idx",
+        F.regexp_extract("tag", r'(?i)itemprop\s*=\s*["\x27]([a-zA-Z]+)["\x27]', 1).alias("prop"),
+        F.when(content != "", content).otherwise(F.trim(inner)).alias("value"),
+    )

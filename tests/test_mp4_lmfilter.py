@@ -494,3 +494,39 @@ def test_trap_urls_hand_cases(spark):
     assert out[5].query_explosion and out[5].n_params == 7
     assert out[6].calendar
     assert out[7].path_depth == 0 and not out[7].is_trap
+
+
+def test_meta_extraction_hand_cases(spark):
+    from finetoo_sp_spark.extraction.meta import (
+        link_alternates,
+        microdata_props,
+        og_meta,
+    )
+
+    html = (
+        "<html><head>"
+        '<meta property="og:title" content="Hello World"/>'
+        '<meta name="description" content="decoy"/>'
+        "<meta property='og:type' content='article'/>"
+        '<link rel="alternate" hreflang="en" href="https://h/en/1"/>'
+        '<link rel="alternate" type="application/rss+xml" href="/feed"/>'
+        '<link rel="stylesheet" href="c.css"/>'
+        '<link rel="alternate" hreflang="de-AT" href="https://h/de/1"/>'
+        "</head><body>"
+        '<span itemprop="name">Widget X</span>'
+        '<meta itemprop="price" content="9.99"/>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u1", html)], "url string, html string")
+    assert [(r.idx, r.og_key, r.og_value) for r in og_meta(df).collect()] == [
+        (0, "title", "Hello World"), (1, "type", "article")
+    ]
+    assert [(r.idx, r.hreflang, r.href) for r in link_alternates(df).collect()] == [
+        (0, "en", "https://h/en/1"), (2, "de-AT", "https://h/de/1")
+    ]
+    assert [(r.idx, r.prop, r.value) for r in microdata_props(df).collect()] == [
+        (0, "name", "Widget X"), (1, "price", "9.99")
+    ]
+    # binary html column routes through the cast
+    dfb = spark.createDataFrame([("u2", bytearray(html.encode()))], "url string, html binary")
+    assert og_meta(dfb).count() == 2
