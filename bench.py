@@ -175,6 +175,7 @@ def main() -> None:
         "og_meta_extract",
         "hreflang_edges",
         "microdata_extract",
+        "feed_parse",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

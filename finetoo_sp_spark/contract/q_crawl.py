@@ -325,3 +325,56 @@ def q_trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return flag_trap_urls(u)
+
+
+@_q(
+    "feed_parse",
+    """
+WITH d AS (
+  SELECT doc_id, source,
+    lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS mm
+  FROM documents
+)
+SELECT source AS host, 'rss' AS kind,
+  'https://' || source || '.example/r/' || doc_id AS link,
+  'R' || doc_id AS title,
+  CASE WHEN doc_id % 5 = 4 THEN NULL
+       ELSE CAST('2026-01-05 10:' || mm || ':00' AS TIMESTAMP) END AS published
+FROM d
+UNION ALL
+SELECT source, 'atom', 'https://' || source || '.example/a/' || doc_id,
+  'A' || doc_id, CAST('2026-02-11 08:' || mm || ':00' AS TIMESTAMP)
+FROM d WHERE doc_id % 2 = 0""",
+)
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS 2.0 + Atom feed parsing (the freshness-discovery surface next
+    to sitemaps): one synthesized feed per doc carrying an RSS item
+    (RFC 822 pubDate, unparseable on every 5th -> NULL, never a crash)
+    and, on evens, an Atom entry (href-attribute link, ISO updated).
+    One regexp lift per dialect + per-element tag extracts, all JVM,
+    no shuffle; oracle relational."""
+    from finetoo_sp_spark.sources.feeds import parse_feeds
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    mm = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    rss = F.concat(
+        F.lit("<rss><channel><item><title>R"), did, F.lit("</title><link>https://"),
+        F.col("source"), F.lit(".example/r/"), did, F.lit("</link><pubDate>"),
+        F.when(F.col("doc_id") % 5 == 4, F.lit("not a date")).otherwise(
+            F.concat(F.lit("Mon, 05 Jan 2026 10:"), mm, F.lit(":00 GMT"))
+        ),
+        F.lit("</pubDate></item></channel></rss>"),
+    )
+    atom = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<feed><entry><title>A'), did, F.lit('</title><link href="https://'),
+            F.col("source"), F.lit(".example/a/"), did,
+            F.lit('"/><updated>2026-02-11T08:'), mm, F.lit(":00Z</updated></entry></feed>"),
+        ),
+    ).otherwise(F.lit(""))
+    feeds = d.select(
+        F.col("source").alias("host"), F.concat(rss, atom).alias("feed_xml")
+    )
+    return parse_feeds(feeds)

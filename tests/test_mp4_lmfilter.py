@@ -530,3 +530,30 @@ def test_meta_extraction_hand_cases(spark):
     # binary html column routes through the cast
     dfb = spark.createDataFrame([("u2", bytearray(html.encode()))], "url string, html binary")
     assert og_meta(dfb).count() == 2
+
+
+def test_feed_parse_hand_cases(spark):
+    from finetoo_sp_spark.sources.feeds import parse_feeds
+
+    xml = (
+        "<rss><channel>"
+        "<item><title>First</title><link>https://h/1</link>"
+        "<pubDate>Tue, 06 Jan 2026 09:05:00 GMT</pubDate></item>"
+        "<item><title>Bad date</title><link>https://h/2</link>"
+        "<pubDate>whenever</pubDate></item>"
+        "</channel></rss>"
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<entry><title>Atom one</title>"
+        '<link rel="alternate" href="https://h/a1"/>'
+        "<published>2026-03-04T12:00:00Z</published>"
+        "<updated>2026-03-05T12:00:00Z</updated></entry>"
+        "</feed>"
+    )
+    df = spark.createDataFrame([("h", xml)], "host string, feed_xml string")
+    rows = {(r.kind, r.link): r for r in parse_feeds(df).collect()}
+    r1 = rows[("rss", "https://h/1")]
+    assert r1.title == "First" and str(r1.published) == "2026-01-06 09:05:00"
+    assert rows[("rss", "https://h/2")].published is None
+    ra = rows[("atom", "https://h/a1")]
+    # published wins over updated when both present
+    assert ra.title == "Atom one" and str(ra.published) == "2026-03-04 12:00:00"

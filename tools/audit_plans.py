@@ -42,6 +42,11 @@ CHECKS = {
         ("JVM-side sequence explode", r"Generate"),
         ("NO shuffle", r"!Exchange"),
     ],
+    "feed_parse": [
+        ("item/entry explode stays JVM-side", r"Generate"),
+        ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "curation_v3": [
         ("dimension-sized gates broadcast", r"BroadcastHashJoin"),
         ("partial aggregation on source", r"HashAggregate"),
