@@ -176,6 +176,7 @@ def main() -> None:
         "hreflang_edges",
         "microdata_extract",
         "feed_parse",
+        "hits_scores",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

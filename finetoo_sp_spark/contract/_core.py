@@ -605,6 +605,51 @@ nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 SELECT id AS url, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iterations}"""
 
 
+def _hits_oracle(iterations: int) -> str:
+    """Unrolled fixed-point HITS twin over the same docpages parent-link
+    edge rule as the PageRank oracle. Each half-round is a raw-sum CTE
+    plus a max-normalized CTE (L-infinity normalization: * SCALE //
+    scalar max — integer, so exactly portable); DuckDB sum(BIGINT)
+    returns HUGEINT, hence the CAST back to BIGINT before the multiply.
+    Every chained CTE is AS MATERIALIZED: each normalization references
+    its raw-sum CTE twice (join + scalar max), so inlined expansion
+    would double per half-round (2^(2*iterations) base scans)."""
+    scale = 1_000_000
+    ctes = [
+        f"h0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS sc FROM nodes)"
+    ]
+    for i in range(1, iterations + 1):
+        for tag, prev, fwd, rev in (
+            ("a", f"h{i - 1}", "src", "dst"),
+            ("h", f"a{i}", "dst", "src"),
+        ):
+            ctes.append(
+                f"""{tag}{i}r AS MATERIALIZED (
+  SELECT e.{rev} AS id, CAST(sum(p.sc) AS BIGINT) AS s
+  FROM e JOIN {prev} p ON p.id = e.{fwd} GROUP BY e.{rev})"""
+            )
+            ctes.append(
+                f"""{tag}{i} AS MATERIALIZED (
+  SELECT n.id, COALESCE((r.s * {scale}) // (SELECT max(s) FROM {tag}{i}r), 0) AS sc
+  FROM nodes n LEFT JOIN {tag}{i}r r ON r.id = n.id)"""
+            )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT s.url AS src, t.url AS dst
+  FROM u s JOIN u t
+    ON t.doc_id IN (CAST(floor(s.doc_id / 2) AS BIGINT), CAST(floor(s.doc_id / 3) AS BIGINT))
+),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+{",".join(ctes)}
+SELECT h.id AS url, CAST(h.sc AS BIGINT) AS hub_fp, CAST(a.sc AS BIGINT) AS auth_fp
+FROM h{iterations} h JOIN a{iterations} a ON a.id = h.id"""
+
+
 _SHA60_ID = "CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
 
 

@@ -69,6 +69,7 @@ from finetoo_sp_spark.contract._core import (
     _CURATION_MAX_DF,
     _CURATION_JACCARD,
     _pagerank_oracle,
+    _hits_oracle,
     _SHA60_ID,
     _KMEANS_CTE,
     _curation_v2_oracle,
@@ -220,4 +221,24 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap(
         T(spark, sf_dir, "documents").select("doc_id", "source"),
         "source", "doc_id", max_per_host=10,
+    )
+
+
+@_q("hits_scores", _hits_oracle(4))
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority prior for corpus curation: 4 rounds of fixed-point
+    HITS over the REAL extracted LINKS_TO graph (same edge set as
+    pagerank_links). Integer fixed-point with L-infinity normalization
+    (score 1.0 = 1e6, integer div, scalar max per half-round) keeps the
+    whole power iteration order-independent and hence exactly
+    reproducible by the unrolled SQL oracle; the hub side flags
+    portal/navigation pages, the authority side is the quality prior."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.hits import hits_fixed_point
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    edges = g.edges.filter(F.col("edge_type") == "LINKS_TO")
+    return hits_fixed_point(edges, iterations=4).select(
+        F.col("id").alias("url"), "hub_fp", "auth_fp"
     )

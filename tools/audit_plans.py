@@ -47,6 +47,14 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "hits_scores": [
+        # The per-half-round sum aggregates sit BEFORE the localCheckpoint
+        # lineage cut (same situation as pagerank below), so only the final
+        # score-assembly joins are visible in the returned plan.
+        ("final score assembly is a hash equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "curation_v3": [
         ("dimension-sized gates broadcast", r"BroadcastHashJoin"),
         ("partial aggregation on source", r"HashAggregate"),
