@@ -177,6 +177,7 @@ def main() -> None:
         "microdata_extract",
         "feed_parse",
         "hits_scores",
+        "trustrank_scores",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -605,6 +605,48 @@ nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
 SELECT id AS url, CAST(rank_fp AS BIGINT) AS rank_fp FROM r{iterations}"""
 
 
+def _trustrank_oracle(iterations: int) -> str:
+    """Unrolled fixed-point TrustRank twin: the pagerank oracle's CTE
+    chain with the uniform teleport replaced by a seed-biased static
+    base (seed hosts src0..src3 <=> doc_id % 20 < 4 — the same rule the
+    Spark query applies by URL prefix). Round 0 is the pure seed
+    vector; each round is base + 85% of the propagated trust."""
+    scale, damp = 1_000_000_000, 85
+    base = (100 - damp) * scale // 100
+    ctes = [
+        f"""nb AS MATERIALIZED (
+  SELECT n.id,
+    CASE WHEN s.id IS NOT NULL THEN CAST({base} AS BIGINT) ELSE CAST(0 AS BIGINT) END AS base_fp
+  FROM nodes n LEFT JOIN seeds s ON s.id = n.id)""",
+        f"t0 AS MATERIALIZED (SELECT id, CAST((base_fp * 100) // {100 - damp} AS BIGINT) AS trust_fp FROM nb)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""t{i} AS MATERIALIZED (
+  SELECT n.id, CAST(n.base_fp + ({damp} * COALESCE(s.s, 0)) // 100 AS BIGINT) AS trust_fp
+  FROM nb n LEFT JOIN (
+    SELECT e.dst AS id, sum(t.trust_fp // d.deg) AS s
+    FROM e JOIN deg d USING (src) JOIN t{i - 1} t ON t.id = e.src
+    GROUP BY e.dst) s ON s.id = n.id)"""
+        )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+e AS MATERIALIZED (
+  SELECT DISTINCT s.url AS src, t.url AS dst
+  FROM u s JOIN u t
+    ON t.doc_id IN (CAST(floor(s.doc_id / 2) AS BIGINT), CAST(floor(s.doc_id / 3) AS BIGINT))
+),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+seeds AS (SELECT url AS id FROM u WHERE doc_id % 20 < 4),
+{",".join(ctes)}
+SELECT id AS url, trust_fp FROM t{iterations}"""
+
+
 def _hits_oracle(iterations: int) -> str:
     """Unrolled fixed-point HITS twin over the same docpages parent-link
     edge rule as the PageRank oracle. Each half-round is a raw-sum CTE

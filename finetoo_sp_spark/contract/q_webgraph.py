@@ -70,6 +70,7 @@ from finetoo_sp_spark.contract._core import (
     _CURATION_JACCARD,
     _pagerank_oracle,
     _hits_oracle,
+    _trustrank_oracle,
     _SHA60_ID,
     _KMEANS_CTE,
     _curation_v2_oracle,
@@ -221,6 +222,29 @@ def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_cap(
         T(spark, sf_dir, "documents").select("doc_id", "source"),
         "source", "doc_id", max_per_host=10,
+    )
+
+
+@_q("trustrank_scores", _trustrank_oracle(5))
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam-demotion prior (Gyongyi et al., VLDB'04): 5 rounds of
+    seed-biased fixed-point PageRank over the REAL extracted LINKS_TO
+    graph, seeds = the src0..src3 hosts (by URL prefix; the oracle
+    expresses the same set as doc_id % 20 < 4). Pages reachable only
+    outside the trusted neighborhoods end with near-zero trust even
+    when their raw PageRank is high — the (rank, trust) pair yields
+    spam mass. Integer fixed point keeps every round exactly portable."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.trustrank import trustrank_fixed_point
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    edges = g.edges.filter(F.col("edge_type") == "LINKS_TO")
+    seeds = pages.where(
+        F.regexp_extract("url", r"^https://src(\d+)\.", 1).cast("int") < 4
+    ).select(F.col("url").alias("id"))
+    return trustrank_fixed_point(edges, seeds, iterations=5).select(
+        F.col("id").alias("url"), "trust_fp"
     )
 
 

@@ -47,6 +47,12 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "trustrank_scores": [
+        ("seed membership folded in via broadcast join", r"BroadcastHashJoin"),
+        ("per-iteration partial aggregation", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "hits_scores": [
         # The per-half-round sum aggregates sit BEFORE the localCheckpoint
         # lineage cut (same situation as pagerank below), so only the final
