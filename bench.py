@@ -178,6 +178,7 @@ def main() -> None:
         "feed_parse",
         "hits_scores",
         "trustrank_scores",
+        "charset_decode",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

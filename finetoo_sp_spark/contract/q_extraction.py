@@ -651,3 +651,51 @@ def q_microdata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.extraction.meta import microdata_props
 
     return microdata_props(_meta_pages(spark, sf_dir))
+
+
+@_q(
+    "charset_decode",
+    """
+WITH p AS (SELECT i, CAST(i % 7 AS INTEGER) AS c FROM range(0, 140) t(i)),
+parts AS (
+  SELECT i,
+    CASE c WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+           WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'gbk'
+           WHEN 4 THEN 'utf-8' WHEN 5 THEN 'utf-16-le'
+           ELSE 'windows-1252' END AS charset,
+    CASE WHEN c IN (4, 5) THEN 'bom'
+         WHEN c = 6 THEN 'default' ELSE 'meta' END AS charset_src,
+    CASE c WHEN 0 THEN '<meta charset="utf-8">'
+           WHEN 1 THEN '<meta charset="iso-8859-1">'
+           WHEN 2 THEN '<meta charset="Shift_JIS">'
+           WHEN 3 THEN '<meta charset="gb2312">'
+           ELSE '' END AS meta,
+    CASE c
+      WHEN 0 THEN 'na' || chr(239) || 've ' || chr(8212) || ' ' || chr(252) || 'nicode'
+      WHEN 1 THEN 'caf' || chr(233) || ' ' || chr(8220) || 'quoted' || chr(8221)
+      WHEN 2 THEN chr(12486) || chr(12473) || chr(12488)
+      WHEN 3 THEN chr(20013) || chr(25991) || chr(27979) || chr(35797)
+      WHEN 4 THEN 'bom ' || chr(10003)
+      WHEN 5 THEN 'wide ' || chr(960)
+      ELSE 'plain ' || chr(233) END AS token
+  FROM p)
+SELECT i AS page_id, charset, charset_src,
+  '<html><head>' || meta || '</head><body>page ' || CAST(i AS VARCHAR)
+    || ' ' || token || '</body></html>' AS text
+FROM parts""",
+)
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG encoding sniffing over a mixed-encoding binary HTML
+    corpus (extraction/charset.py): BOM detection (utf-8 + utf-16-le),
+    meta-prescan labels through the alias table (iso-8859-1 declares ->
+    windows-1252 decodes, with cp1252-only curly quotes proving the
+    distinction; gb2312 -> gbk), and the declaration-free
+    windows-1252 fallback. The oracle re-derives every decoded string
+    from hand-written codepoints (chr(...)), independent of the
+    generator's case table — a generator/kernel bug cannot cancel out."""
+    from finetoo_sp_spark.datagen import gen_charset_pages
+    from finetoo_sp_spark.extraction.charset import decode_pages
+
+    return decode_pages(
+        gen_charset_pages(spark, 140), passthrough=("page_id",)
+    )

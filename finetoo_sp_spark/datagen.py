@@ -486,3 +486,54 @@ def gen_mixed_image_assets(spark: SparkSession, n: int, partitions: int = 4) -> 
                 yield gen_mixed_image_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+# --- charset-mixed HTML corpus (extraction/charset.py) ----------------
+
+# (python codec, meta label or None, BOM bytes, non-ASCII token).
+# Class 1 declares iso-8859-1 but the token needs cp1252's 0x80-0x9F
+# block (curly quotes) — exactly the real-web case the WHATWG
+# label->windows-1252 mapping exists for. Classes 4/5 have a BOM and
+# NO meta; class 6 has neither (fallback path).
+CHARSET_CASES = [
+    ("utf-8", "utf-8", b"", "na\u00efve \u2014 \u00fcnicode"),
+    ("windows-1252", "iso-8859-1", b"", "caf\u00e9 \u201cquoted\u201d"),
+    ("shift_jis", "Shift_JIS", b"", "\u30c6\u30b9\u30c8"),
+    ("gbk", "gb2312", b"", "\u4e2d\u6587\u6d4b\u8bd5"),
+    ("utf-8", None, b"\xef\xbb\xbf", "bom \u2713"),
+    ("utf-16-le", None, b"\xff\xfe", "wide \u03c0"),
+    ("windows-1252", None, b"", "plain \u00e9"),
+]
+
+
+def charset_page_text(i: int) -> str:
+    """The decoded form (BOM-free) of synthetic charset page ``i``."""
+    codec, meta_label, _bom, token = CHARSET_CASES[i % len(CHARSET_CASES)]
+    meta = f'<meta charset="{meta_label}">' if meta_label else ""
+    return (
+        f"<html><head>{meta}</head>"
+        f"<body>page {i} {token}</body></html>"
+    )
+
+
+def gen_charset_pandas(ids: np.ndarray) -> pd.DataFrame:
+    rows = []
+    for i in ids:
+        i = int(i)
+        codec, _meta, bom, _tok = CHARSET_CASES[i % len(CHARSET_CASES)]
+        rows.append((i, bom + charset_page_text(i).encode(codec)))
+    return pd.DataFrame(rows, columns=["page_id", "html"])
+
+
+def gen_charset_pages(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed mixed-encoding HTML corpus: utf-8 / windows-1252 /
+    Shift_JIS / GBK metas, utf-8 + utf-16-le BOMs, and a
+    declaration-free windows-1252 fallback class."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_charset_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema="page_id long, html binary")

@@ -1,0 +1,97 @@
+"""Charset sniffing + decode: hand-pinned byte fixtures (independent
+of datagen's case table) plus the Spark plumbing."""
+
+import pandas as pd
+
+from finetoo_sp_spark.extraction.charset import (
+    decode_pages,
+    sniff_decode_pandas,
+)
+
+
+def _one(payload):
+    out = sniff_decode_pandas(pd.Series([payload]))
+    r = out.iloc[0]
+    return r["charset"], r["charset_src"], r["text"]
+
+
+def test_meta_charset_forms():
+    # <meta charset=...> form, uppercase label.
+    assert _one(b'<html><meta charset="UTF-8"><body>\xc3\xa9') == (
+        "utf-8", "meta", '<html><meta charset="UTF-8"><body>\u00e9'
+    )
+    # http-equiv content-type form.
+    cs, src, text = _one(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=Shift_JIS"><p>\x83e\x83X\x83g'
+    )
+    assert (cs, src) == ("shift_jis", "meta")
+    assert text.endswith("<p>\u30c6\u30b9\u30c8")
+    # Unquoted label.
+    assert _one(b"<meta charset=gb2312>\xd6\xd0")[0] == "gbk"
+    assert _one(b"<meta charset=gb2312>\xd6\xd0")[2].endswith("\u4e2d")
+
+
+def test_alias_normalization_and_fallback():
+    # iso-8859-1 label, cp1252-only curly-quote bytes: the WHATWG
+    # label->windows-1252 mapping is what makes 0x93/0x94 decode.
+    cs, _, text = _one(b'<meta charset="iso-8859-1">\x93hi\x94')
+    assert cs == "windows-1252"
+    assert text.endswith("\u201chi\u201d")
+    # Unknown label falls back (and reports 'default').
+    assert _one(b'<meta charset="x-no-such-enc">\xe9') == (
+        "windows-1252", "default", '<meta charset="x-no-such-enc">\u00e9'
+    )
+    # No declaration at all.
+    assert _one(b"plain \xe9 text") == (
+        "windows-1252", "default", "plain \u00e9 text"
+    )
+
+
+def test_boms_win_and_strip():
+    # utf-8 BOM beats a CONFLICTING meta (spec priority), BOM stripped.
+    cs, src, text = _one(b'\xef\xbb\xbf<meta charset="shift_jis">\xc3\xa9')
+    assert (cs, src) == ("utf-8", "bom")
+    assert text == '<meta charset="shift_jis">\u00e9'
+    # utf-16 little and big endian.
+    assert _one(b"\xff\xfe" + "hi \u03c0".encode("utf-16-le")) == (
+        "utf-16-le", "bom", "hi \u03c0"
+    )
+    assert _one(b"\xfe\xff" + "hi \u03c0".encode("utf-16-be")) == (
+        "utf-16-be", "bom", "hi \u03c0"
+    )
+
+
+def test_dirty_payloads_never_fatal():
+    out = sniff_decode_pandas(
+        pd.Series([None, b"", b"\xff\xfeodd byte count\x00!", b"\x81\x8d"])
+    )
+    assert out["text"].iloc[0] is None
+    assert out["text"].iloc[1] == ""
+    assert isinstance(out["text"].iloc[2], str)  # replace, not raise
+    # cp1252's five unmapped bytes -> U+FFFD, row survives.
+    assert out["text"].iloc[3] == "\ufffd\ufffd"
+
+
+def test_prescan_window_is_1024_bytes():
+    far_meta = b" " * 1100 + b'<meta charset="shift_jis">'
+    assert _one(far_meta)[0] == "windows-1252"  # declaration out of window
+    near_meta = b" " * 900 + b'<meta charset="shift_jis">'
+    assert _one(near_meta)[0] == "shift_jis"
+
+
+def test_decode_pages_spark(spark):
+    from finetoo_sp_spark.datagen import charset_page_text, gen_charset_pages
+
+    got = {
+        r["page_id"]: (r["charset"], r["charset_src"], r["text"])
+        for r in decode_pages(
+            gen_charset_pages(spark, 14), passthrough=("page_id",)
+        ).collect()
+    }
+    assert len(got) == 14
+    for i in range(14):
+        assert got[i][2] == charset_page_text(i)
+    assert got[1][0] == "windows-1252" and got[1][1] == "meta"
+    assert got[5][0] == "utf-16-le" and got[5][1] == "bom"
+    assert got[6][1] == "default"

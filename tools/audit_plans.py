@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "charset_decode": [
+        ("Arrow-batched sniff+decode kernel", r"MapInPandas"),
+        ("NO shuffle (embarrassingly parallel stage)", r"!Exchange"),
+        ("no per-row Python UDF", r"!BatchEvalPython"),
+    ],
     "trustrank_scores": [
         ("seed membership folded in via broadcast join", r"BroadcastHashJoin"),
         ("per-iteration partial aggregation", r"HashAggregate"),
