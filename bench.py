@@ -179,6 +179,7 @@ def main() -> None:
         "hits_scores",
         "trustrank_scores",
         "charset_decode",
+        "markdown_render",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -699,3 +699,34 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pages(
         gen_charset_pages(spark, 140), passthrough=("page_id",)
     )
+
+
+@_q(
+    "markdown_render",
+    """
+SELECT
+  'https://' || source || '.example.com/doc/' || doc_id AS url,
+  '# heading for document ' || doc_id
+    || chr(10) || chr(10) || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+    || chr(10) || chr(10) || '## details for ' || source
+    || chr(10) || chr(10) || '- first detail item has exactly ten plain words total ' || doc_id
+    || chr(10) || chr(10) || '- second detail item also has exactly ten plain words here'
+    || chr(10) || chr(10) || '> a quoted remark that is long enough to be treated as real content ' || doc_id
+    AS markdown,
+  CAST(6 AS BIGINT) AS n_content_blocks
+FROM documents""",
+)
+def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving Markdown rendering (extraction/markdown.py)
+    over the SAME tokenizer + block classifier as the flagship
+    extractor: headings print as #/##, list items as '- ', quotes as
+    '> ', and the link-only nav is dropped by the classifier exactly as
+    in flat extraction. Oracle recomputes the full Markdown string per
+    page from the template rule — byte-identical, like the main-text
+    invariant."""
+    from finetoo_sp_spark.extraction.docpages import documents_to_rich_pages
+    from finetoo_sp_spark.extraction.markdown import extract_markdown
+
+    return extract_markdown(
+        documents_to_rich_pages(T(spark, sf_dir, "documents"))
+    )

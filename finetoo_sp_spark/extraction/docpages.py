@@ -101,3 +101,35 @@ def documents_to_pages(documents: DataFrame) -> DataFrame:
         F.col("lang").alias("lang"),
         F.col("doc_id").alias("doc_id"),
     )
+
+
+def documents_to_rich_pages(documents: DataFrame) -> DataFrame:
+    """documents -> pages whose body exercises every Markdown-rendered
+    structure (extraction/markdown.py): h1 + h2 headings, a paragraph,
+    two >=MIN_CONTENT_WORDS list items, and a blockquote — plus a
+    link-only <nav> the classifier must drop. Pure column ops like
+    documents_to_pages, so the correct Markdown is computable in plain
+    SQL from (doc_id, source, text)."""
+    d = documents
+    url = F.concat(F.lit(URL_PREFIX), F.col("source"), F.lit(URL_MID), F.col("doc_id"))
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id"),
+        F.lit('</title></head><body><nav><a href="/">home</a> <a href="/tags">archive</a></nav><h1>heading for document '),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><h2>details for "),
+        F.col("source"),
+        F.lit("</h2><ul><li>first detail item has exactly ten plain words total "),
+        F.col("doc_id"),
+        F.lit("</li><li>second detail item also has exactly ten plain words here</li></ul>"),
+        F.lit("<blockquote>a quoted remark that is long enough to be treated as real content "),
+        F.col("doc_id"),
+        F.lit("</blockquote></body></html>"),
+    )
+    return d.select(
+        url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("doc_id").alias("doc_id"),
+    )

@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "markdown_render": [
+        ("Arrow-batched tokenize+classify+render kernel", r"MapInPandas"),
+        ("NO shuffle (per-page render is embarrassingly parallel)", r"!Exchange"),
+        ("no per-row Python UDF", r"!BatchEvalPython"),
+    ],
     "charset_decode": [
         ("Arrow-batched sniff+decode kernel", r"MapInPandas"),
         ("NO shuffle (embarrassingly parallel stage)", r"!Exchange"),
