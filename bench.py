@@ -180,6 +180,7 @@ def main() -> None:
         "trustrank_scores",
         "charset_decode",
         "markdown_render",
+        "extract_legacy_encoded",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

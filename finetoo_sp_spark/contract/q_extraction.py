@@ -730,3 +730,39 @@ def q_markdown_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_markdown(
         documents_to_rich_pages(T(spark, sf_dir, "documents"))
     )
+
+
+@_q(
+    "extract_legacy_encoded",
+    """
+SELECT
+  'https://' || source || '.example.com/doc/' || doc_id AS url,
+  'heading for document ' || doc_id || chr(10)
+    || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+    || ' caf' || chr(233) || ' r' || chr(233) || 'sum' || chr(233)
+    || ' na' || chr(239) || 've' AS text,
+  'doc ' || doc_id AS title,
+  'heading for document ' || doc_id AS h1,
+  'windows-1252' AS charset
+FROM documents""",
+)
+def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition: a corpus SERVED in a legacy encoding
+    (ISO-8859-1 bytes + meta declaration) runs charset sniffing
+    (extraction/charset.py) -> utf-8 re-encode -> the flagship
+    extraction kernel, and the extracted main text is byte-identical
+    to the oracle INCLUDING the accented tokens a utf-8-only decode
+    would have mojibaked. The detected charset rides through
+    extract_pages' keep_cols — no join to reattach it."""
+    from finetoo_sp_spark.extraction.charset import decode_pages
+    from finetoo_sp_spark.extraction.docpages import documents_to_legacy_pages
+    from finetoo_sp_spark.extraction.extract import extract_pages
+
+    pages = documents_to_legacy_pages(T(spark, sf_dir, "documents"))
+    dec = decode_pages(pages, passthrough=("url",))
+    redec = dec.select(
+        "url", F.encode("text", "UTF-8").alias("html"), "charset"
+    )
+    return extract_pages(redec, keep_cols=["charset"]).select(
+        "url", "text", "title", "h1", "charset"
+    )

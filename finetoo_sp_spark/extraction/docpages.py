@@ -133,3 +133,37 @@ def documents_to_rich_pages(documents: DataFrame) -> DataFrame:
         F.encode(html, "UTF-8").alias("html"),
         F.col("doc_id").alias("doc_id"),
     )
+
+
+def documents_to_legacy_pages(documents: DataFrame) -> DataFrame:
+    """documents -> pages served in a LEGACY encoding: the docpages
+    content shape, declared '<meta charset="iso-8859-1">' and encoded
+    ISO-8859-1 (WHATWG-decodes as windows-1252 — identical for the
+    latin-1 range used here), with accented tokens in the main
+    paragraph so a utf-8-only decode would visibly mojibake the
+    extracted text. Pure column ops (F.encode supports ISO-8859-1);
+    driver document text is ASCII, so every byte is encodable."""
+    d = documents
+    url = F.concat(F.lit(URL_PREFIX), F.col("source"), F.lit(URL_MID), F.col("doc_id"))
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.col("lang"),
+        F.lit('"><head><meta charset="iso-8859-1"><title>doc '),
+        F.col("doc_id"),
+        F.lit('</title></head><body><nav><a href="/">home</a> <a href="/tags/'),
+        F.col("source"),
+        F.lit('">'),
+        F.col("source"),
+        F.lit("</a></nav><h1>heading for document "),
+        F.col("doc_id"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit(" caf\u00e9 r\u00e9sum\u00e9 na\u00efve</p><p>short teaser</p>"),
+        F.lit('<footer><a href="/terms">terms</a> <a href="/contact">contact</a></footer>'),
+        F.lit("</body></html>"),
+    )
+    return d.select(
+        url.alias("url"),
+        F.encode(html, "ISO-8859-1").alias("html"),
+        F.col("doc_id").alias("doc_id"),
+    )

@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "extract_legacy_encoded": [
+        ("two Arrow kernels (sniff+decode, extract)", r"MapInPandas[\s\S]*MapInPandas"),
+        ("NO shuffle end-to-end (charset rides keep_cols, no rejoin)", r"!Exchange"),
+        ("no per-row Python UDF", r"!BatchEvalPython"),
+    ],
     "markdown_render": [
         ("Arrow-batched tokenize+classify+render kernel", r"MapInPandas"),
         ("NO shuffle (per-page render is embarrassingly parallel)", r"!Exchange"),
