@@ -181,6 +181,7 @@ def main() -> None:
         "charset_decode",
         "markdown_render",
         "extract_legacy_encoded",
+        "boilerplate_strip_host",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -528,3 +528,62 @@ def q_dedup_window_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicate_windows(
         _win_corpus(spark, sf_dir), "doc_id", "text", k=8, hash_mode="sha"
     )
+
+
+@_q(
+    "boilerplate_strip_host",
+    """
+WITH corpus AS (
+  SELECT doc_id, source,
+    'HOST BANNER FOR ' || source || chr(10) || text || chr(10)
+      || 'promo ' || source || ' ' || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM documents
+), hd AS (
+  SELECT source, count(*) AS n_docs FROM corpus GROUP BY source
+), s AS (
+  SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM corpus
+), l AS (
+  SELECT doc_id, source, i AS pos, ls[CAST(i AS BIGINT)] AS ln
+  FROM s, UNNEST(generate_series(1, len(ls))) t(i)
+), fr AS (
+  SELECT source, ln, count(DISTINCT doc_id) AS doc_freq
+  FROM l GROUP BY source, ln
+), hot AS (
+  SELECT source, ln FROM fr JOIN hd USING (source)
+  WHERE n_docs >= 3 AND doc_freq * 10000 >= 5000 * n_docs
+)
+SELECT l.doc_id,
+  array_to_string(
+    list(CASE WHEN hot.ln IS NULL THEN l.ln END ORDER BY l.pos), chr(10)
+  ) AS text,
+  CAST(count(hot.ln) AS BIGINT) AS n_removed
+FROM l LEFT JOIN hot ON hot.source = l.source AND hot.ln = l.ln
+GROUP BY l.doc_id""",
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host line-frequency boilerplate removal (CCNet/OSCAR rule;
+    operators/dedup.py host_boilerplate_strip): every page of a host
+    carries that host's banner line (100% doc frequency -> stripped
+    wherever the host has >= 3 pages) plus a promo line shared by only
+    the doc_id%5 cohort (~20% -> kept) plus its own body. The oracle
+    recomputes the per-host doc-frequency rule relationally; surviving
+    lines keep document order and the removed count is exact."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.concat(
+            F.lit("HOST BANNER FOR "),
+            F.col("source"),
+            F.lit("\n"),
+            F.col("text"),
+            F.lit("\npromo "),
+            F.col("source"),
+            F.lit(" "),
+            (F.col("doc_id") % 5).cast("string"),
+        ).alias("text"),
+    )
+    out = dd.host_boilerplate_strip(
+        corpus, "doc_id", "source", "text", min_host_docs=3, max_ratio_fp=5000
+    )
+    return out.select(F.col("id").alias("doc_id"), "text", "n_removed")

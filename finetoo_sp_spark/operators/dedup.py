@@ -800,3 +800,74 @@ def mirror_hosts(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def host_boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    host_col: str,
+    text_col: str,
+    min_host_docs: int = 3,
+    max_ratio_fp: int = 5000,
+) -> DataFrame:
+    """Per-host line-frequency boilerplate removal (the CCNet/OSCAR
+    cleaner): a line is template boilerplate when it appears on a large
+    FRACTION of its host's pages — ``doc_freq * 10000 >=
+    max_ratio_fp * host_docs`` (integer fixed point, default 50%) —
+    regardless of its absolute corpus count. This is the complement of
+    ``line_dedup``'s global-count rule: a footer templated across one
+    big host strips even though the corpus-wide count of any single
+    variant is modest, while a famous quote shared by many hosts
+    survives because no single host saturates on it. Hosts with fewer
+    than ``min_host_docs`` pages keep everything (a ratio over 2 pages
+    is noise, per CCNet's shard-minimum).
+
+    Scale shape: doc-frequency keys are (host, line_sha256) — a hot
+    host's key space splits across its distinct lines, so no single
+    reducer sees a whole host; the distinct + count aggregate both
+    partial map-side. The strip is one left_anti equi-join on the same
+    composite key and reassembly is the order-preserving
+    sort_array-over-structs groupBy from line_dedup, with the removed
+    count folded into the same aggregate (no second pass).
+
+    Returns (id, text, n_removed).
+    """
+    host_docs = df.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("line_sha", F.sha2("line", 256))
+    dfreq = (
+        lines.select("host", "line_sha", "id")
+        .distinct()
+        .groupBy("host", "line_sha")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    hot = (
+        dfreq.join(host_docs, "host")
+        .filter(
+            (F.col("n_docs") >= min_host_docs)
+            & (F.col("doc_freq") * 10000 >= max_ratio_fp * F.col("n_docs"))
+        )
+        .select("host", "line_sha", F.lit(True).alias("is_hot"))
+    )
+    flagged = lines.join(hot, ["host", "line_sha"], "left").withColumn(
+        "is_hot", F.coalesce("is_hot", F.lit(False))
+    )
+    return flagged.groupBy("id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(~F.col("is_hot"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("text"),
+        F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
+    )

@@ -47,6 +47,13 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "boilerplate_strip_host": [
+        ("doc-frequency + strip are hash equi-joins", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("partial aggregation on (host, line_sha)", r"HashAggregate"),
+        ("line explode stays JVM-side", r"Generate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "extract_legacy_encoded": [
         ("two Arrow kernels (sniff+decode, extract)", r"MapInPandas[\s\S]*MapInPandas"),
         ("NO shuffle end-to-end (charset rides keep_cols, no rejoin)", r"!Exchange"),
