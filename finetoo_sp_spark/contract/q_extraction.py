@@ -748,21 +748,16 @@ FROM documents""",
 )
 def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capstone composition: a corpus SERVED in a legacy encoding
-    (ISO-8859-1 bytes + meta declaration) runs charset sniffing
-    (extraction/charset.py) -> utf-8 re-encode -> the flagship
-    extraction kernel, and the extracted main text is byte-identical
-    to the oracle INCLUDING the accented tokens a utf-8-only decode
-    would have mojibaked. The detected charset rides through
-    extract_pages' keep_cols — no join to reattach it."""
-    from finetoo_sp_spark.extraction.charset import decode_pages
+    (ISO-8859-1 bytes + meta declaration) runs the FUSED sniffing
+    extractor (extract_pages_sniffed: WHATWG charset sniff -> decode ->
+    tokenize -> classify in ONE Arrow kernel), and the extracted main
+    text is byte-identical to the oracle INCLUDING the accented tokens
+    a utf-8-only decode would have mojibaked. The detected charset is
+    an output column of the same kernel — no second pass, no join."""
     from finetoo_sp_spark.extraction.docpages import documents_to_legacy_pages
-    from finetoo_sp_spark.extraction.extract import extract_pages
+    from finetoo_sp_spark.extraction.extract import extract_pages_sniffed
 
     pages = documents_to_legacy_pages(T(spark, sf_dir, "documents"))
-    dec = decode_pages(pages, passthrough=("url",))
-    redec = dec.select(
-        "url", F.encode("text", "UTF-8").alias("html"), "charset"
-    )
-    return extract_pages(redec, keep_cols=["charset"]).select(
+    return extract_pages_sniffed(pages).select(
         "url", "text", "title", "h1", "charset"
     )

@@ -106,3 +106,43 @@ def extract_pages(
             yield res
 
     return src.mapInPandas(run, schema=out_schema)
+
+
+def extract_pages_sniffed(
+    pages: DataFrame,
+    repartition_buckets: int | None = None,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """``extract_pages`` drop-in whose decode step is the WHATWG
+    charset sniff (extraction/charset.py) instead of utf-8-only —
+    the extractor to plug into ``run_resumable_extraction(extractor=)``
+    for corpora with legacy-encoded pages. Sniff + decode + tokenize +
+    classify run FUSED in one Arrow kernel (no intermediate re-encode,
+    no second mapInPandas); the detected ``charset`` is appended as an
+    output column so downstream audits can stratify by encoding.
+    """
+    from finetoo_sp_spark.extraction.charset import sniff_decode_pandas
+
+    keep_cols = keep_cols or []
+    src = pages.select("url", "html", *keep_cols)
+    if repartition_buckets:
+        src = src.repartition(repartition_buckets, url_salt(repartition_buckets))
+
+    out_schema = StructType(
+        EXTRACT_SCHEMA.fields
+        + [StructField("charset", StringType(), True)]
+        + [pages.schema[c] for c in keep_cols]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            sniffed = sniff_decode_pandas(pdf["html"])
+            res = extract_batch(pdf["url"], sniffed["text"])
+            res["charset"] = sniffed["charset"].reset_index(drop=True)
+            for c in keep_cols:
+                res[c] = pdf[c].reset_index(drop=True)
+            yield res
+
+    return src.mapInPandas(run, schema=out_schema)

@@ -55,8 +55,11 @@ CHECKS = {
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
     "extract_legacy_encoded": [
-        ("two Arrow kernels (sniff+decode, extract)", r"MapInPandas[\s\S]*MapInPandas"),
-        ("NO shuffle end-to-end (charset rides keep_cols, no rejoin)", r"!Exchange"),
+        ("ONE fused Arrow kernel (sniff+decode+extract)", r"MapInPandas"),
+        # formatted explain prints each node once in the tree ("MapInPandas (3)")
+        # and once in details ("(3) MapInPandas") — count details lines only.
+        ("NOT two kernels — sniff is fused, not chained", r"!\(\d+\) MapInPandas[\s\S]*\(\d+\) MapInPandas"),
+        ("NO shuffle end-to-end", r"!Exchange"),
         ("no per-row Python UDF", r"!BatchEvalPython"),
     ],
     "markdown_render": [
