@@ -182,6 +182,7 @@ def main() -> None:
         "markdown_render",
         "extract_legacy_encoded",
         "boilerplate_strip_host",
+        "temperature_mix",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -424,3 +424,47 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.operators.skew import skew_report
 
     return skew_report(T(spark, sf_dir, "events"), "user_id", target_rows_per_task=50)
+
+
+@_q(
+    "temperature_mix",
+    """
+WITH n AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs,
+    CAST(floor(sqrt(n_docs) * 10000) AS BIGINT) AS weight_fp
+  FROM n
+), q AS (
+  SELECT source, n_docs, weight_fp,
+    (1000 * weight_fp) // (SELECT CAST(sum(weight_fp) AS BIGINT) FROM w)
+      AS quota_docs
+  FROM w
+), r AS (
+  SELECT *, LEAST(1000000, (quota_docs * 1000000) // n_docs) AS rate_ppm
+  FROM q
+), s AS (
+  SELECT d.source, count(*) AS sampled
+  FROM documents d JOIN r USING (source)
+  WHERE CAST('0x' || substr(sha256('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+          AS BIGINT) % 1000000 < rate_ppm
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.weight_fp, CAST(r.quota_docs AS BIGINT) AS quota_docs,
+  CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+  COALESCE(s.sampled, 0) AS sampled_docs
+FROM r LEFT JOIN s USING (source)""",
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature mixing planner (XLM-R alpha-sampling, alpha=1/2):
+    per-source weights n^alpha DERIVED from measured sizes — sqrt is
+    the one IEEE-correctly-rounded libm call, so the double math is
+    bit-identical across engines before snapping to integer fixed
+    point; quotas, ppm rates and the realized salted-sha sample are
+    all integer arithmetic. Upstream planner for mix_epochs."""
+    from finetoo_sp_spark.operators.packing import temperature_mix
+
+    return temperature_mix(
+        T(spark, sf_dir, "documents"), "doc_id", "source",
+        alpha_quarters=2, budget_docs=1000,
+    )

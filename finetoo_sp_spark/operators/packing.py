@@ -317,3 +317,91 @@ def length_buckets(
             ).alias("pad_ppm"),
         )
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    alpha_quarters: int = 2,
+    budget_docs: int = 1000,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-based source mixing planner (the XLM-R / mT5
+    alpha-sampling rule): sampling weight w_s = n_s^alpha flattens the
+    source distribution so head sources stop drowning the tail
+    (alpha=1 keeps natural proportions, alpha->0 approaches uniform).
+    This op DERIVES the weights from measured source sizes — the
+    upstream planner whose output feeds ``mix_epoch_weights``.
+
+    Portability discipline: alpha is restricted to quarters
+    (alpha = alpha_quarters/4, 1..4) so n^alpha composes from sqrt —
+    the one libm call that IEEE 754 requires correctly rounded, hence
+    bit-identical across Spark and DuckDB (log/exp-based pow is not).
+    The weight snaps to integer fixed point (floor(w * 10000)) before
+    any aggregation, so sums stay order-independent; quotas and
+    per-source sampling rates are integer `div` arithmetic; the
+    realized sample is the usual salted-sha ppm gate (exact,
+    partition-order-proof).
+
+    Scale shape: one partial-agg groupBy(source) over the corpus; the
+    source table is dimension-sized, so the total and quotas compute
+    on ~|sources| rows (window over the tiny frame, not the corpus)
+    and broadcast back for the single sampling pass.
+
+    Returns one row per source:
+    (source, n_docs, weight_fp, quota_docs, rate_ppm, sampled_docs).
+    """
+    if alpha_quarters not in (1, 2, 3, 4):
+        raise ValueError("alpha_quarters must be 1..4 (alpha = q/4)")
+    from pyspark.sql.window import Window
+
+    from finetoo_sp_spark.operators.dedup import sha60
+
+    n = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nd = F.col("n_docs").cast("double")
+    root4 = F.sqrt(F.sqrt(nd))
+    w = {
+        1: root4,
+        2: F.sqrt(nd),
+        3: F.sqrt(nd) * root4,
+        4: nd,
+    }[alpha_quarters]
+    sized = n.withColumn("weight_fp", F.floor(w * F.lit(10000)).cast("long"))
+    total_w = Window.partitionBy()  # dimension-sized frame: ~|sources| rows
+    rates = (
+        sized.withColumn("total_fp", F.sum("weight_fp").over(total_w))
+        .withColumn(
+            "quota_docs",
+            F.expr(f"({int(budget_docs)}L * weight_fp) div total_fp"),
+        )
+        .withColumn(
+            "rate_ppm",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("(quota_docs * 1000000L) div n_docs"),
+            ),
+        )
+        .select("source", "n_docs", "weight_fp", "quota_docs", "rate_ppm")
+    )
+    gate = F.pmod(
+        sha60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    sampled = (
+        df.select(F.col(source_col).alias("source"), gate.alias("gate"))
+        .join(F.broadcast(rates.select("source", "rate_ppm")), "source")
+        .filter(F.col("gate") < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sampled_docs"))
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight_fp",
+        "quota_docs",
+        "rate_ppm",
+        F.coalesce("sampled_docs", F.lit(0)).cast("long").alias("sampled_docs"),
+    )

@@ -47,6 +47,12 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "temperature_mix": [
+        ("source-size partial aggregation", r"HashAggregate"),
+        ("rates broadcast back for the sampling pass", r"BroadcastHashJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "boilerplate_strip_host": [
         ("doc-frequency + strip are hash equi-joins", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ("partial aggregation on (host, line_sha)", r"HashAggregate"),
