@@ -183,6 +183,7 @@ def main() -> None:
         "extract_legacy_encoded",
         "boilerplate_strip_host",
         "temperature_mix",
+        "redirect_resolve",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -266,3 +266,71 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_fixed_point(edges, iterations=4).select(
         F.col("id").alias("url"), "hub_fp", "auth_fp"
     )
+
+
+@_q(
+    "redirect_resolve",
+    """
+WITH RECURSIVE u AS (
+  SELECT doc_id AS i,
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+e AS (
+  SELECT a.url AS src, b.url AS dst
+  FROM u a JOIN u b ON b.i = CASE
+      WHEN a.i % 100 = 98 THEN a.i + 1
+      WHEN a.i % 100 = 99 THEN a.i - 1
+      WHEN a.i % 3 = 0 AND a.i % 81 <> 0 AND a.i > 0 THEN a.i - 3
+      ELSE NULL END
+),
+walk(src, cur, hops) AS (
+  SELECT src, dst, 1 FROM e
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.cur WHERE w.hops < 40
+),
+last AS (SELECT src, max(hops) AS mh FROM walk GROUP BY src),
+fin AS (
+  SELECT w.src, w.cur, w.hops
+  FROM walk w JOIN last l ON l.src = w.src AND l.mh = w.hops
+)
+SELECT src AS url,
+  CASE WHEN hops >= 40 THEN NULL ELSE cur END AS final_url,
+  CAST(CASE WHEN hops >= 40 THEN NULL ELSE hops END AS BIGINT) AS hops,
+  hops >= 40 AS is_loop
+FROM fin""",
+)
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer jumping (operators/
+    redirects.py): chains up to 27 hops (multiples of 3 between
+    multiples of 81), 2-cycles every hundred ids (98<->99), and chains
+    that FEED INTO a cycle all resolve in 6 self-join rounds —
+    O(log chain), not O(chain). Exact hop counts; cyclic sources flag
+    is_loop with NULL final. The oracle walks the same edge rule with
+    a hop-capped recursive CTE (the cap only classifies loops — every
+    acyclic chain terminates well under it)."""
+    from finetoo_sp_spark.operators.redirects import resolve_redirects
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id")
+    tgt = (
+        F.when(i % 100 == 98, i + 1)
+        .when(i % 100 == 99, i - 1)
+        .when((i % 3 == 0) & (i % 81 != 0) & (i > 0), i - 3)
+    )
+
+    def _url(col):
+        return F.concat(
+            F.lit("https://src"),
+            (col % 20).cast("string"),
+            F.lit(".example.com/doc/"),
+            col.cast("string"),
+        )
+
+    a = docs.select(_url(i).alias("src"), tgt.alias("tgt")).where(
+        F.col("tgt").isNotNull()
+    )
+    b = docs.select(i.alias("tid"), _url(i).alias("dst"))
+    edges = a.join(b, a.tgt == b.tid).select("src", "dst")
+    return resolve_redirects(edges, max_rounds=6)

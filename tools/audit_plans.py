@@ -47,6 +47,13 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "redirect_resolve": [
+        # Pointer jumping: the final plan is post-checkpoint (lineage cut
+        # per round), so only the loop-flag join is visible here.
+        ("loop-flag membership is a hash equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "temperature_mix": [
         ("source-size partial aggregation", r"HashAggregate"),
         ("rates broadcast back for the sampling pass", r"BroadcastHashJoin"),
