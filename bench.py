@@ -184,6 +184,7 @@ def main() -> None:
         "boilerplate_strip_host",
         "temperature_mix",
         "redirect_resolve",
+        "canonical_clusters",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

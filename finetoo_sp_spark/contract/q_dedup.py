@@ -587,3 +587,50 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, "doc_id", "source", "text", min_host_docs=3, max_ratio_fp=5000
     )
     return out.select(F.col("id").alias("doc_id"), "text", "n_removed")
+
+
+@_q(
+    "canonical_clusters",
+    """
+WITH v AS (
+  SELECT doc_id, source, p.prefix,
+    'https://' || p.prefix || '.' || source || '.example.com/doc/' || doc_id AS url,
+    CASE WHEN p.prefix = 'amp' AND doc_id % 5 = 0 THEN NULL
+         ELSE 'https://www.' || source || '.example.com/doc/' || doc_id
+    END AS canon
+  FROM documents, (VALUES ('www'), ('m'), ('amp')) p(prefix)
+), c AS (
+  SELECT url, COALESCE(canon, url) AS cluster_url FROM v
+)
+SELECT url, cluster_url,
+  count(*) OVER (PARTITION BY cluster_url) AS cluster_size,
+  CASE WHEN max(CASE WHEN url = cluster_url THEN 1 ELSE 0 END)
+            OVER (PARTITION BY cluster_url) = 1
+       THEN url = cluster_url
+       ELSE url = min(url) OVER (PARTITION BY cluster_url)
+  END AS is_survivor
+FROM c""",
+)
+def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical cluster dedup over REAL extracted declarations:
+    www/m/amp variants of every page share a canonical target parsed
+    from the actual <link rel=canonical> tag (every 5th amp variant
+    omits it and forms its own cluster). The www page wins its cluster
+    as the declared target; declaration-free pages survive alone —
+    dedup by declaration, before any content hashing."""
+    from finetoo_sp_spark.extraction.docpages import documents_to_variant_pages
+
+    pages = documents_to_variant_pages(T(spark, sf_dir, "documents"))
+    canon = F.nullif(
+        F.regexp_extract(
+            F.decode("html", "UTF-8"),
+            r'(?is)<link\s[^>]*rel=["\']canonical["\'][^>]*href=["\']([^"\']*)',
+            1,
+        ),
+        F.lit(""),
+    )
+    return dd.canonical_dedup(
+        pages.select("url", canon.alias("canonical_url")),
+        "url",
+        "canonical_url",
+    )

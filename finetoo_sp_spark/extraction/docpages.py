@@ -167,3 +167,48 @@ def documents_to_legacy_pages(documents: DataFrame) -> DataFrame:
         F.encode(html, "ISO-8859-1").alias("html"),
         F.col("doc_id").alias("doc_id"),
     )
+
+
+def documents_to_variant_pages(documents: DataFrame) -> DataFrame:
+    """documents -> THREE variant pages per doc (www / m / amp
+    subdomains) whose heads declare ``<link rel="canonical">`` to the
+    www form — except every 5th doc's amp variant, which omits the
+    declaration (its own cluster). The corpus for canonical-cluster
+    dedup; pure column ops, correct clusters computable in plain SQL."""
+    d = documents
+    www = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id"),
+    )
+    frames = []
+    for prefix in ("www", "m", "amp"):
+        url = F.concat(
+            F.lit(f"https://{prefix}."),
+            F.col("source"),
+            F.lit(".example.com/doc/"),
+            F.col("doc_id"),
+        )
+        omit = (F.lit(prefix) == "amp") & (F.col("doc_id") % 5 == 0)
+        link = F.when(omit, F.lit("")).otherwise(
+            F.concat(F.lit('<link rel="canonical" href="'), www, F.lit('">'))
+        )
+        html = F.concat(
+            F.lit("<html><head>"),
+            link,
+            F.lit("</head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        )
+        frames.append(
+            d.select(
+                url.alias("url"),
+                F.encode(html, "UTF-8").alias("html"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

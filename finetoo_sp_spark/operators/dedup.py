@@ -871,3 +871,45 @@ def host_boilerplate_strip(
         ).alias("text"),
         F.sum(F.col("is_hot").cast("long")).alias("n_removed"),
     )
+
+
+def canonical_dedup(
+    pages: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+) -> DataFrame:
+    """rel=canonical cluster dedup — the FIRST dedup signal a real
+    crawl applies, before any content hashing: mobile/AMP/print
+    variants of a page declare a shared ``<link rel="canonical">``
+    target, so variants collapse by declaration rather than by text
+    similarity. Cluster key = coalesce(canonical, url) (pages with no
+    declaration are their own cluster). Survivor election: the page
+    whose url IS the canonical target when it was crawled, else the
+    lexicographic minimum (deterministic when the declared target is
+    outside the crawl).
+
+    Scale shape: one shuffle on the cluster key; real clusters are
+    variant-sized (a handful of rows), so the window is cheap. An
+    adversarial corpus where millions of pages declare one canonical
+    would hot-spot this key — production bounds that with the same
+    cap-then-salt discipline as mirror_hosts (max_hosts_per_sha); the
+    declared-canonical key space is naturally per-page, so no cap is
+    applied here.
+
+    Returns (url, cluster_url, cluster_size, is_survivor).
+    """
+    from pyspark.sql.window import Window
+
+    cluster = F.coalesce(F.col(canonical_col), F.col(url_col))
+    w = Window.partitionBy("cluster_url")
+    u = F.col(url_col)
+    base = pages.select(u.alias("url"), cluster.alias("cluster_url"))
+    has_self = F.max((F.col("url") == F.col("cluster_url")).cast("int")).over(w)
+    return base.select(
+        "url",
+        "cluster_url",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        F.when(has_self == 1, F.col("url") == F.col("cluster_url"))
+        .otherwise(F.col("url") == F.min("url").over(w))
+        .alias("is_survivor"),
+    )

@@ -1,0 +1,43 @@
+"""Canonical-cluster dedup: hand-built election cases."""
+
+from finetoo_sp_spark.operators.dedup import canonical_dedup
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "url string, canonical_url string")
+    out = canonical_dedup(df)
+    return {
+        r["url"]: (r["cluster_url"], r["cluster_size"], r["is_survivor"])
+        for r in out.collect()
+    }
+
+
+def test_self_canonical_wins_cluster(spark):
+    rows = [
+        ("https://www.a/x", "https://www.a/x"),  # declared target, crawled
+        ("https://m.a/x", "https://www.a/x"),
+        ("https://amp.a/x", "https://www.a/x"),
+    ]
+    got = _run(spark, rows)
+    assert got["https://www.a/x"] == ("https://www.a/x", 3, True)
+    assert got["https://m.a/x"][2] is False
+    assert got["https://amp.a/x"][2] is False
+
+
+def test_external_target_falls_back_to_min(spark):
+    # Both variants declare a canonical that was never crawled: the
+    # lexicographic minimum survives deterministically.
+    rows = [
+        ("https://m.b/y", "https://www.b/y"),
+        ("https://amp.b/y", "https://www.b/y"),
+    ]
+    got = _run(spark, rows)
+    assert got["https://amp.b/y"] == ("https://www.b/y", 2, True)
+    assert got["https://m.b/y"] == ("https://www.b/y", 2, False)
+
+
+def test_no_declaration_is_own_cluster(spark):
+    rows = [("https://c/z", None), ("https://c/w", None)]
+    got = _run(spark, rows)
+    assert got["https://c/z"] == ("https://c/z", 1, True)
+    assert got["https://c/w"] == ("https://c/w", 1, True)

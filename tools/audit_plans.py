@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "canonical_clusters": [
+        ("one shuffle on the cluster key (window)", r"Window"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF (regexp canonical lift is JVM)", r"!BatchEvalPython"),
+    ],
     "redirect_resolve": [
         # Pointer jumping: the final plan is post-checkpoint (lineage cut
         # per round), so only the loop-flag join is visible here.
