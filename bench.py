@@ -185,6 +185,7 @@ def main() -> None:
         "temperature_mix",
         "redirect_resolve",
         "canonical_clusters",
+        "nofollow_links",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -761,3 +761,35 @@ def q_extract_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages_sniffed(pages).select(
         "url", "text", "title", "h1", "charset"
     )
+
+
+@_q(
+    "nofollow_links",
+    """
+WITH u AS (
+  SELECT doc_id,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    'https://www.' || source || '.example.com' AS www
+  FROM documents
+)
+SELECT url, a.idx, www || a.path AS href, a.rel,
+  a.rel LIKE '%nofollow%' OR a.rel LIKE '%sponsored%' OR a.rel LIKE '%ugc%'
+    AS is_nofollow
+FROM u, (VALUES
+  (0, '/f1', ''),
+  (1, '/n1', 'nofollow'),
+  (2, '/f2', 'ugc sponsored'),
+  (3, '/f3', 'noopener')
+) a(idx, path, rel)""",
+)
+def q_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-scheme annotations (rel=nofollow / sponsored / ugc) parsed
+    from REAL anchor tags in document order — the edge filter the
+    authority operators need so paid/user-generated links don't pass
+    PageRank. rel can sit before OR after href; 'noopener' must NOT
+    flag (word-boundary match, not substring)."""
+    from finetoo_sp_spark.extraction.docpages import documents_to_nofollow_pages
+    from finetoo_sp_spark.extraction.meta import anchor_rel_links
+
+    pages = documents_to_nofollow_pages(T(spark, sf_dir, "documents"))
+    return anchor_rel_links(pages)

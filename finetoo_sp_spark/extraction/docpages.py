@@ -212,3 +212,28 @@ def documents_to_variant_pages(documents: DataFrame) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def documents_to_nofollow_pages(documents: DataFrame) -> DataFrame:
+    """documents -> pages whose body mixes endorsed and non-endorsed
+    anchors (rel=nofollow / 'ugc sponsored' / rel on the OTHER side of
+    href) — the corpus for link-scheme-aware edge filtering."""
+    d = documents
+    url = F.concat(F.lit(URL_PREFIX), F.col("source"), F.lit(URL_MID), F.col("doc_id"))
+    www = F.concat(F.lit("https://www."), F.col("source"), F.lit(".example.com"))
+    html = F.concat(
+        F.lit('<html><body><p><a href="'),
+        www,
+        F.lit('/f1">follow one</a> <a rel="nofollow" href="'),
+        www,
+        F.lit('/n1">paid link</a> <a href="'),
+        www,
+        F.lit('/f2" rel="ugc sponsored">user content</a> <a href="'),
+        www,
+        F.lit('/f3" rel="noopener">safe follow</a></p></body></html>'),
+    )
+    return d.select(
+        url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("doc_id").alias("doc_id"),
+    )

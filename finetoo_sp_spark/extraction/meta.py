@@ -93,3 +93,29 @@ def microdata_props(
         F.regexp_extract("tag", r'(?i)itemprop\s*=\s*["\x27]([a-zA-Z]+)["\x27]', 1).alias("prop"),
         F.when(content != "", content).otherwise(F.trim(inner)).alias("value"),
     )
+
+
+def anchor_rel_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, idx, href, rel, is_nofollow) — one row per anchor open
+    tag in document order, with the link-scheme annotations search
+    engines defined for PageRank sculpting: rel values nofollow /
+    sponsored / ugc mean the page does NOT endorse the target, so
+    authority operators (pagerank/hits/trustrank) should drop those
+    edges. Same JVM lift shape as og_meta: one regexp_extract_all +
+    one explode, per-tag attribute extracts, no UDF."""
+    lifted = _lift(
+        pages, url_col, html_col,
+        r"(?i)<a\\s[^>]*>",
+    )
+    rel = F.lower(
+        F.regexp_extract("tag", r'(?i)\brel\s*=\s*["\x27]([^"\x27]*)["\x27]', 1)
+    )
+    return lifted.select(
+        "url",
+        "idx",
+        F.regexp_extract("tag", r'(?i)href\s*=\s*["\x27]([^"\x27]*)["\x27]', 1).alias("href"),
+        rel.alias("rel"),
+        rel.rlike(r"(^| )(nofollow|sponsored|ugc)( |$)").alias("is_nofollow"),
+    ).filter(F.col("href") != "")

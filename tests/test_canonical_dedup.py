@@ -41,3 +41,22 @@ def test_no_declaration_is_own_cluster(spark):
     got = _run(spark, rows)
     assert got["https://c/z"] == ("https://c/z", 1, True)
     assert got["https://c/w"] == ("https://c/w", 1, True)
+
+
+def test_anchor_rel_links_edge_cases(spark):
+    from finetoo_sp_spark.extraction.meta import anchor_rel_links
+
+    html = (
+        '<a href="https://t/1">a</a>'
+        '<A REL="NOFOLLOW" HREF="https://t/2">b</A>'
+        '<a href="https://t/3" rel="noopener noreferrer">c</a>'
+        '<a rel="ugc" href="https://t/4">d</a>'
+        "<a name=anchor-no-href>e</a>"
+    ).encode()
+    df = spark.createDataFrame([("u1", html)], "url string, html binary")
+    rows = {r["idx"]: r for r in anchor_rel_links(df).collect()}
+    assert len(rows) == 4  # href-less anchor dropped
+    assert rows[0]["is_nofollow"] is False
+    assert rows[1]["is_nofollow"] is True  # case-insensitive
+    assert rows[2]["is_nofollow"] is False  # noopener/noreferrer don't flag
+    assert rows[3]["is_nofollow"] is True  # ugc counts

@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "nofollow_links": [
+        ("anchor explode stays JVM-side", r"Generate"),
+        ("NO shuffle (per-page lift is embarrassingly parallel)", r"!Exchange"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "canonical_clusters": [
         ("one shuffle on the cluster key (window)", r"Window"),
         ("NO cartesian product", r"!CartesianProduct"),
