@@ -186,6 +186,7 @@ def main() -> None:
         "redirect_resolve",
         "canonical_clusters",
         "nofollow_links",
+        "nfc_normalize",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

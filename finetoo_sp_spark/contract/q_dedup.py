@@ -634,3 +634,37 @@ def q_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         "canonical_url",
     )
+
+
+@_q(
+    "nfc_normalize",
+    """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0
+    THEN text || ' caf' || chr(233) || ' ' || chr(197) || 'ngstr' || chr(246) || 'm'
+    ELSE text END AS text_nfc,
+  doc_id % 2 = 0 AS changed
+FROM documents""",
+)
+def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonical composition (operators/normalize.py
+    nfc_normalize_text): every even doc gets DECOMPOSED suffix tokens
+    (e+COMBINING ACUTE, A+COMBINING RING, o+COMBINING DIAERESIS) that
+    must compose to the precomposed forms; odd docs are untouched ASCII
+    and must report changed=false. Arrow's ICU normalizer vs DuckDB's
+    nfc_normalize-equivalent expectation built from precomposed chr()
+    codepoints \u2014 two independent ICU paths agreeing byte-for-byte."""
+    from finetoo_sp_spark.operators.normalize import nfc_normalize_text
+
+    docs = T(spark, sf_dir, "documents")
+    decomposed = F.concat(
+        F.col("text"),
+        F.lit(" cafe\u0301 A\u030angstro\u0308m"),
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, decomposed)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return nfc_normalize_text(corpus, "doc_id", "text")

@@ -121,3 +121,56 @@ def oracle_sql_chain(expr: str, fold_quotes: bool = True) -> str:
 
 def _sq(s: str) -> str:
     return s.replace("'", "''")
+
+
+def nfc_normalize_text(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Unicode NFC normalization — the canonical-composition pass every
+    training corpus applies so 'e'+COMBINING ACUTE and the precomposed
+    U+00E9 stop being distinct tokens (they hash, dedup, and tokenize
+    differently while rendering identically). One Arrow pass, no
+    shuffle; inside the batch a C-level is_normalized prescan gates the
+    stdlib normalize so only the rows that actually change pay for the
+    copy (a few percent of real web text — the rest is ASCII). DuckDB's
+    nfc_normalize() gives the oracle the same Unicode canonical
+    composition, so the check is two independent implementations of
+    UAX#15 agreeing byte-for-byte.
+
+    Returns (id, text_nfc, changed).
+    """
+    import unicodedata
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            texts = pdf[text_col].astype(object).reset_index(drop=True)
+            # Fast path: unicodedata.is_normalized is a C-level quick
+            # check (true for all-ASCII and precomposed text without
+            # allocating the normalized copy), so the quadratic-ish
+            # normalize call only runs on rows that actually change —
+            # on real web text that's a few percent. (This pyarrow
+            # build's utf8_normalize is not ICU-backed and does not
+            # compose, so the stdlib path is the correct one.)
+            dirty = texts.map(
+                lambda s: s is not None and not unicodedata.is_normalized("NFC", s)
+            )
+            out = texts.copy()
+            out[dirty] = texts[dirty].map(
+                lambda s: unicodedata.normalize("NFC", s)
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].reset_index(drop=True),
+                    "text_nfc": out,
+                    "changed": dirty.astype(bool),
+                }
+            )
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, text_nfc string, changed boolean"
+    )

@@ -111,3 +111,28 @@ def test_hand_written_byte_fixtures_spark(spark):
     }
     for i, (_, want) in enumerate(HAND_FIXTURES):
         assert got[i] == want, f"spark case {i}: {got[i]!r} != {want!r}"
+
+
+def test_nfc_normalize_fixture(spark):
+    # Hand-pinned decomposed -> precomposed pairs (UAX #15), plus a
+    # no-op row and a singleton-exclusion check (NFC keeps U+212B out:
+    # ANGSTROM SIGN normalizes to U+00C5).
+    from finetoo_sp_spark.operators.normalize import nfc_normalize_text
+
+    rows = [
+        (0, "cafe\u0301"),
+        (1, "plain ascii"),
+        (2, "A\u030angstro\u0308m"),
+        (3, "\u212b"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_nfc"], r["changed"])
+        for r in nfc_normalize_text(df).collect()
+    }
+    assert got[0] == ("caf\u00e9", True)
+    assert got[1] == ("plain ascii", False)
+    assert got[2] == ("\u00c5ngstr\u00f6m", True)
+    assert got[3] == ("\u00c5", True)
+    assert got[4] == (None, False)

@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "nfc_normalize": [
+        ("Arrow-batched NFC kernel", r"MapInPandas"),
+        ("NO shuffle", r"!Exchange"),
+        ("no Python row UDF node", r"!BatchEvalPython"),
+    ],
     "nofollow_links": [
         ("anchor explode stays JVM-side", r"Generate"),
         ("NO shuffle (per-page lift is embarrassingly parallel)", r"!Exchange"),
