@@ -187,6 +187,7 @@ def main() -> None:
         "canonical_clusters",
         "nofollow_links",
         "nfc_normalize",
+        "soft404_flags",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

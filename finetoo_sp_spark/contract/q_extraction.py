@@ -793,3 +793,33 @@ def q_nofollow_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = documents_to_nofollow_pages(T(spark, sf_dir, "documents"))
     return anchor_rel_links(pages)
+
+
+@_q(
+    "soft404_flags",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  doc_id % 10 IN (0, 5) AS is_soft404,
+  CASE WHEN doc_id % 10 = 0 THEN 'title'
+       WHEN doc_id % 10 = 5
+         AND length('heading for document ' || doc_id)
+             + length('sorry this content is no longer available please return to the home page') < 200
+         THEN 'body'
+       WHEN doc_id % 10 = 5 THEN 'ok'
+       ELSE 'ok' END AS reason
+FROM documents""",
+)
+def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection THROUGH real extraction: every 10th page is
+    a full error page (title fires first by precedence), every
+    10th-offset-5 hides the phrase in a thin body (body clause fires
+    only because content_chars < 200 — a long article merely
+    mentioning the phrase stays clean), everything else passes. The
+    oracle recomputes flags and the precedence from the corpus rule,
+    including the extracted content length arithmetic."""
+    from finetoo_sp_spark.extraction.docpages import documents_to_soft404_pages
+    from finetoo_sp_spark.extraction.extract import extract_pages
+    from finetoo_sp_spark.extraction.soft404 import soft404_flags
+
+    pages = documents_to_soft404_pages(T(spark, sf_dir, "documents"))
+    return soft404_flags(extract_pages(pages))

@@ -237,3 +237,48 @@ def documents_to_nofollow_pages(documents: DataFrame) -> DataFrame:
         F.encode(html, "UTF-8").alias("html"),
         F.col("doc_id").alias("doc_id"),
     )
+
+
+def documents_to_soft404_pages(documents: DataFrame) -> DataFrame:
+    """documents -> pages where every 10th doc is a full error page
+    (title + h1 + short error body), every 10th-offset-5 doc is a
+    SOFT error (normal title, short body containing the phrase), and
+    the rest are normal articles — the corpus for soft-404 detection
+    THROUGH real extraction. Body paragraphs all clear the >=10-word
+    content threshold so the classifier keeps them."""
+    d = documents
+    i = F.col("doc_id")
+    url = F.concat(F.lit(URL_PREFIX), F.col("source"), F.lit(URL_MID), F.col("doc_id"))
+    title = (
+        F.when(i % 10 == 0, F.lit("Page Not Found"))
+        .otherwise(F.concat(F.lit("article "), i))
+    )
+    h1 = (
+        F.when(i % 10 == 0, F.concat(F.lit("404 - missing document "), i))
+        .otherwise(F.concat(F.lit("heading for document "), i))
+    )
+    body = (
+        F.when(
+            i % 10 == 0,
+            F.lit("the page you requested does not exist or was removed from this server"),
+        )
+        .when(
+            i % 10 == 5,
+            F.lit("sorry this content is no longer available please return to the home page"),
+        )
+        .otherwise(F.col("text"))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit("</title></head><body><h1>"),
+        h1,
+        F.lit("</h1><p>"),
+        body,
+        F.lit("</p></body></html>"),
+    )
+    return d.select(
+        url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("doc_id").alias("doc_id"),
+    )

@@ -60,3 +60,25 @@ def test_anchor_rel_links_edge_cases(spark):
     assert rows[1]["is_nofollow"] is True  # case-insensitive
     assert rows[2]["is_nofollow"] is False  # noopener/noreferrer don't flag
     assert rows[3]["is_nofollow"] is True  # ugc counts
+
+
+def test_soft404_long_article_mentioning_phrase_is_clean(spark):
+    from finetoo_sp_spark.extraction.soft404 import soft404_flags
+
+    long_body = ("how to build a custom page not found handler " * 12).strip()
+    rows = [
+        ("u1", "guide", "h", long_body, len(long_body)),       # long: clean
+        ("u2", "guide", "h", "page not found here sadly", 25),  # thin: flags
+        ("u3", "Error 404", "h", "x" * 300, 300),               # title wins
+        ("u4", "ok", "404 Not Found", "y" * 300, 300),          # h1 fires
+        ("u5", "ok", None, "fine text", 9),                     # null-safe
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, title string, h1 string, text string, content_chars long"
+    )
+    got = {r["url"]: (r["is_soft404"], r["reason"]) for r in soft404_flags(df).collect()}
+    assert got["u1"] == (False, "ok")
+    assert got["u2"] == (True, "body")
+    assert got["u3"] == (True, "title")
+    assert got["u4"] == (True, "h1")
+    assert got["u5"] == (False, "ok")

@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "soft404_flags": [
+        ("flags compose onto the extraction kernel output", r"MapInPandas"),
+        ("NO shuffle (column-op flags)", r"!Exchange"),
+        ("no Python row UDF node", r"!BatchEvalPython"),
+    ],
     "nfc_normalize": [
         ("Arrow-batched NFC kernel", r"MapInPandas"),
         ("NO shuffle", r"!Exchange"),
