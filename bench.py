@@ -188,6 +188,7 @@ def main() -> None:
         "nofollow_links",
         "nfc_normalize",
         "soft404_flags",
+        "rrf_quality_fusion",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

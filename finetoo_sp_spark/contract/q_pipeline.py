@@ -804,3 +804,52 @@ def q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("text", F.concat("text", F.lit(" brand new page")))
     )
     return snapshot_drift(d, kept.unionByName(added))
+
+
+@_q(
+    "rrf_quality_fusion",
+    f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+    {_SHA60_ID} % 1000 AS s_cls,
+    doc_id % 251 AS s_bal
+  FROM documents WHERE doc_id % 3 = 0
+), r AS (
+  SELECT doc_id,
+    rank() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rank_length,
+    rank() OVER (ORDER BY s_cls DESC, doc_id ASC) AS rank_classifier,
+    rank() OVER (ORDER BY s_bal DESC, doc_id ASC) AS rank_balance
+  FROM c
+)
+SELECT doc_id AS id, rank_length, rank_classifier, rank_balance,
+  CAST(1000000000 // (60 + rank_length)
+     + 1000000000 // (60 + rank_classifier)
+     + 1000000000 // (60 + rank_balance) AS BIGINT) AS rrf_fp
+FROM r""",
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR'09) of three
+    incomparable quality signals over a post-gate candidate set — rank
+    fusion needs no calibration, and the integer fixed-point
+    1e9 div (60 + rank) sum with id tiebreaks is exactly portable.
+    Signals: content length, a sha-derived pseudo-classifier score,
+    and a modular balance score (deliberately discordant rankings)."""
+    from finetoo_sp_spark.operators.dedup import sha60
+    from finetoo_sp_spark.operators.fusion import rrf_fuse
+
+    cand = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("s_len"),
+            (F.pmod(sha60(F.col("doc_id").cast("string")), F.lit(1000))).alias("s_cls"),
+            (F.col("doc_id") % 251).alias("s_bal"),
+        )
+    )
+    return rrf_fuse(
+        cand,
+        "doc_id",
+        {"length": "s_len", "classifier": "s_cls", "balance": "s_bal"},
+        k=60,
+    ).withColumnRenamed("id", "id")

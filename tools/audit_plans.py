@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "rrf_quality_fusion": [
+        ("per-signal rank windows", r"Window"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "soft404_flags": [
         ("flags compose onto the extraction kernel output", r"MapInPandas"),
         ("NO shuffle (column-op flags)", r"!Exchange"),
