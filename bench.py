@@ -189,6 +189,7 @@ def main() -> None:
         "nfc_normalize",
         "soft404_flags",
         "rrf_quality_fusion",
+        "wat_roundtrip",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

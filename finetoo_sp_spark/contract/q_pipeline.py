@@ -853,3 +853,45 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"length": "s_len", "classifier": "s_cls", "balance": "s_bal"},
         k=60,
     ).withColumnRenamed("id", "id")
+
+
+@_q(
+    "wat_roundtrip",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  'document ' || doc_id || ' from ' || source AS title,
+  CAST(8 AS BIGINT) AS n_links
+FROM documents""",
+)
+def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT export/ingest round trip — the Common Crawl METADATA
+    interchange format completing the container trio beside
+    warc_roundtrip (raw) and wet_roundtrip (text): per page, the JSON
+    envelope carries the REAL extracted title and resolved link list
+    (operators/sinks.write_wat: one to_json + one concat per record,
+    one .wat file per partition), read back through binaryFile +
+    parse_warc(metadata) and lifted with JVM get_json_object /
+    json_array_length. The oracle restates title and link count from
+    the template rule."""
+    import os as _os
+
+    from finetoo_sp_spark.extraction.graph import extract_link_pairs
+    from finetoo_sp_spark.operators.sinks import write_wat
+    from finetoo_sp_spark.sources.warc import read_wat_meta
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    titles = extract_pages(pages).select("url", "title")
+    links = extract_link_pairs(pages).groupBy("url").agg(
+        F.sort_array(F.collect_list("target")).alias("links")
+    )
+    path = _tmp_out("wat_roundtrip")
+    write_wat(titles.join(links, "url"), path)
+    back = read_wat_meta(spark, _os.path.join(path, "*.txt"))
+    meta = "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']"
+    return back.select(
+        "url",
+        F.get_json_object("wat_json", meta + "['Head']['Title']").alias("title"),
+        F.json_array_length(
+            F.get_json_object("wat_json", meta + "['Links']")
+        ).cast("long").alias("n_links"),
+    )

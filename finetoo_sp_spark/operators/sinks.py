@@ -159,3 +159,62 @@ def write_wet(
         F.col(text_col), crlf,
     )
     df.select(record.alias("value")).write.mode("overwrite").text(path)
+
+
+def write_wat(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    title_col: str = "title",
+    links_col: str = "links",
+    ts_col: str | None = None,
+) -> None:
+    """WAT export (WARC/1.0 ``metadata`` records whose body is the
+    Common Crawl JSON envelope): per page, Envelope.WARC-Header-Metadata
+    carries the target URI and Envelope.Payload-Metadata...HTML-Metadata
+    carries the extracted Head.Title and Links list — the metadata
+    interchange format beside WARC (raw) and WET (text).
+
+    Fully distributed like write_wet: the JSON envelope is ONE JVM
+    ``to_json(struct(...))`` per row (hyphenated keys via aliases), the
+    WARC framing one concat, one .wat file per partition, no driver
+    collection. Content-Length binds the body, so embedded newlines in
+    titles survive byte-exactly."""
+    ts = (
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+        if ts_col
+        else F.lit("2026-01-01T00:00:00Z")
+    )
+    links_json = F.transform(
+        F.col(links_col), lambda t: F.struct(t.alias("url"))
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col(url_col).alias("WARC-Target-URI"),
+                    F.lit("response").alias("WARC-Type"),
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.struct(
+                            F.struct(F.col(title_col).alias("Title")).alias("Head"),
+                            links_json.alias("Links"),
+                        ).alias("HTML-Metadata")
+                    ).alias("HTTP-Response-Metadata")
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: metadata"), crlf,
+        F.lit("WARC-Target-URI: "), F.col(url_col), crlf,
+        F.lit("WARC-Date: "), ts, crlf,
+        F.lit("Content-Type: application/json"), crlf,
+        F.lit("Content-Length: "), F.octet_length(envelope).cast("string"), crlf,
+        crlf,
+        envelope, crlf,
+    )
+    df.select(record.alias("value")).write.mode("overwrite").text(path)

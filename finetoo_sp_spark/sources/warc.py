@@ -163,3 +163,26 @@ def read_wet_text(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
 
     return files.select("content").mapInPandas(run, schema=WET_SCHEMA)
+
+
+def read_wat_meta(spark: SparkSession, path: str) -> DataFrame:
+    """WAT ingest: binaryFile -> metadata records -> (url, wat_json).
+    The JSON envelope stays a string column for JVM-side lifts
+    (get_json_object / json_array_length) downstream."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                for url, _ts, payload in parse_warc(
+                    bytes(content), types=(b"metadata",)
+                ):
+                    rows.append((url, payload.decode("utf-8", "replace")))
+            yield pd.DataFrame(rows, columns=["url", "wat_json"])
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(run, schema="url string, wat_json string")
+    )

@@ -71,3 +71,43 @@ def test_gzip_members_are_individually_decompressible():
     assert second > 0
     alone = parse_warc(gzip.decompress(blob[second:]))
     assert alone == [recs[1]]
+
+
+def test_wat_roundtrip_hostile_title(spark, tmp_path):
+    # Titles with embedded CRLF decoys and JSON-hostile chars survive
+    # byte-exactly (Content-Length binds the body; to_json escapes).
+    from pyspark.sql import functions as F
+
+    from finetoo_sp_spark.operators.sinks import write_wat
+    from finetoo_sp_spark.sources.warc import read_wat_meta
+
+    rows = [
+        ("https://a/1", 'ti"tle \\ with WARC/1.0 decoy', ["https://t/1", "https://t/2"]),
+        ("https://a/2", "", []),
+    ]
+    df = spark.createDataFrame(rows, "url string, title string, links array<string>")
+    out = str(tmp_path / "wat")
+    write_wat(df, out)
+    back = read_wat_meta(spark, out + "/*.txt")
+    meta = "$['Envelope']['Payload-Metadata']['HTTP-Response-Metadata']['HTML-Metadata']"
+    got = {
+        r["url"]: (r["t"], r["n"])
+        for r in back.select(
+            "url",
+            F.get_json_object("wat_json", meta + "['Head']['Title']").alias("t"),
+            F.json_array_length(F.get_json_object("wat_json", meta + "['Links']")).alias("n"),
+        ).collect()
+    }
+    assert got["https://a/1"] == ('ti"tle \\ with WARC/1.0 decoy', 2)
+    assert got["https://a/2"][1] in (0, None)  # empty links list
+    # Header URI matches the envelope URI.
+    env = {
+        r["url"]: r["e"]
+        for r in back.select(
+            "url",
+            F.get_json_object(
+                "wat_json", "$['Envelope']['WARC-Header-Metadata']['WARC-Target-URI']"
+            ).alias("e"),
+        ).collect()
+    }
+    assert env == {u: u for u in env}

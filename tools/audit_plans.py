@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "wat_roundtrip": [
+        ("JSON lifts stay JVM-side (get_json_object)", r"!BatchEvalPython"),
+        ("metadata parse is the Arrow binaryFile kernel", r"MapInPandas"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "rrf_quality_fusion": [
         ("per-signal rank windows", r"Window"),
         ("NO cartesian product", r"!CartesianProduct"),
