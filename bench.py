@@ -190,6 +190,7 @@ def main() -> None:
         "soft404_flags",
         "rrf_quality_fusion",
         "wat_roundtrip",
+        "warc_http_charset",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -823,3 +823,96 @@ def q_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = documents_to_soft404_pages(T(spark, sf_dir, "documents"))
     return soft404_flags(extract_pages(pages))
+
+
+@_q(
+    "warc_http_charset",
+    """
+WITH p AS (SELECT doc_id, source, CAST(doc_id % 4 AS INTEGER) AS c FROM documents),
+parts AS (
+  SELECT doc_id, source, c,
+    CASE c WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'windows-1252'
+           WHEN 2 THEN 'shift_jis' ELSE 'utf-8' END AS charset,
+    CASE c WHEN 0 THEN 'http' WHEN 1 THEN 'meta'
+           WHEN 2 THEN 'meta' ELSE 'bom' END AS charset_src,
+    CASE c WHEN 0 THEN '<meta charset="utf-8">'
+           WHEN 1 THEN '<meta charset="iso-8859-1">'
+           WHEN 2 THEN '<meta charset="Shift_JIS">'
+           ELSE '' END AS meta,
+    CASE c WHEN 0 THEN chr(12486) || chr(12473) || chr(12488)
+           WHEN 1 THEN 'caf' || chr(233)
+           WHEN 2 THEN chr(12459) || chr(12490)
+           ELSE 'bom ' || chr(10003) END AS token
+  FROM p)
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  charset, charset_src,
+  '<html><head>' || meta || '</head><body>page ' || CAST(doc_id AS VARCHAR)
+    || ' ' || token || '</body></html>' AS text
+FROM parts""",
+)
+def q_warc_http_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL WHATWG charset priority chain over a real WARC corpus:
+    the transport (HTTP Content-Type charset) layer sits between BOM
+    and meta prescan. Class 0 is the deliberate conflict \u2014 HTTP says
+    shift_jis, the document's own meta LIES (utf-8), bytes are
+    Shift_JIS: transport must win or the page mojibakes. Class 1 has a
+    bare Content-Type (falls to meta), class 2 an UNKNOWN transport
+    label (falls through, per spec), class 3 a BOM that outranks a
+    lying transport header. WARC written per-partition
+    (make_warc_http), read via read_warc_pages_http, decoded through
+    decode_pages(http_charset_col=...)."""
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.charset import decode_pages
+    from finetoo_sp_spark.sources.warc import make_warc_http, read_warc_pages_http
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    out = _tmp_out("warc_http_charset")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(batches):
+        import datetime as _dt
+
+        cases = [
+            ("text/html; charset=shift_jis", '<meta charset="utf-8">',
+             "shift_jis", "page {i} \u30c6\u30b9\u30c8", b""),
+            ("text/html", '<meta charset="iso-8859-1">',
+             "windows-1252", "page {i} caf\u00e9", b""),
+            ("text/html; charset=x-future-enc", '<meta charset="Shift_JIS">',
+             "shift_jis", "page {i} \u30ab\u30ca", b""),
+            ('text/html; charset="iso-8859-1"', "",
+             "utf-8", "page {i} bom \u2713", b"\xef\xbb\xbf"),
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for r in pdf.itertuples():
+                i = int(r.doc_id)
+                ctype, meta, codec, body_t, bom = cases[i % 4]
+                body = (
+                    f"<html><head>{meta}</head><body>"
+                    + body_t.format(i=i)
+                    + "</body></html>"
+                )
+                recs.append(
+                    (
+                        f"https://{r.source}.example.com/doc/{i}",
+                        _dt.datetime(2024, 1, 1),
+                        bom + body.encode(codec),
+                        ctype,
+                    )
+                )
+            name = _hl.sha256(str(sorted(u for u, *_ in recs)).encode()).hexdigest()[:16]
+            with open(_os.path.join(out, f"{name}.warc"), "wb") as f:
+                f.write(make_warc_http(recs))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    docs.repartition(4).mapInPandas(write, "n long").collect()
+    pages = read_warc_pages_http(spark, out)
+    return decode_pages(
+        pages, passthrough=("url",), http_charset_col="http_charset"
+    )

@@ -89,32 +89,51 @@ _META_RE = re.compile(
 )
 
 
-def sniff_decode_pandas(html: pd.Series) -> pd.DataFrame:
+def sniff_decode_pandas(
+    html: pd.Series, transport_label: pd.Series | None = None
+) -> pd.DataFrame:
     """Vectorized sniff + decode of a bytes Series. Returns a DataFrame
     (same index) with ``charset`` (python codec name), ``charset_src``
-    ('bom' | 'meta' | 'default'), and ``text`` (decoded, leading BOM
-    character stripped). Null payloads decode to null text."""
+    ('bom' | 'http' | 'meta' | 'default'), and ``text`` (decoded,
+    leading BOM character stripped). Null payloads decode to null text.
+
+    ``transport_label``: optional per-row HTTP Content-Type charset
+    label (e.g. from sources/warc.read_warc_pages_http) — the WHATWG
+    layer between BOM and meta prescan: a resolvable transport label
+    OVERRIDES any in-document declaration; an unknown/absent one falls
+    through to the prescan."""
     b = html.fillna(b"")
     head = b.str.slice(0, PRESCAN_BYTES)
     p2, p3 = head.str.slice(0, 2), head.str.slice(0, 3)
     bom_utf8 = p3 == b"\xef\xbb\xbf"
     bom_le = (p2 == b"\xff\xfe") & ~bom_utf8
     bom_be = p2 == b"\xfe\xff"
+    any_bom = bom_utf8 | bom_le | bom_be
+    if transport_label is not None:
+        http = (
+            transport_label.reindex(b.index)
+            .fillna("")
+            .str.lower()
+            .map(ENCODING_LABELS)
+        )
+    else:
+        http = pd.Series(np.nan, index=b.index, dtype=object)
+    http_known = http.notna() & ~any_bom
     label = (
         head.str.decode("latin-1")
         .str.extract(_META_RE, expand=False)
         .str.lower()
         .map(ENCODING_LABELS)
     )
-    meta_known = label.notna() & ~(bom_utf8 | bom_le | bom_be)
+    meta_known = label.notna() & ~any_bom & ~http_known
     charset = np.select(
-        [bom_utf8, bom_le, bom_be, meta_known],
-        ["utf-8", "utf-16-le", "utf-16-be", label],
+        [bom_utf8, bom_le, bom_be, http_known, meta_known],
+        ["utf-8", "utf-16-le", "utf-16-be", http, label],
         default=DEFAULT_ENCODING,
     )
     src = np.select(
-        [bom_utf8 | bom_le | bom_be, meta_known],
-        ["bom", "meta"],
+        [any_bom, http_known, meta_known],
+        ["bom", "http", "meta"],
         default="default",
     )
     text = pd.Series(index=b.index, dtype=object)
@@ -133,23 +152,29 @@ def decode_pages(
     pages: DataFrame,
     html_col: str = "html",
     passthrough: Sequence[str] = ("url",),
+    http_charset_col: str | None = None,
 ) -> DataFrame:
     """pages(..., html:binary) -> (passthrough..., charset,
     charset_src, text). One Arrow pass, no shuffle; feeds the
     extraction kernel in place of the utf-8-only decode for corpora
-    with legacy encodings."""
+    with legacy encodings. ``http_charset_col`` (e.g. from
+    sources/warc.read_warc_pages_http) engages the full WHATWG
+    priority chain: BOM > HTTP transport label > meta prescan >
+    windows-1252."""
     cols = list(passthrough)
     schema_parts = [
         f"`{c}` {t}" for c, t in pages.select(*cols).dtypes
     ] + ["charset string", "charset_src string", "text string"]
+    sel = [*cols, html_col] + ([http_charset_col] if http_charset_col else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = sniff_decode_pandas(pdf[html_col])
+            out = sniff_decode_pandas(
+                pdf[html_col],
+                pdf[http_charset_col] if http_charset_col else None,
+            )
             yield pd.concat([pdf[cols], out], axis=1)
 
-    return pages.select(*cols, html_col).mapInPandas(
-        run, schema=", ".join(schema_parts)
-    )
+    return pages.select(*sel).mapInPandas(run, schema=", ".join(schema_parts))

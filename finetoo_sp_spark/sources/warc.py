@@ -27,6 +27,7 @@ from __future__ import annotations
 import datetime as dt
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -185,4 +186,118 @@ def read_wat_meta(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .select("content")
         .mapInPandas(run, schema="url string, wat_json string")
+    )
+
+
+def make_warc_http(
+    records: list[tuple[str, "dt.datetime", bytes, str]],
+) -> bytes:
+    """make_warc variant with a per-record HTTP Content-Type (the
+    transport charset carrier): records are (url, ts, payload,
+    content_type)."""
+    out = io.BytesIO()
+    for url, ts, payload, ctype in records:
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + f"Content-Type: {ctype}".encode() + _CRLF
+            + f"Content-Length: {len(payload)}".encode() + _CRLF
+            + _CRLF
+            + payload
+        )
+        header = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + f"WARC-Target-URI: {url}".encode() + _CRLF
+            + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
+            + b"Content-Type: application/http:msgtype=response" + _CRLF
+            + f"Content-Length: {len(http)}".encode() + _CRLF
+            + _CRLF
+        )
+        out.write(header + http + _CRLF + _CRLF)
+    return out.getvalue()
+
+
+_CHARSET_PARAM = re.compile(rb"charset\s*=\s*\"?\s*([A-Za-z0-9_.:\-]+)", re.I)
+
+
+def parse_warc_http(data: bytes) -> list[tuple[str, "dt.datetime | None", bytes, str]]:
+    """Like parse_warc(response) but keeps the transport layer:
+    (url, warc_ts, payload, http_charset_label). The label is the raw
+    charset parameter of the HTTP Content-Type header ('' when the
+    header carries none) — the WHATWG layer that outranks in-document
+    meta declarations."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            return []
+    out = []
+    pos, n = 0, len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[start:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        body = data[head_end + 4 : head_end + 4 + length]
+        pos = head_end + 4 + length
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts = None
+        try:
+            ts = dt.datetime.strptime(
+                headers.get(b"warc-date", b"").decode("ascii", "replace"),
+                "%Y-%m-%dT%H:%M:%SZ",
+            )
+        except ValueError:
+            pass
+        payload, label = body, ""
+        if body[:5] == b"HTTP/":
+            sep = body.find(_CRLF + _CRLF)
+            if sep >= 0:
+                http_head, payload = body[:sep], body[sep + 4 :]
+                for line in http_head.split(_CRLF)[1:]:
+                    k, _, v = line.partition(b":")
+                    if k.strip().lower() == b"content-type":
+                        m = _CHARSET_PARAM.search(v)
+                        if m:
+                            label = m.group(1).decode("ascii", "replace").lower()
+        if url:
+            out.append((url, ts, payload, label))
+    return out
+
+
+def read_warc_pages_http(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, html, http_charset) — the pages table plus the
+    transport charset label, feeding extraction/charset.py's full
+    WHATWG priority chain (BOM > HTTP > meta > default)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(parse_warc_http(bytes(content)))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "http_charset"]
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("content")
+        .mapInPandas(
+            run,
+            schema="url string, warc_ts timestamp, html binary, http_charset string",
+        )
     )

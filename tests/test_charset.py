@@ -95,3 +95,38 @@ def test_decode_pages_spark(spark):
     assert got[1][0] == "windows-1252" and got[1][1] == "meta"
     assert got[5][0] == "utf-16-le" and got[5][1] == "bom"
     assert got[6][1] == "default"
+
+
+def test_transport_layer_priority():
+    import pandas as pd
+
+    # HTTP label sits between BOM and meta (WHATWG order).
+    html = pd.Series([
+        b'<meta charset="utf-8">\x83e',          # meta lies; http wins
+        b'<meta charset="shift_jis">\x83e',      # no http; meta wins
+        b"\xef\xbb\xbfplain \xc3\xa9",           # BOM beats http
+        b"plain \xe9",                           # unknown http -> default
+    ])
+    http = pd.Series(["shift_jis", None, "iso-8859-1", "x-nope"])
+    out = sniff_decode_pandas(html, http)
+    assert list(out["charset"]) == [
+        "shift_jis", "shift_jis", "utf-8", "windows-1252"
+    ]
+    assert list(out["charset_src"]) == ["http", "meta", "bom", "default"]
+    assert out["text"].iloc[0].endswith("\u30c6")
+    assert out["text"].iloc[2] == "plain \u00e9"
+
+
+def test_parse_warc_http_label_extraction():
+    import datetime as dt
+
+    from finetoo_sp_spark.sources.warc import make_warc_http, parse_warc_http
+
+    recs = [
+        ("https://a/1", dt.datetime(2024, 1, 1), b"x", 'text/html; charset="Shift_JIS"'),
+        ("https://a/2", dt.datetime(2024, 1, 1), b"y", "text/html"),
+    ]
+    got = parse_warc_http(make_warc_http(recs))
+    assert [(u, lab) for u, _t, _p, lab in got] == [
+        ("https://a/1", "shift_jis"), ("https://a/2", "")
+    ]

@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "warc_http_charset": [
+        ("WARC parse + sniff are Arrow kernels", r"MapInPandas"),
+        ("NO shuffle end-to-end", r"!Exchange"),
+        ("no Python row UDF node", r"!BatchEvalPython"),
+    ],
     "wat_roundtrip": [
         ("JSON lifts stay JVM-side (get_json_object)", r"!BatchEvalPython"),
         ("metadata parse is the Arrow binaryFile kernel", r"MapInPandas"),
