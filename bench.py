@@ -191,6 +191,7 @@ def main() -> None:
         "rrf_quality_fusion",
         "wat_roundtrip",
         "warc_http_charset",
+        "http_robots_gate",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -916,3 +916,84 @@ def q_warc_http_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_pages(
         pages, passthrough=("url",), http_charset_col="http_charset"
     )
+
+
+@_q(
+    "http_robots_gate",
+    """
+WITH p AS (SELECT doc_id, source, CAST(doc_id % 5 AS INTEGER) AS c FROM documents)
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  c IN (0, 2, 3) AS noindex,
+  c = 1 AS nofollow,
+  c IN (2, 4) AS noai,
+  c IN (0, 2) AS src_http,
+  c IN (1, 2, 3, 4) AS src_meta
+FROM p""",
+)
+def q_http_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/opt-out compliance across BOTH layers over a real WARC
+    corpus: class 0 opts out via the X-Robots-Tag HEADER only (no meta
+    at all — the CDN-level form an HTML-only operator misses), class 1
+    via meta only, class 2 splits directives ACROSS layers (header
+    noindex + meta noai — OR-merge must keep both), class 3 carries a
+    meta noindex with an empty header, class 4 a meta noai. The
+    src_http/src_meta columns attribute each gate for audits."""
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.compliance import with_http_compliance
+    from finetoo_sp_spark.sources.warc import read_warc_pages_http
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    out = _tmp_out("http_robots_gate")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(batches):
+        import datetime as _dt
+
+        from finetoo_sp_spark.sources.warc import _CRLF
+
+        cases = [
+            ("noindex", ""),
+            ("", '<meta name="robots" content="nofollow">'),
+            ("NOINDEX", '<meta name="robots" content="noai">'),
+            ("", '<meta name="robots" content="noindex">'),
+            ("", '<meta name="robots" content="noimageai">'),
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            buf = []
+            urls = []
+            for r in pdf.itertuples():
+                i = int(r.doc_id)
+                xr, meta = cases[i % 5]
+                url = f"https://{r.source}.example.com/doc/{i}"
+                urls.append(url)
+                body = f"<html><head>{meta}</head><body>page {i}</body></html>".encode()
+                hdr_lines = [b"HTTP/1.1 200 OK", b"Content-Type: text/html"]
+                if xr:
+                    hdr_lines.append(f"X-Robots-Tag: {xr}".encode())
+                hdr_lines.append(f"Content-Length: {len(body)}".encode())
+                http = _CRLF.join(hdr_lines) + _CRLF + _CRLF + body
+                warc = (
+                    b"WARC/1.0" + _CRLF
+                    + b"WARC-Type: response" + _CRLF
+                    + f"WARC-Target-URI: {url}".encode() + _CRLF
+                    + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+                    + f"Content-Length: {len(http)}".encode() + _CRLF
+                    + _CRLF + http + _CRLF + _CRLF
+                )
+                buf.append(warc)
+            name = _hl.sha256(str(sorted(urls)).encode()).hexdigest()[:16]
+            with open(_os.path.join(out, f"{name}.warc"), "wb") as f:
+                f.write(b"".join(buf))
+            yield pd.DataFrame({"n": [len(buf)]})
+
+    docs.repartition(4).mapInPandas(write, "n long").collect()
+    pages = read_warc_pages_http(spark, out)
+    return with_http_compliance(pages).select(
+        "url", "noindex", "nofollow", "noai", "src_http", "src_meta"
+    )

@@ -14,8 +14,10 @@ the page scan, same scale story as the main-text kernel.
 
 Limits (documented): only the ``name= ... content=`` attribute order is
 recognized (the overwhelmingly common form); multiple robots metas
-beyond the first are ignored; HTTP-header signals (X-Robots-Tag) are
-out of band for an HTML-only operator.
+beyond the first are ignored. HTTP-header signals (X-Robots-Tag) are
+out of band for the HTML-only operators but merge in via
+``with_http_compliance`` when the WARC reader supplies the header
+column (sources/warc.read_warc_pages_http).
 """
 
 from __future__ import annotations
@@ -69,4 +71,31 @@ def compliance_flags(
     return with_compliance_cols(pages, html_col).select(
         F.col(url_col).alias("url"),
         "robots", "noindex", "nofollow", "noai", "license",
+    )
+
+
+def with_http_compliance(
+    pages: DataFrame,
+    html_col: str = "html",
+    x_robots_col: str = "x_robots",
+) -> DataFrame:
+    """with_compliance_cols PLUS the transport layer: X-Robots-Tag
+    directives (Google's documented header form of the robots meta —
+    real origins use it for non-HTML responses and CDN-level opt-outs)
+    merge with the in-document meta by OR: a page is noindex /
+    nofollow / noai when EITHER layer says so. Adds ``src_http`` /
+    ``src_meta`` booleans so corpus audits can attribute the gate.
+    Token-exact matching on both layers (substring tests would confuse
+    noai/noimageai). Still pure JVM column ops, no shuffle."""
+    d = with_compliance_cols(pages, html_col=html_col)
+    hdr = F.coalesce(F.col(x_robots_col), F.lit(""))
+    h_noindex = _has_token(hdr, "noindex")
+    h_nofollow = _has_token(hdr, "nofollow")
+    h_noai = _has_token(hdr, "noai") | _has_token(hdr, "noimageai")
+    return (
+        d.withColumn("src_meta", F.col("robots") != "")
+        .withColumn("src_http", hdr != F.lit(""))
+        .withColumn("noindex", F.col("noindex") | h_noindex)
+        .withColumn("nofollow", F.col("nofollow") | h_nofollow)
+        .withColumn("noai", F.col("noai") | h_noai)
     )

@@ -220,12 +220,16 @@ def make_warc_http(
 _CHARSET_PARAM = re.compile(rb"charset\s*=\s*\"?\s*([A-Za-z0-9_.:\-]+)", re.I)
 
 
-def parse_warc_http(data: bytes) -> list[tuple[str, "dt.datetime | None", bytes, str]]:
+def parse_warc_http(
+    data: bytes,
+) -> list[tuple[str, "dt.datetime | None", bytes, str, str]]:
     """Like parse_warc(response) but keeps the transport layer:
-    (url, warc_ts, payload, http_charset_label). The label is the raw
-    charset parameter of the HTTP Content-Type header ('' when the
-    header carries none) — the WHATWG layer that outranks in-document
-    meta declarations."""
+    (url, warc_ts, payload, http_charset_label, x_robots). The charset
+    label is the raw charset parameter of the HTTP Content-Type header
+    ('' when the header carries none) — the WHATWG layer that outranks
+    in-document meta declarations; x_robots is the lowercased
+    X-Robots-Tag header value ('' when absent) — the transport-layer
+    robots/opt-out signal beside the meta robots tag."""
     if data[:2] == b"\x1f\x8b":
         try:
             data = gzip.decompress(data)
@@ -262,26 +266,31 @@ def parse_warc_http(data: bytes) -> list[tuple[str, "dt.datetime | None", bytes,
             )
         except ValueError:
             pass
-        payload, label = body, ""
+        payload, label, x_robots = body, "", ""
         if body[:5] == b"HTTP/":
             sep = body.find(_CRLF + _CRLF)
             if sep >= 0:
                 http_head, payload = body[:sep], body[sep + 4 :]
                 for line in http_head.split(_CRLF)[1:]:
                     k, _, v = line.partition(b":")
-                    if k.strip().lower() == b"content-type":
+                    hk = k.strip().lower()
+                    if hk == b"content-type":
                         m = _CHARSET_PARAM.search(v)
                         if m:
                             label = m.group(1).decode("ascii", "replace").lower()
+                    elif hk == b"x-robots-tag":
+                        x_robots = v.strip().decode("utf-8", "replace").lower()
         if url:
-            out.append((url, ts, payload, label))
+            out.append((url, ts, payload, label, x_robots))
     return out
 
 
 def read_warc_pages_http(spark: SparkSession, path: str) -> DataFrame:
-    """(url, warc_ts, html, http_charset) — the pages table plus the
-    transport charset label, feeding extraction/charset.py's full
-    WHATWG priority chain (BOM > HTTP > meta > default)."""
+    """(url, warc_ts, html, http_charset, x_robots) — the pages table
+    plus the transport-layer signals: the charset label feeds
+    extraction/charset.py's full WHATWG priority chain (BOM > HTTP >
+    meta > default), x_robots feeds the compliance gate
+    (extraction/compliance.with_http_compliance)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -289,7 +298,8 @@ def read_warc_pages_http(spark: SparkSession, path: str) -> DataFrame:
             for content in pdf["content"]:
                 rows.extend(parse_warc_http(bytes(content)))
             yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "http_charset"]
+                rows,
+                columns=["url", "warc_ts", "html", "http_charset", "x_robots"],
             )
 
     return (
@@ -298,6 +308,9 @@ def read_warc_pages_http(spark: SparkSession, path: str) -> DataFrame:
         .select("content")
         .mapInPandas(
             run,
-            schema="url string, warc_ts timestamp, html binary, http_charset string",
+            schema=(
+                "url string, warc_ts timestamp, html binary,"
+                " http_charset string, x_robots string"
+            ),
         )
     )

@@ -127,6 +127,6 @@ def test_parse_warc_http_label_extraction():
         ("https://a/2", dt.datetime(2024, 1, 1), b"y", "text/html"),
     ]
     got = parse_warc_http(make_warc_http(recs))
-    assert [(u, lab) for u, _t, _p, lab in got] == [
-        ("https://a/1", "shift_jis"), ("https://a/2", "")
+    assert [(u, lab, xr) for u, _t, _p, lab, xr in got] == [
+        ("https://a/1", "shift_jis", ""), ("https://a/2", "", "")
     ]

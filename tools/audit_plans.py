@@ -47,6 +47,11 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "http_robots_gate": [
+        ("WARC parse is the Arrow binaryFile kernel", r"MapInPandas"),
+        ("compliance flags stay column ops (no join)", r"!CartesianProduct"),
+        ("no Python row UDF node", r"!BatchEvalPython"),
+    ],
     "warc_http_charset": [
         ("WARC parse + sniff are Arrow kernels", r"MapInPandas"),
         ("NO shuffle end-to-end", r"!Exchange"),
