@@ -921,12 +921,12 @@ def q_warc_http_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "http_robots_gate",
     """
-WITH p AS (SELECT doc_id, source, CAST(doc_id % 5 AS INTEGER) AS c FROM documents)
+WITH p AS (SELECT doc_id, source, CAST(doc_id % 6 AS INTEGER) AS c FROM documents)
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
-  c IN (0, 2, 3) AS noindex,
+  c IN (0, 2, 3, 5) AS noindex,
   c = 1 AS nofollow,
-  c IN (2, 4) AS noai,
-  c IN (0, 2) AS src_http,
+  c IN (2, 4, 5) AS noai,
+  c IN (0, 2, 5) AS src_http,
   c IN (1, 2, 3, 4) AS src_meta
 FROM p""",
 )
@@ -936,8 +936,11 @@ def q_http_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     at all — the CDN-level form an HTML-only operator misses), class 1
     via meta only, class 2 splits directives ACROSS layers (header
     noindex + meta noai — OR-merge must keep both), class 3 carries a
-    meta noindex with an empty header, class 4 a meta noai. The
-    src_http/src_meta columns attribute each gate for audits."""
+    meta noindex with an empty header, class 4 a meta noai, class 5
+    emits TWO X-Robots-Tag header lines (noindex + noai on separate
+    lines — the repeated-header CDN form; RFC 9110 §5.3 makes them one
+    comma-joined list, so the parser must accumulate, not overwrite).
+    The src_http/src_meta columns attribute each gate for audits."""
     import hashlib as _hl
     import os as _os
 
@@ -956,11 +959,12 @@ def q_http_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         from finetoo_sp_spark.sources.warc import _CRLF
 
         cases = [
-            ("noindex", ""),
-            ("", '<meta name="robots" content="nofollow">'),
-            ("NOINDEX", '<meta name="robots" content="noai">'),
-            ("", '<meta name="robots" content="noindex">'),
-            ("", '<meta name="robots" content="noimageai">'),
+            (["noindex"], ""),
+            ([], '<meta name="robots" content="nofollow">'),
+            (["NOINDEX"], '<meta name="robots" content="noai">'),
+            ([], '<meta name="robots" content="noindex">'),
+            ([], '<meta name="robots" content="noimageai">'),
+            (["noindex", "noai"], ""),
         ]
         for pdf in batches:
             if pdf.empty:
@@ -969,13 +973,13 @@ def q_http_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             urls = []
             for r in pdf.itertuples():
                 i = int(r.doc_id)
-                xr, meta = cases[i % 5]
+                xr, meta = cases[i % 6]
                 url = f"https://{r.source}.example.com/doc/{i}"
                 urls.append(url)
                 body = f"<html><head>{meta}</head><body>page {i}</body></html>".encode()
                 hdr_lines = [b"HTTP/1.1 200 OK", b"Content-Type: text/html"]
-                if xr:
-                    hdr_lines.append(f"X-Robots-Tag: {xr}".encode())
+                for tok in xr:
+                    hdr_lines.append(f"X-Robots-Tag: {tok}".encode())
                 hdr_lines.append(f"Content-Length: {len(body)}".encode())
                 http = _CRLF.join(hdr_lines) + _CRLF + _CRLF + body
                 warc = (

@@ -124,7 +124,13 @@ def sniff_decode_pandas(
         .str.extract(_META_RE, expand=False)
         .str.lower()
         .map(ENCODING_LABELS)
+        # WHATWG prescan: an in-document utf-16/utf-16le/utf-16be label
+        # must be treated as utf-8 — a label READABLE in the ASCII
+        # prescan cannot be genuine UTF-16 (the bytes would be
+        # null-interleaved). The utf-16 mapping stays live for the
+        # transport layer above, where it is legitimate.
     )
+    label = label.mask(label.isin(("utf-16-le", "utf-16-be")), "utf-8")
     meta_known = label.notna() & ~any_bom & ~http_known
     charset = np.select(
         [bom_utf8, bom_le, bom_be, http_known, meta_known],

@@ -838,7 +838,13 @@ def host_boilerplate_strip(
     lines = df.select(
         F.col(id_col).alias("id"),
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        # coalesce: F.split(NULL) is NULL and posexplode DROPS the row,
+        # which would silently delete null-text documents from the
+        # output — callers re-joining on id would lose them. A null
+        # text passes through as ('', 0) instead.
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn("line_sha", F.sha2("line", 256))
     dfreq = (
         lines.select("host", "line_sha", "id")

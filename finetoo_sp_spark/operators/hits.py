@@ -52,6 +52,9 @@ def hits_fixed_point(edges: DataFrame, iterations: int = 4) -> DataFrame:
     are SCALE-fixed-point with the per-round maximum pinned to exactly
     SCALE. ``edges`` needs (src, dst) columns; duplicate edges collapse
     (endorsement is per linking page, not per anchor occurrence)."""
+    if iterations < 1:
+        raise ValueError("hits_fixed_point needs iterations >= 1 (auth "
+                         "scores only exist after the first half-round)")
     e = edges.select("src", "dst").distinct()
     nodes = (
         e.select(F.col("src").alias("id"))

@@ -58,7 +58,7 @@ def make_warc(
             + b"WARC-Type: response" + _CRLF
             + f"WARC-Target-URI: {url}".encode() + _CRLF
             + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
-            + b"Content-Type: application/http:msgtype=response" + _CRLF
+            + b"Content-Type: application/http;msgtype=response" + _CRLF
             + f"Content-Length: {len(http)}".encode() + _CRLF
             + _CRLF
         )
@@ -209,7 +209,7 @@ def make_warc_http(
             + b"WARC-Type: response" + _CRLF
             + f"WARC-Target-URI: {url}".encode() + _CRLF
             + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
-            + b"Content-Type: application/http:msgtype=response" + _CRLF
+            + b"Content-Type: application/http;msgtype=response" + _CRLF
             + f"Content-Length: {len(http)}".encode() + _CRLF
             + _CRLF
         )
@@ -279,7 +279,14 @@ def parse_warc_http(
                         if m:
                             label = m.group(1).decode("ascii", "replace").lower()
                     elif hk == b"x-robots-tag":
-                        x_robots = v.strip().decode("utf-8", "replace").lower()
+                        # Origins/CDNs commonly emit SEVERAL X-Robots-Tag
+                        # headers (e.g. 'noindex' + 'noai' on separate
+                        # lines); RFC 9110 §5.3 says repeated field lines
+                        # are equivalent to one comma-joined list, so
+                        # accumulate rather than overwrite — dropping
+                        # earlier lines would under-block opted-out pages.
+                        tok = v.strip().decode("utf-8", "replace").lower()
+                        x_robots = f"{x_robots}, {tok}" if x_robots else tok
         if url:
             out.append((url, ts, payload, label, x_robots))
     return out

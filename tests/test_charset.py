@@ -130,3 +130,54 @@ def test_parse_warc_http_label_extraction():
     assert [(u, lab, xr) for u, _t, _p, lab, xr in got] == [
         ("https://a/1", "shift_jis", ""), ("https://a/2", "", "")
     ]
+
+
+def test_meta_utf16_label_is_treated_as_utf8():
+    import pandas as pd
+
+    # WHATWG prescan: an in-document utf-16/utf-16le/utf-16be label is
+    # remapped to utf-8 (a label readable in the ASCII prescan cannot
+    # be genuine UTF-16).  The transport layer keeps the real mapping.
+    body = "caf\u00e9 \u2713".encode("utf-8")
+    html = pd.Series([
+        b'<meta charset="utf-16">' + body,
+        b'<meta charset="UTF-16LE">' + body,
+        b'<meta charset="utf-16be">' + body,
+    ])
+    out = sniff_decode_pandas(html)
+    assert list(out["charset"]) == ["utf-8"] * 3
+    assert list(out["charset_src"]) == ["meta"] * 3
+    assert out["text"].iloc[0].endswith("caf\u00e9 \u2713")
+    # Transport-label layer unchanged: utf-16 label still decodes LE.
+    t_payload = "hi".encode("utf-16-le")
+    out2 = sniff_decode_pandas(
+        pd.Series([t_payload]), pd.Series(["utf-16"])
+    )
+    assert list(out2["charset"]) == ["utf-16-le"]
+    assert out2["text"].iloc[0] == "hi"
+
+
+def test_parse_warc_http_multiple_x_robots_headers_accumulate():
+    from finetoo_sp_spark.sources.warc import _CRLF, parse_warc_http
+
+    body = b"<html>page</html>"
+    http = _CRLF.join([
+        b"HTTP/1.1 200 OK",
+        b"Content-Type: text/html",
+        b"X-Robots-Tag: noindex",
+        b"X-Robots-Tag: NOAI",
+        f"Content-Length: {len(body)}".encode(),
+    ]) + _CRLF + _CRLF + body
+    warc = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Target-URI: https://cdn.example.com/x" + _CRLF
+        + b"WARC-Date: 2024-01-01T00:00:00Z" + _CRLF
+        + f"Content-Length: {len(http)}".encode() + _CRLF
+        + _CRLF + http + _CRLF + _CRLF
+    )
+    (url, _ts, payload, _lab, xr), = parse_warc_http(warc)
+    assert url == "https://cdn.example.com/x"
+    assert payload == body
+    # RFC 9110 5.3: repeated field lines == one comma-joined list.
+    assert xr == "noindex, noai"

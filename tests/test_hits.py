@@ -62,3 +62,11 @@ def test_hits_matches_twin_on_two_components(spark):
     ]
     for it in (1, 4):
         assert _run(spark, edges, it) == _hits_twin(edges, it)
+
+
+def test_zero_iterations_is_a_clear_error(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iterations"):
+        hits_fixed_point(df, iterations=0)

@@ -52,3 +52,18 @@ def test_duplicate_line_within_one_doc_counts_once(spark):
     rows = [(0, "a", "x\nmid\nx\nx"), (1, "a", "b1 one"), (2, "a", "b2 two")]
     got = _run(spark, rows)
     assert got[0] == ("x\nmid\nx\nx", 0)
+
+
+def test_null_text_docs_pass_through_not_dropped(spark):
+    # F.split(NULL) is NULL and posexplode would DROP the row; the
+    # operator must keep the doc id and return ('', 0) instead.
+    rows = [(i, "a", f"BANNER\nbody {i}") for i in range(3)]
+    df = spark.createDataFrame(
+        rows + [(99, "a", None)], "id long, host string, text string"
+    )
+    out = host_boilerplate_strip(df, "id", "host", "text")
+    got = {r["id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+    assert set(got) == {0, 1, 2, 99}
+    assert got[99] == ("", 0)
+    for i in range(3):
+        assert got[i] == (f"body {i}", 1)

@@ -111,3 +111,19 @@ def test_wat_roundtrip_hostile_title(spark, tmp_path):
         ).collect()
     }
     assert env == {u: u for u in env}
+
+
+def test_warc_record_content_type_uses_semicolon_parameter():
+    # ISO 28500 / WARC 1.0: the record Content-Type parameter separator
+    # is a semicolon ('application/http;msgtype=response'); a colon
+    # makes archives malformed for warcio/CC tooling.
+    from finetoo_sp_spark.sources.warc import make_warc_http
+
+    blob = make_warc([("https://x/1", dt.datetime(2024, 1, 1), b"ok")])
+    assert b"Content-Type: application/http;msgtype=response" in blob
+    assert b"http:msgtype" not in blob
+    blob2 = make_warc_http(
+        [("https://x/1", dt.datetime(2024, 1, 1), b"ok", "text/html")]
+    )
+    assert b"Content-Type: application/http;msgtype=response" in blob2
+    assert b"http:msgtype" not in blob2
