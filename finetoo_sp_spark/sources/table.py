@@ -6,8 +6,12 @@ mechanics the north rule's sink story needs, built from scratch:
 
 - **Atomic commits**: data files land first, then one version manifest
   (``_versions/v{N}.json``) is published via write-temp + atomic
-  ``os.replace``. Readers either see version N complete or not at all —
-  a crashed writer leaves unreferenced data files, never a torn table.
+  ``os.link`` — a true compare-and-swap: ``link`` fails EEXIST if the
+  version number is already taken, so of two concurrent writers exactly
+  ONE commits and the loser gets ``CommitConflict`` (it may retry on
+  the new parent). Readers either see version N complete or not at
+  all — a crashed writer leaves unreferenced data files, never a torn
+  table.
 - **Snapshot isolation / time travel**: a manifest lists exactly the
   data files of its version; ``read_version(path, n)`` reads any
   historical version while writers keep committing.
@@ -18,10 +22,12 @@ mechanics the north rule's sink story needs, built from scratch:
   a past version's — history stays immutable, like Iceberg's
   ``rollback_to_snapshot``.
 
-Not wire-compatible with Iceberg (no Avro manifests, single-writer
-only: the atomic rename arbitrates one committer per version number) —
-it is the discipline, not the format, and swaps out for the real thing
-through sources/catalog.py on a cluster with the runtime jar.
+Not wire-compatible with Iceberg (no Avro manifests) — it is the
+discipline, not the format, and swaps out for the real thing through
+sources/catalog.py on a cluster with the runtime jar. Concurrency:
+the link-CAS arbitrates exactly one committer per version number;
+``CommitConflict`` is the optimistic-concurrency retry signal
+(Iceberg's ``CommitFailedException`` analogue).
 """
 
 from __future__ import annotations
@@ -32,6 +38,13 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this version number first (the link-CAS
+    lost the race). The table is intact — the loser's data files are
+    unreferenced orphans. Retry the commit against the new parent, or
+    surface the conflict."""
 
 
 def _versions_dir(path: str) -> str:
@@ -102,8 +115,15 @@ def _publish(
     extra: dict | None = None,
 ) -> int:
     """Atomic commit point. ``extra`` fields (e.g. a streaming epoch id)
-    ride the SAME atomic rename as the file list — a manifest is never
-    visible without them (exactly-once depends on this)."""
+    ride the SAME atomic publish as the file list — a manifest is never
+    visible without them (exactly-once depends on this).
+
+    The publish is a true CAS: ``os.link(tmp, final)`` atomically fails
+    ``EEXIST`` when the version number is already taken (unlike
+    ``os.replace``, which silently overwrites — an exists-check before
+    a replace is a TOCTOU race). Exactly one of N concurrent writers
+    returns; the rest raise :class:`CommitConflict` and the winner's
+    manifest is never touched."""
     version = 0 if parent is None else parent + 1
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
@@ -117,11 +137,16 @@ def _publish(
     }
     tmp = os.path.join(vdir, f".v{version}.json.{uuid.uuid4().hex}.tmp")
     final = os.path.join(vdir, f"v{version}.json")
-    if os.path.exists(final):
-        raise RuntimeError(f"version {version} already committed (concurrent writer?)")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
-    os.replace(tmp, final)  # the atomic commit point
+    try:
+        os.link(tmp, final)  # the atomic commit point: EEXIST = lost race
+    except FileExistsError:
+        raise CommitConflict(
+            f"version {version} already committed by a concurrent writer"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 

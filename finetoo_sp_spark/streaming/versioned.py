@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame
 
 from finetoo_sp_spark.sources.table import (
+    CommitConflict,
     _load_manifest,
     _publish,
     current_version,
@@ -36,10 +37,19 @@ def committed_epochs(path: str) -> set[int]:
     return out
 
 
-def versioned_epoch_sink(path: str):
+def versioned_epoch_sink(path: str, max_commit_attempts: int = 64):
     """foreachBatch callable: commit each micro-batch as one APPEND
     version stamped with its epoch id; replayed epochs are skipped
-    before any file is written (exactly-once on restart)."""
+    before any file is written (exactly-once on restart).
+
+    Concurrent writers (two queries feeding one table, or an old
+    executor's zombie attempt racing its replacement) are handled by
+    optimistic concurrency: the link-CAS in ``_publish`` admits exactly
+    one manifest per version number, and a loser re-reads the log,
+    re-checks the epoch marker (another writer may have committed THIS
+    epoch — then the data files just written become orphans and the
+    replay rule applies), and re-commits on the new parent. This is
+    Iceberg's CommitFailedException retry loop, one epoch at a time."""
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) in committed_epochs(path):
@@ -53,12 +63,39 @@ def versioned_epoch_sink(path: str):
             for f in os.listdir(snap_dir)
             if f.endswith(".parquet")
         )
-        parent = current_version(path)
-        files = new_files if parent is None else (
-            _load_manifest(path, parent)["files"] + new_files
+        for _ in range(max_commit_attempts):
+            # Ordering matters: read the parent FIRST, then scan epoch
+            # markers through that parent, then CAS on parent+1. The
+            # CAS failing proves some commit landed after our scan — so
+            # a successful CAS proves the scan covered EVERY earlier
+            # version, and two writers can never stamp the same epoch
+            # at different version numbers (the duplicate-epoch race a
+            # naive recheck-then-commit leaves open).
+            parent = current_version(path)
+            seen = {
+                int(m["epoch"])
+                for v in range(0, (parent + 1) if parent is not None else 0)
+                if (m := _load_manifest(path, v)).get("epoch") is not None
+            }
+            if int(epoch_id) in seen:
+                return  # another writer committed this epoch first
+            files = new_files if parent is None else (
+                _load_manifest(path, parent)["files"] + new_files
+            )
+            try:
+                # the epoch id rides the SAME atomic manifest publish as
+                # the file list — a crash can never leave a
+                # committed-but-unstamped epoch
+                _publish(
+                    path, files, "stream-append", parent,
+                    extra={"epoch": int(epoch_id)},
+                )
+                return
+            except CommitConflict:
+                continue  # someone advanced the table: rescan + retry
+        raise CommitConflict(
+            f"epoch {epoch_id}: gave up after {max_commit_attempts} "
+            f"commit attempts under contention"
         )
-        # the epoch id rides the SAME atomic manifest publish as the file
-        # list — a crash can never leave a committed-but-unstamped epoch
-        _publish(path, files, "stream-append", parent, extra={"epoch": int(epoch_id)})
 
     return sink

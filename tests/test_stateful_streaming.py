@@ -309,3 +309,88 @@ def test_versioned_sink_through_real_stream(spark, tmp_path, pages_dir=None):
     )
     q.awaitTermination(120)
     assert read_version(spark, path).count() == 200
+
+
+def test_publish_cas_two_writers_one_winner(tmp_path):
+    """The commit point is a true CAS (os.link, not exists-check +
+    replace): of N threads racing the same version number, exactly one
+    commits and the rest raise CommitConflict — the winner's manifest
+    is never silently overwritten."""
+    import json
+    import os
+    import threading
+
+    from finetoo_sp_spark.sources.table import CommitConflict, _publish
+
+    path = str(tmp_path / "race")
+    results = [None] * 8
+    barrier = threading.Barrier(8)
+
+    def writer(i):
+        barrier.wait()
+        try:
+            _publish(path, [f"data/w{i}.parquet"], "overwrite", None,
+                     extra={"writer": i})
+            results[i] = "won"
+        except CommitConflict:
+            results[i] = "lost"
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results.count("won") == 1
+    assert results.count("lost") == 7
+    winner = results.index("won")
+    with open(os.path.join(path, "_versions", "v0.json")) as f:
+        m = json.load(f)
+    assert m["writer"] == winner
+    assert m["files"] == [f"data/w{winner}.parquet"]
+    # no temp files left behind by winners or losers
+    leftovers = [f for f in os.listdir(os.path.join(path, "_versions"))
+                 if f.endswith(".tmp")]
+    assert leftovers == []
+
+
+def test_concurrent_epoch_sinks_each_epoch_exactly_once(spark, tmp_path):
+    """Two interleaved foreachBatch writers on one table (disjoint
+    epochs, plus both replaying one shared epoch): every epoch commits
+    exactly once; losers retry on the new parent instead of failing."""
+    import threading
+
+    from finetoo_sp_spark.sources.table import _load_manifest, current_version, read_version
+    from finetoo_sp_spark.streaming.versioned import (
+        committed_epochs,
+        versioned_epoch_sink,
+    )
+
+    path = str(tmp_path / "vt_race")
+    sink = versioned_epoch_sink(path)
+    batches = {e: spark.range(e * 10, e * 10 + 10).selectExpr("id AS k")
+               for e in range(6)}
+    barrier = threading.Barrier(2)
+    errs = []
+
+    def writer(epochs):
+        try:
+            barrier.wait()
+            for e in epochs:
+                sink(batches[e], e)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    # writer A: epochs 0,1,2,5 ; writer B: epochs 3,4,5 (5 is shared —
+    # the at-least-once replay case under contention)
+    ta = threading.Thread(target=writer, args=([0, 1, 2, 5],))
+    tb = threading.Thread(target=writer, args=([3, 4, 5],))
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert errs == []
+    assert committed_epochs(path) == {0, 1, 2, 3, 4, 5}
+    # exactly one manifest per epoch
+    latest = current_version(path)
+    stamped = [_load_manifest(path, v).get("epoch") for v in range(latest + 1)]
+    assert sorted(stamped) == [0, 1, 2, 3, 4, 5]
+    # the table content is the union of all six batches, no duplicates
+    assert read_version(spark, path).count() == 60
+    assert read_version(spark, path).select("k").distinct().count() == 60
