@@ -1,11 +1,15 @@
-"""Minimal pure-stdlib baseline JPEG codec (numpy + struct only).
+"""Minimal pure-stdlib JPEG codec (numpy + struct only).
 
 Closes the JPEG half of the image-decode seam without a codec library:
-a baseline-DCT decoder (SOF0/SOF1: 8-bit, Huffman, 1 or 3 components,
-arbitrary sampling factors up to 2x2 — 4:4:4 / 4:2:2 / 4:2:0 — restart
-markers) plus a deterministic encoder used by tests and datagen.
-Progressive (SOF2) and arithmetic-coded files raise NotImplementedError
-with a recognizable message so corpus kernels can skip, not die.
+a DCT decoder for baseline (SOF0/SOF1) AND progressive (SOF2) Huffman
+files — 8-bit, 1 or 3 components, arbitrary sampling factors up to
+2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-scan streams with
+spectral selection and successive approximation (T.81 Annex G.2: DC
+first/refine, AC first with EOB-run coding, AC refinement with
+correction bits) — plus deterministic baseline and progressive
+encoders used by tests and datagen. Arithmetic-coded files raise
+NotImplementedError with a recognizable message so corpus kernels can
+skip, not die.
 
 All tables are the public ISO/IEC 10918-1 (ITU T.81) Annex K defaults;
 the zigzag order, Huffman canonical-code construction, byte stuffing,
@@ -357,17 +361,12 @@ def _dht_payload(cls: int, tid: int, table) -> bytes:
     return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg_baseline(
-    arr: np.ndarray,
-    subsampling: str = "444",
-    quant_luma: np.ndarray | None = None,
-    quant_chroma: np.ndarray | None = None,
-    restart_interval: int = 0,
-) -> bytes:
-    """Deterministic baseline JFIF encoder for (H, W) / (H, W, 1)
-    grayscale or (H, W, 3) RGB uint8 arrays. ``subsampling`` is '444'
-    or '420' (RGB only). Custom quant tables let tests construct
-    provably-lossless paths (e.g. a DC step of 8)."""
+def _quantized_components(arr, subsampling, quant_luma, quant_chroma):
+    """Shared front half of both encoders: color transform, subsample,
+    MCU-pad (edge replicate), FDCT, quantize. Returns (gray, h, w,
+    comps, comp_blocks, ql, qc, mcux, mcuy) where comps is a list of
+    (id, hs, vs, tq) and comp_blocks[ci] is (n_by, n_bx, 64) quantized
+    zigzag coefficients over the MCU-padded grid."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 1:
         a = a[:, :, 0]
@@ -417,7 +416,23 @@ def encode_jpeg_baseline(
         if sh < ph:
             pl[sh:, :] = pl[sh - 1 : sh, :]
         comp_blocks.append(_fdct_quant(pl, qtabs[0] if tq == 0 else qc))
+    return gray, h, w, comps, comp_blocks, ql, qc, mcux, mcuy
 
+
+def encode_jpeg_baseline(
+    arr: np.ndarray,
+    subsampling: str = "444",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Deterministic baseline JFIF encoder for (H, W) / (H, W, 1)
+    grayscale or (H, W, 3) RGB uint8 arrays. ``subsampling`` is '444'
+    or '420' (RGB only). Custom quant tables let tests construct
+    provably-lossless paths (e.g. a DC step of 8)."""
+    gray, h, w, comps, comp_blocks, ql, qc, mcux, mcuy = _quantized_components(
+        arr, subsampling, quant_luma, quant_chroma
+    )
     dc_tabs = [_canonical_codes(*HUFF_DC_LUMA), _canonical_codes(*HUFF_DC_CHROMA)]
     ac_tabs = [_canonical_codes(*HUFF_AC_LUMA), _canonical_codes(*HUFF_AC_CHROMA)]
 
@@ -486,29 +501,514 @@ def _box2(plane: np.ndarray) -> np.ndarray:
     )
 
 
+# ------------------------------------------------- progressive encoder
+
+# Flat Huffman tables for the progressive encoder: every DC category at
+# 5 bits (16 of 32 slots used — the all-1-bits code stays unassigned,
+# as T.81 C.2 requires) and every possible AC RS byte at 9 bits (256 of
+# 512 slots). Deliberately valid-but-naive: fixtures exercise the
+# decoder's DHT handling and the EOBn/ZRL/refinement code paths without
+# an optimal-table builder; compression ratio is irrelevant for tests.
+_FLAT_DC = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(16)))
+# (DHT BITS entries are single bytes, so one length holds at most 255
+# codes: 255 nine-bit codes + one ten-bit code covers all 256 RS bytes.)
+_FLAT_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+    list(range(256)),
+)
+
+
+def default_progressive_scans(n_components: int) -> list[tuple]:
+    """A libjpeg-shaped scan script as (comp_indices, Ss, Se, Ah, Al)
+    tuples: interleaved DC first pass at Al=1, luma AC split into a
+    coarse low band and the tail (spectral selection), chroma AC
+    whole-band, then one successive-approximation refinement pass per
+    band and a DC refinement — so every Annex G.2 decode path (DC
+    first/refine, AC first with EOB runs, AC refinement with correction
+    bits) is exercised by the default script."""
+    if n_components == 1:
+        return [
+            ([0], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2),
+            ([0], 6, 63, 0, 2),
+            ([0], 1, 63, 2, 1),
+            ([0], 0, 0, 1, 0),
+            ([0], 1, 63, 1, 0),
+        ]
+    return [
+        ([0, 1, 2], 0, 0, 0, 1),
+        ([0], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([1], 1, 63, 0, 1),
+        ([0], 6, 63, 0, 2),
+        ([0], 1, 63, 2, 1),
+        ([0, 1, 2], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+        ([0], 1, 63, 1, 0),
+    ]
+
+
+def _scan_units(scan_cis, comps, h, w, hmax, vmax, mcux, mcuy):
+    """Block coding order for one scan, as a list of MCUs, each a list
+    of (ci, flat_block_index) into the component's MCU-padded
+    (mcuy*vs, mcux*hs) block grid. Interleaved scans walk MCU order
+    over the padded grid (T.81 A.2.3); a single-component scan walks
+    the component's REAL block grid (ceil of its scaled dims, A.2.2) in
+    raster order — the padded columns/rows beyond it are not coded."""
+    if len(scan_cis) > 1:
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                u = []
+                for ci in scan_cis:
+                    _cid, hs, vs, _tq = comps[ci]
+                    row_w = mcux * hs
+                    for by in range(vs):
+                        for bx in range(hs):
+                            u.append((ci, (my * vs + by) * row_w + mx * hs + bx))
+                units.append(u)
+        return units
+    ci = scan_cis[0]
+    _cid, hs, vs, _tq = comps[ci]
+    bw = -(-(-(-(w * hs) // hmax)) // 8)
+    bh = -(-(-(-(h * vs) // vmax)) // 8)
+    row_w = mcux * hs
+    return [[(ci, r * row_w + c)] for r in range(bh) for c in range(bw)]
+
+
+def _shift_mag(v: int, al: int) -> int:
+    """AC point transform: arithmetic shift of the MAGNITUDE (T.81
+    G.1.2.2 divides by 2^Al truncating toward zero; two's-complement
+    shift would round negatives away from zero)."""
+    return -((-v) >> al) if v < 0 else (v >> al)
+
+
+def _emit_eobrun(wtr: _BitWriter, ac_codes, eobrun: int, corr_bits) -> None:
+    """EOBn symbol (r = bit length category, r extra bits) followed by
+    any buffered refinement correction bits — the decoder reads those
+    inline while consuming EOB-covered blocks, so they ride here."""
+    if eobrun:
+        r = eobrun.bit_length() - 1
+        code, ln = ac_codes[r << 4]
+        wtr.write(code, ln)
+        if r:
+            wtr.write(eobrun - (1 << r), r)
+    for b in corr_bits:
+        wtr.write(b, 1)
+
+
+def _encode_dc_scan(wtr, units, flat, dc_codes, ah: int, al: int) -> None:
+    preds: dict[int, int] = {}
+    for unit in units:
+        for ci, bi in unit:
+            dc = int(flat[ci][bi][0])
+            if ah == 0:
+                v = dc >> al  # arithmetic shift: DC point transform
+                diff = v - preds.get(ci, 0)
+                preds[ci] = v
+                ssss = _category(diff)
+                code, ln = dc_codes[ssss]
+                wtr.write(code, ln)
+                if ssss:
+                    wtr.write(diff if diff > 0 else diff + (1 << ssss) - 1, ssss)
+            else:
+                wtr.write((dc >> al) & 1, 1)
+
+
+def _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al) -> None:
+    eobrun = 0
+    for zz in blocks:
+        band = [_shift_mag(int(zz[k]), al) for k in range(ss, se + 1)]
+        last = -1
+        for i, v in enumerate(band):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                _emit_eobrun(wtr, ac_codes, eobrun, [])
+                eobrun = 0
+            continue
+        if eobrun:
+            _emit_eobrun(wtr, ac_codes, eobrun, [])
+            eobrun = 0
+        run = 0
+        for v in band[: last + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                wtr.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
+            wtr.write(code, ln)
+            wtr.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < se - ss:
+            eobrun = 1  # this block's tail is end-of-band
+    if eobrun:
+        _emit_eobrun(wtr, ac_codes, eobrun, [])
+
+
+def _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al) -> None:
+    """Correction-bit pass (T.81 G.1.2.3): newly-significant
+    coefficients code as run/1 symbols whose runs count only
+    ZERO-HISTORY positions; a correction bit for every
+    already-significant coefficient walked over follows its covering
+    symbol; EOB-covered blocks contribute their correction bits after
+    the (deferred) EOBn symbol in block order — exactly the order the
+    decoder consumes them."""
+    eobrun = 0
+    pend: list[int] = []  # correction bits riding the deferred EOBn
+    for zz in blocks:
+        # walk events at this precision: 'c'=history coef (corr bit),
+        # 'n'=newly significant (sign), 'z'=still zero
+        events: list[tuple] = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            av = -v if v < 0 else v
+            if (av >> (al + 1)) != 0:
+                events.append(("c", (av >> al) & 1))
+            elif (av >> al) == 1:
+                events.append(("n", 1 if v > 0 else 0))
+            else:
+                events.append(("z",))
+        last_n = -1
+        for i, e in enumerate(events):
+            if e[0] == "n":
+                last_n = i
+        if last_n < 0:  # end-of-band block
+            eobrun += 1
+            pend.extend(e[1] for e in events if e[0] == "c")
+            if eobrun == 0x7FFF:
+                _emit_eobrun(wtr, ac_codes, eobrun, pend)
+                eobrun, pend = 0, []
+            continue
+        if eobrun:
+            _emit_eobrun(wtr, ac_codes, eobrun, pend)
+            eobrun, pend = 0, []
+        q: list[tuple] = []  # 'z'/'c' events since the last symbol
+        zeros = 0
+        for e in events[: last_n + 1]:
+            if e[0] == "c":
+                q.append(e)
+            elif e[0] == "z":
+                q.append(e)
+                zeros += 1
+            else:  # newly significant
+                while zeros > 15:
+                    # ZRL spans the next 16 zero-history positions; the
+                    # correction bits interleaved among them (up to and
+                    # including just before the 16th zero) follow it
+                    code, ln = ac_codes[0xF0]
+                    wtr.write(code, ln)
+                    seen = 0
+                    while q:
+                        t = q[0]
+                        if t[0] == "z":
+                            seen += 1
+                            if seen > 16:
+                                break
+                            q.pop(0)
+                        else:
+                            if seen == 16:
+                                break
+                            wtr.write(q.pop(0)[1], 1)
+                    zeros -= 16
+                code, ln = ac_codes[(zeros << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(e[1], 1)  # sign bit of the +-1<<Al coefficient
+                for t in q:
+                    if t[0] == "c":
+                        wtr.write(t[1], 1)
+                q, zeros = [], 0
+        tail = events[last_n + 1 :]
+        if tail:
+            eobrun = 1
+            pend = [e[1] for e in tail if e[0] == "c"]
+    if eobrun:
+        _emit_eobrun(wtr, ac_codes, eobrun, pend)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    subsampling: str = "444",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+    scans: list[tuple] | None = None,
+) -> bytes:
+    """Deterministic progressive (SOF2) JFIF encoder: same color /
+    subsample / FDCT / quantization front end as the baseline encoder,
+    so for identical inputs and tables a progressive file decodes to
+    EXACTLY the same pixels as the baseline file once all scans are
+    consumed (successive approximation is lossless over the quantized
+    coefficients). ``scans`` overrides the default script with
+    (comp_indices, Ss, Se, Ah, Al) tuples."""
+    gray, h, w, comps, comp_blocks, ql, qc, mcux, mcuy = _quantized_components(
+        arr, subsampling, quant_luma, quant_chroma
+    )
+    flat = [cb.reshape(-1, 64).astype(np.int64) for cb in comp_blocks]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if scans is None:
+        scans = default_progressive_scans(len(comps))
+    dc_codes = _canonical_codes(*_FLAT_DC)
+    ac_codes = _canonical_codes(*_FLAT_AC)
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    head += _seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        head += _seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, hs << 4 | vs, tq])
+    head += _seg(0xC2, bytes(sof))  # SOF2: progressive DCT, Huffman
+    head += _seg(0xC4, _dht_payload(0, 0, _FLAT_DC))
+    head += _seg(0xC4, _dht_payload(1, 0, _FLAT_AC))
+
+    body = bytearray()
+    for cis, ss, se, ah, al in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("DC scan must have Se=0")
+        if ss > 0 and len(cis) != 1:
+            raise ValueError("AC scans are single-component")
+        if ah not in (0, al + 1):
+            raise ValueError("refinement scans must have Ah=Al+1")
+        sos = bytearray([len(cis)])
+        for ci in cis:
+            sos += bytes([comps[ci][0], 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        units = _scan_units(cis, comps, h, w, hmax, vmax, mcux, mcuy)
+        wtr = _BitWriter()
+        if ss == 0:
+            _encode_dc_scan(wtr, units, flat, dc_codes, ah, al)
+        else:
+            blocks = [flat[u[0][0]][u[0][1]] for u in units]
+            if ah == 0:
+                _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al)
+            else:
+                _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al)
+        wtr.flush()
+        body += _seg(0xDA, bytes(sos)) + bytes(wtr.buf)
+    return bytes(head) + bytes(body) + b"\xff\xd9"
+
+
 # ---------------------------------------------------------------- decoder
 
 
+def _next_marker(data: bytes, pos: int) -> int:
+    """Position of the next segment marker at/after ``pos``: skips
+    entropy bytes, stuffed FF00 pairs, FF fill bytes, and stray RSTs."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF:
+            m = data[pos + 1]
+            if m == 0x00:
+                pos += 2
+                continue
+            if m == 0xFF:
+                pos += 1
+                continue
+            if 0xD0 <= m <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return n
+
+
+def _restart(rdr: _BitReader) -> bool:
+    """Byte-align and consume an RST marker at a restart boundary.
+    Returns True if a marker was consumed (predictors must reset)."""
+    rdr.align()
+    m = rdr.at_marker()
+    if m is not None and 0xD0 <= m <= 0xD7:
+        rdr.pos += 2
+        return True
+    return False
+
+
+def _decode_scan_sequential(rdr, units, coefs, tabs, huff, ri, zig) -> None:
+    """Baseline scan (interleaved or single-component): full-band
+    DC-diff + AC run-length per block."""
+    preds: dict[int, int] = {}
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0:
+            if _restart(rdr):
+                preds = {}
+        elif rdr.consumed_pad:
+            # 1-bit padding is only legitimate at the tail of an
+            # entropy segment; needing it with MCUs left = truncated
+            raise ValueError("truncated entropy data")
+        for ci, bi in unit:
+            dc_t = huff[(0, tabs[ci][0])]
+            ac_t = huff[(1, tabs[ci][1])]
+            nat = coefs[ci][bi]
+            ssss = rdr.huff(dc_t)
+            diff = _extend(rdr.bits(ssss), ssss) if ssss else 0
+            preds[ci] = preds.get(ci, 0) + diff
+            nat[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = rdr.huff(ac_t)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                nat[zig[k]] = _extend(rdr.bits(s), s)
+                k += 1
+
+
+def _decode_scan_dc(rdr, units, coefs, tabs, huff, ri, ah, al) -> None:
+    """Progressive DC scan: first pass (Ah=0) is baseline DC diff
+    coding of DC>>Al, stored <<Al; refinement appends one bit per block
+    at weight 1<<Al (two's-complement OR — correct for negatives)."""
+    preds: dict[int, int] = {}
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0 and _restart(rdr):
+            preds = {}
+        for ci, bi in unit:
+            nat = coefs[ci][bi]
+            if ah == 0:
+                ssss = rdr.huff(huff[(0, tabs[ci][0])])
+                diff = _extend(rdr.bits(ssss), ssss) if ssss else 0
+                preds[ci] = preds.get(ci, 0) + diff
+                nat[0] = preds[ci] << al
+            elif rdr.bits(1):
+                nat[0] |= 1 << al
+
+
+def _decode_scan_ac_first(rdr, units, coefs, tabs, huff, ri, ss, se, al, zig) -> None:
+    """Progressive AC first pass (Ah=0): run-length coding within the
+    spectral band, EOBn symbols carry runs of end-of-band blocks."""
+    ci = units[0][0][0] if units else 0
+    ac_t = huff[(1, tabs[ci][1])]
+    eobrun = 0
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0 and _restart(rdr):
+            eobrun = 0
+        _ci, bi = unit[0]
+        if eobrun:
+            eobrun -= 1
+            continue
+        nat = coefs[_ci][bi]
+        k = ss
+        while k <= se:
+            rs = rdr.huff(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rdr.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow")
+            nat[zig[k]] = _extend(rdr.bits(s), s) << al
+            k += 1
+
+
+def _decode_scan_ac_refine(rdr, units, coefs, tabs, huff, ri, ss, se, al, zig) -> None:
+    """Progressive AC refinement (T.81 G.1.2.3): run/1 symbols place
+    newly-significant +-1<<Al coefficients, runs count only
+    zero-history positions, and one correction bit is read for every
+    already-significant coefficient walked over (also inside
+    EOB-covered blocks). An EOBn symbol's run counts the FOLLOWING
+    blocks; the block it is read in still refines its own band tail."""
+    ci = units[0][0][0] if units else 0
+    ac_t = huff[(1, tabs[ci][1])]
+    p1 = 1 << al
+
+    def refine_tail(nat, k):
+        while k <= se:
+            z = zig[k]
+            if nat[z] != 0 and rdr.bits(1) and not (nat[z] & p1):
+                nat[z] += p1 if nat[z] > 0 else -p1
+            k += 1
+
+    eobrun = 0
+    for i, unit in enumerate(units):
+        if ri and i and i % ri == 0 and _restart(rdr):
+            eobrun = 0
+        _ci, bi = unit[0]
+        nat = coefs[_ci][bi]
+        if eobrun > 0:
+            refine_tail(nat, ss)
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            rs = rdr.huff(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rdr.bits(r)
+                    refine_tail(nat, k)  # this block, NOT in the run
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if rdr.bits(1) else -p1
+            else:
+                raise ValueError("bad AC refinement symbol")
+            while k <= se:
+                z = zig[k]
+                if nat[z] != 0:
+                    # correction bit for an already-significant coef
+                    if rdr.bits(1) and not (nat[z] & p1):
+                        nat[z] += p1 if nat[z] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                nat[zig[k]] = val
+            k += 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W, 1) grayscale or (H, W, 3) RGB
-    uint8. Raises ValueError on malformed input and NotImplementedError
-    on progressive / arithmetic / >8-bit files (so kernels can skip)."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (H, W, 1) grayscale or (H, W, 3) RGB uint8. Raises ValueError on
+    malformed input and NotImplementedError on arithmetic-coded /
+    hierarchical / >8-bit files (so kernels can skip)."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict] = {}
+    huff: dict[tuple[int, int], tuple] = {}
     comps: list[tuple[int, int, int, int]] = []
     h = w = 0
+    progressive = False
     restart_interval = 0
-    scan_pos = None
-    scan_tabs: list[tuple[int, int]] = []
+    coefs: list[np.ndarray] | None = None
+    hmax = vmax = mcux = mcuy = 0
+    saw_scan = False
+    zig = ZIGZAG
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker framing")
         marker = data[pos + 1]
         if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RST
+            pos += 2
+            continue
+        if pos + 4 > len(data):
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
@@ -533,98 +1033,88 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[p + 17 : p + 17 + n])
                 huff[(cls, tid)] = _decode_lut(bits, vals)
                 p += 17 + n
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError("non-8-bit precision")
+            if len(body) < 6 + 3 * nc or h == 0 or w == 0 or nc == 0:
+                raise ValueError("truncated SOF segment")
+            progressive = marker == 0xC2
             comps = []
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # natural-order integer coefficients per component, filled
+            # across (possibly many) scans and IDCT'd in ONE batched
+            # einsum at the end
+            coefs = [
+                np.zeros((mcuy * vs * mcux * hs, 64), dtype=np.int64)
+                for (_c, hs, vs, _t) in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"unsupported SOF marker 0x{marker:02X}")
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:
+            if coefs is None:
+                raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tabs = []
             order = {cid: i for i, (cid, *_r) in enumerate(comps)}
-            scan_comps = []
+            scan_cis = []
+            tabs: dict[int, tuple[int, int]] = {}
             for i in range(ns):
                 cs, tt = body[1 + 2 * i : 3 + 2 * i]
-                scan_comps.append(order[cs])
-                scan_tabs.append((tt >> 4, tt & 0xF))
-            if scan_comps != list(range(len(comps))):
-                comps = [comps[i] for i in scan_comps]
-            scan_pos = pos
-            break
-        # APPn / COM / others: skipped
+                if cs not in order:
+                    raise ValueError("scan references unknown component")
+                scan_cis.append(order[cs])
+                tabs[order[cs]] = (tt >> 4, tt & 0xF)
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            units = _scan_units(scan_cis, comps, h, w, hmax, vmax, mcux, mcuy)
+            rdr = _BitReader(data, pos)
+            if not progressive:
+                _decode_scan_sequential(
+                    rdr, units, coefs, tabs, huff, restart_interval, zig
+                )
+            elif ss == 0:
+                if se != 0:
+                    raise ValueError("progressive DC scan must have Se=0")
+                _decode_scan_dc(
+                    rdr, units, coefs, tabs, huff, restart_interval, ah, al
+                )
+            else:
+                if len(scan_cis) != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                if ah == 0:
+                    _decode_scan_ac_first(
+                        rdr, units, coefs, tabs, huff, restart_interval,
+                        ss, se, al, zig,
+                    )
+                else:
+                    _decode_scan_ac_refine(
+                        rdr, units, coefs, tabs, huff, restart_interval,
+                        ss, se, al, zig,
+                    )
+            saw_scan = True
+            pos = _next_marker(data, rdr.pos)
+        # APPn / COM / DNL / others: skipped
 
-    if scan_pos is None or not comps:
+    if not saw_scan or coefs is None:
         raise ValueError("no scan in JPEG stream")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    # coefficient blocks per component in raster order, filled during the
-    # entropy pass and IDCT'd in ONE batched einsum afterwards (per-block
-    # 8x8 matmuls cost more in Python/numpy dispatch than in math)
-    n_blocks = [mcuy * vs * mcux * hs for (_c, hs, vs, _t) in comps]
-    coefs = [np.zeros((n, 64), dtype=np.float64) for n in n_blocks]
-    zig = ZIGZAG  # local alias for the hot loop
-
-    rdr = _BitReader(data, scan_pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    iq = [qtabs[tq].astype(np.float64) for (_c, _h, _v, tq) in comps]
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                rdr.align()
-                m = rdr.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    rdr.pos += 2
-                    preds = [0] * len(comps)
-            elif rdr.consumed_pad:
-                # 1-bit padding is only legitimate at the tail of an
-                # entropy segment; needing it with MCUs left = truncated
-                raise ValueError("truncated entropy data")
-            for ci, (_cid, hs, vs, _tq) in enumerate(comps):
-                dc_t = huff[(0, scan_tabs[ci][0])]
-                ac_t = huff[(1, scan_tabs[ci][1])]
-                row_w = mcux * hs
-                for by in range(vs):
-                    for bx in range(hs):
-                        # natural-order coefficient row, written in place
-                        nat = coefs[ci][(my * vs + by) * row_w + mx * hs + bx]
-                        ssss = rdr.huff(dc_t)
-                        diff = _extend(rdr.bits(ssss), ssss) if ssss else 0
-                        preds[ci] += diff
-                        nat[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rdr.huff(ac_t)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            nat[zig[k]] = _extend(rdr.bits(s), s)
-                            k += 1
-            mcu_count += 1
 
     # batched dequant + IDCT + raster assembly, then upsample/crop/shift
     full = []
-    for ci, ((_cid, hs, vs, _tq), cf) in enumerate(zip(comps, coefs)):
+    for ci, ((_cid, hs, vs, tq), cf) in enumerate(zip(comps, coefs)):
+        if tq not in qtabs:
+            raise ValueError("missing quantization table")
         n_by, n_bx = mcuy * vs, mcux * hs
-        deq = cf.reshape(n_by, n_bx, 8, 8) * iq[ci]
+        deq = cf.astype(np.float64).reshape(n_by, n_bx, 8, 8) * qtabs[tq].astype(
+            np.float64
+        )
         blocks = _A.T @ deq @ _A  # broadcast matmul: batched BLAS IDCT
         pl = blocks.transpose(0, 2, 1, 3).reshape(n_by * 8, n_bx * 8)
         if hs != hmax or vs != vmax:

@@ -212,6 +212,36 @@ def q_image_stats_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_stats_jpeg_progressive",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode under the same per-pixel-exact
+    oracle as the baseline query: the corpus re-encodes the identical
+    block-flat images progressively, cycling three scan scripts per id
+    (default successive approximation / spectral-selection only / deep
+    one-bit-per-scan chain), so multi-scan coefficient accumulation —
+    DC first+refine, AC first with EOB runs, AC refinement correction
+    bits — must reconstruct every pixel bit-exactly for the sums to
+    match the formula. Closes VERDICT r04 gap #1 (progressive files
+    previously skipped all pixel-level ops)."""
+    from finetoo_sp_spark.datagen import gen_jpeg_progressive_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_jpeg_progressive_assets(spark, 48))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx

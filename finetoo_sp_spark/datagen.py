@@ -314,6 +314,48 @@ def gen_jpeg_pandas(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
 
 
+def gen_jpeg_progressive_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """gen_jpeg_pandas's closed-form block-flat corpus through the
+    PROGRESSIVE (SOF2) encoder, cycling three scan scripts per id —
+    the default successive-approximation script, a spectral-selection-
+    only split, and a deep one-bit-per-scan approximation chain — so
+    the oracle exercises multi-scan accumulation, DC first/refine and
+    the AC EOB-run machinery, all per-pixel-exact (flat blocks decode
+    bit-identically to the baseline encoding of the same image)."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+
+    spectral = [([0], 0, 0, 0, 0), ([0], 1, 5, 0, 0), ([0], 6, 63, 0, 0)]
+    deep = [
+        ([0], 0, 0, 0, 2), ([0], 0, 0, 2, 1), ([0], 0, 0, 1, 0),
+        ([0], 1, 63, 0, 2), ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0),
+    ]
+    scripts = [None, spectral, deep]
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        rows.append((i, "image", encode_jpeg_progressive(img, scans=scripts[i % 3])))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_jpeg_progressive_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic progressive-JPEG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_jpeg_progressive_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_jpeg_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Distributed deterministic baseline-JPEG corpus."""
     rng = spark.range(0, n, 1, partitions)

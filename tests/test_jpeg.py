@@ -145,10 +145,15 @@ def test_non_multiple_of_8_dims():
     assert (out[:, :, 0] == 150).all()
 
 
-def test_progressive_and_malformed_raise():
-    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
-    with pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+def test_arithmetic_and_malformed_raise():
+    # arithmetic-coded progressive (SOF10) stays a clean skip signal
+    arith = b"\xff\xd8\xff\xca" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(arith)
+    # a truncated SOF2 header with no scan is malformed, not "supported"
+    prog_stub = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
+    with pytest.raises(ValueError, match="truncated SOF|no scan"):
+        decode_jpeg(prog_stub)
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0 jpeg-ish")
     with pytest.raises(ValueError):
@@ -180,11 +185,12 @@ def test_decode_image_routes_jpeg_and_kernel_skips(spark):
     assert (decode_image(jpg)[:, :, 0] == gray).all()
 
     png_img = (np.arange(4 * 5 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
+    # truncated progressive header (no scan data): undecodable, skipped
     prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 8) + b"\x08\x00\x10\x00\x10\x01"
     rows = [
         (0, "image", bytearray(encode_png(png_img))),
         (1, "image", bytearray(jpg)),
-        (2, "image", bytearray(prog)),       # progressive: skipped
+        (2, "image", bytearray(prog)),       # truncated: skipped
         (3, "image", bytearray(b"\x89PNG garbage")),  # corrupt: skipped
     ]
     assets = spark.createDataFrame(rows, "asset_id long, modality string, payload binary")
@@ -193,3 +199,82 @@ def test_decode_image_routes_jpeg_and_kernel_skips(spark):
     assert (got[0]["width"], got[0]["height"], got[0]["channels"]) == (5, 4, 3)
     assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (16, 16, 1)
     assert got[1]["sum_r"] == 140 * 16 * 16
+
+
+def test_progressive_matches_baseline_pixels_exactly():
+    """Successive approximation is lossless over the quantized
+    coefficients: once all scans land, a progressive file decodes to
+    EXACTLY the baseline pixels for the same input and tables."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (np.full((16, 16), 140, dtype=np.uint8), {}),
+        (rng.integers(0, 256, (24, 17), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (33, 29, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (37, 21, 3), dtype=np.uint8), {"subsampling": "420"}),
+    ]
+    for img, kw in cases:
+        b = decode_jpeg(encode_jpeg_baseline(img, **kw))
+        p = decode_jpeg(encode_jpeg_progressive(img, **kw))
+        assert b.shape == p.shape
+        assert (b == p).all(), (img.shape, kw)
+
+
+def test_progressive_flat_gray_exact_standard_tables():
+    """The DC-only closed-form exactness property (flat block, DC a
+    multiple of the quant step) holds through the multi-scan path too."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+
+    img = np.full((16, 16), 140, dtype=np.uint8)  # 8*(140-128)=96=6*16
+    out = decode_jpeg(encode_jpeg_progressive(img))
+    assert out.shape == (16, 16, 1)
+    assert (out[:, :, 0] == 140).all()
+
+
+def test_progressive_custom_scan_scripts():
+    """Spectral-selection-only, deep successive approximation, and
+    chroma-first scripts all reconstruct the baseline pixels (the
+    decoder accumulates scans in any legal order)."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    b = decode_jpeg(encode_jpeg_baseline(img))
+    scripts = [
+        [([0], 0, 0, 0, 0), ([0], 1, 10, 0, 0), ([0], 11, 63, 0, 0)],
+        [([0], 0, 0, 0, 3), ([0], 0, 0, 3, 2), ([0], 0, 0, 2, 1),
+         ([0], 0, 0, 1, 0), ([0], 1, 63, 0, 3), ([0], 1, 63, 3, 2),
+         ([0], 1, 63, 2, 1), ([0], 1, 63, 1, 0)],
+    ]
+    for sc in scripts:
+        assert (decode_jpeg(encode_jpeg_progressive(img, scans=sc)) == b).all()
+    img3 = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    sc = [([0, 1, 2], 0, 0, 0, 0), ([2], 1, 63, 0, 0),
+          ([0], 1, 63, 0, 0), ([1], 1, 63, 0, 0)]
+    assert (
+        decode_jpeg(encode_jpeg_progressive(img3, scans=sc))
+        == decode_jpeg(encode_jpeg_baseline(img3))
+    ).all()
+
+
+def test_progressive_flows_through_image_stats_kernel(spark):
+    """Progressive files are no longer skipped: a real SOF2 payload
+    yields the same stats row a baseline encoding of the same image
+    does."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+    from finetoo_sp_spark.multimodal import image_stats
+
+    gray = np.full((16, 16), 140, dtype=np.uint8)
+    rows = [
+        (0, "image", bytearray(encode_jpeg_baseline(gray))),
+        (1, "image", bytearray(encode_jpeg_progressive(gray))),
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id long, modality string, payload binary"
+    )
+    got = {r["asset_id"]: r for r in image_stats(assets).collect()}
+    assert set(got) == {0, 1}
+    for i in (0, 1):
+        assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (16, 16, 1)
+        assert got[i]["sum_r"] == 140 * 16 * 16

@@ -262,6 +262,10 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "multimodal_image_stats_jpeg_progressive": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
     "pdf_real_extract": [
         ("magic-byte routing stays JVM-side", r"(?i)startswith"),
         ("NO cartesian product", r"!CartesianProduct"),
