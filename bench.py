@@ -55,20 +55,41 @@ def main() -> None:
     pages.count()  # materialize: time extraction, not generation
     extract_s, best_leg_steal = float("inf"), None
     headline_legs: list[dict] = []
-    # best-of-3: the sandbox shares a host whose spare CPU fluctuates;
-    # the minimum reflects the engine, the mean reflects the neighbors.
-    # Each leg records the steal sampled AROUND its own timed region.
-    for _ in range(3):
+
+    def _headline_leg() -> tuple[int, float, float | None]:
         s0, j0 = _cpu_steal_jiffies()
         t0 = time.time()
-        n_out = extract_pages(pages).select("url", "content_chars").count()
-        dt = time.time() - t0
+        n = extract_pages(pages).select("url", "content_chars").count()
+        dt_ = time.time() - t0
         s1, j1 = _cpu_steal_jiffies()
-        leg_steal = (
-            round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2) if j1 > j0 else None
-        )
+        st = round(100.0 * (s1 - s0) / max(j1 - j0, 1), 2) if j1 > j0 else None
+        return n, dt_, st
+
+    # best-of-3 with per-leg pollution retry (VERDICT r04 item 3): the
+    # sandbox shares a host whose spare CPU fluctuates; the minimum
+    # reflects the engine, the mean reflects the neighbors. Each leg
+    # records the steal sampled AROUND its own timed region, and when
+    # even the best leg ran under >2% steal the harness re-runs legs
+    # (bounded budget, short wait between) so a transient noisy window
+    # no longer burns the whole record — the driver artifact stops
+    # under-reading by 30% when the neighbors quiet down mid-run.
+    leg_retry_budget = int(os.environ.get("SPARK_GRAFT_LEG_RETRIES", "4"))
+    headline_retries = 0
+    n_out = 0
+    for leg_no in range(3 + leg_retry_budget):
+        if leg_no >= 3:
+            if best_leg_steal is None or best_leg_steal <= 2.0:
+                break  # already have a clean best leg
+            time.sleep(8.0)  # give the noisy neighbor a chance to pass
+            headline_retries += 1
+        n_out, dt, leg_steal = _headline_leg()
         headline_legs.append(
-            {"pages_per_sec": round(n_out / dt, 1), "sec": round(dt, 3), "steal_pct": leg_steal}
+            {
+                "pages_per_sec": round(n_out / dt, 1),
+                "sec": round(dt, 3),
+                "steal_pct": leg_steal,
+                "retry": leg_no >= 3,
+            }
         )
         if dt < extract_s:
             extract_s, best_leg_steal = dt, leg_steal
@@ -271,6 +292,10 @@ def main() -> None:
                 "headline_legs": headline_legs,
                 "headline_best_leg_steal_pct": best_leg_steal,
                 "headline_polluted": bool(best_leg_steal and best_leg_steal > 1.0),
+                "headline_retries": headline_retries,
+                "headline_retries_exhausted": bool(
+                    headline_retries and best_leg_steal and best_leg_steal > 2.0
+                ),
             }
         )
     )
