@@ -919,6 +919,50 @@ def q_warc_http_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dxf_entities_by_type",
+    """
+SELECT doc_id, 'LINE' AS entity_type, CAST(1 + doc_id % 4 AS BIGINT) AS n FROM documents
+UNION ALL
+SELECT doc_id, 'CIRCLE', CAST(doc_id % 3 AS BIGINT) FROM documents WHERE doc_id % 3 > 0
+UNION ALL
+SELECT doc_id, 'TEXT', CAST(1 + doc_id % 2 AS BIGINT) FROM documents""",
+)
+def q_dxf_entities_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DXF group-code parser (dxf_text_parser.cc:62-156,
+    exercised on its three real drawings in pytest) over a synthetic
+    corpus with CLOSED-FORM inventory: make_dxf(i) writes 1+i%4 LINEs,
+    i%3 CIRCLEs and 1+i%2 TEXTs into ENTITIES (plus blocks the filter
+    excludes), the Arrow kernel reparses every file, and the oracle
+    recomputes each (doc, type, n) row from the formulas alone."""
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.dxf import dxf_records
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        from finetoo_sp_spark.extraction.dxf import make_dxf
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": [make_dxf(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = docs.mapInPandas(gen, "doc_id long, payload binary")
+    rec = dxf_records(assets, id_col="doc_id")
+    return (
+        rec.filter(F.col("section") == "ENTITIES")
+        .groupBy("doc_id", "entity_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
     "http_robots_gate",
     """
 WITH p AS (SELECT doc_id, source, CAST(doc_id % 6 AS INTEGER) AS c FROM documents)

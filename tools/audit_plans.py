@@ -266,6 +266,11 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "dxf_entities_by_type": [
+        ("group-code kernel in one Arrow pass", r"MapInPandas"),
+        ("partial agg before the count shuffle", r"partial_count"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "pdf_real_extract": [
         ("magic-byte routing stays JVM-side", r"(?i)startswith"),
         ("NO cartesian product", r"!CartesianProduct"),
