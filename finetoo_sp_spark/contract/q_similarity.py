@@ -421,3 +421,197 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.operators.quantize import quantize_int8
 
     return quantize_int8(T(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+def _pq_oracle_ctes(m: int = 4, ksub: int = 4, dims: int = 64,
+                    nlist: int = 4, nprobe: int = 2,
+                    query_ids: str = "0, 1, 2") -> str:
+    """DuckDB twin of operators/pq.py, generated for the contract
+    parameters: fixed-point lift, per-subspace codebooks (init = the
+    ksub smallest ids' sub-vectors, one sum-div-count update, argmin
+    re-assignment with ties to the lowest centroid id), IVF coarse
+    k-means (the _KMEANS_CTE discipline), query probes and per-subspace
+    ADC tables. Every CTE that is referenced more than once is
+    MATERIALIZED (chained-CTE inlining is exponential otherwise)."""
+    sub = dims // m
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(round(x::DOUBLE * 1048576) AS BIGINT)) AS v FROM embeddings)"
+    ]
+    for mi in range(m):
+        lo = mi * sub
+        parts.append(
+            f"c{mi}0 AS MATERIALIZED (SELECT vec_id AS cid, v[{lo + 1}:{lo + sub}] AS sv"
+            f" FROM e ORDER BY vec_id LIMIT {ksub})"
+        )
+        parts.append(
+            f"""a{mi}1 AS MATERIALIZED (
+  SELECT e.vec_id, CAST(min(CAST(list_sum(list_transform(range(1, {sub + 1}),
+      i -> (e.v[{lo} + i] - c.sv[i]) * (e.v[{lo} + i] - c.sv[i]))) AS BIGINT)
+      * {ksub} + c.cid) % {ksub} AS INT) AS cl
+  FROM e CROSS JOIN c{mi}0 c GROUP BY e.vec_id)"""
+        )
+        parts.append(
+            f"""u{mi} AS MATERIALIZED (
+  SELECT a.cl, gs.i AS dim,
+    CAST(sum(e.v[{lo} + gs.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS cv
+  FROM a{mi}1 a JOIN e USING (vec_id), generate_series(1, {sub}) AS gs(i)
+  GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""code{mi} AS MATERIALIZED (
+  SELECT vec_id, CAST(min(dist * {ksub} + cl) % {ksub} AS INT) AS c FROM (
+    SELECT e.vec_id, u.cl,
+      CAST(sum((e.v[{lo} + u.dim] - u.cv) * (e.v[{lo} + u.dim] - u.cv)) AS BIGINT) AS dist
+    FROM e, u{mi} u GROUP BY 1, 2) GROUP BY vec_id)"""
+        )
+    # IVF coarse quantizer (same discipline, full-dim)
+    parts.append(
+        f"g0 AS MATERIALIZED (SELECT vec_id AS cid, v FROM e ORDER BY vec_id LIMIT {nlist})"
+    )
+    parts.append(
+        f"""ga1 AS MATERIALIZED (
+  SELECT e.vec_id, CAST(min(CAST(list_sum(list_transform(range(1, {dims + 1}),
+      i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i]))) AS BIGINT) * {nlist} + c.cid)
+      % {nlist} AS INT) AS cluster
+  FROM e CROSS JOIN g0 c GROUP BY e.vec_id)"""
+    )
+    parts.append(
+        f"""gu AS MATERIALIZED (
+  SELECT ga1.cluster, gs.i AS dim,
+    CAST(sum(e.v[gs.i]) AS BIGINT) // CAST(count(*) AS BIGINT) AS cv
+  FROM ga1 JOIN e USING (vec_id), generate_series(1, {dims}) AS gs(i)
+  GROUP BY 1, 2)"""
+    )
+    parts.append(
+        f"""ga2 AS MATERIALIZED (
+  SELECT vec_id, CAST(min(dist * {nlist} + cluster) % {nlist} AS INT) AS cluster FROM (
+    SELECT e.vec_id, gu.cluster,
+      CAST(sum((e.v[gu.dim] - gu.cv) * (e.v[gu.dim] - gu.cv)) AS BIGINT) AS dist
+    FROM e, gu GROUP BY 1, 2) GROUP BY vec_id)"""
+    )
+    parts.append(
+        f"q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv FROM e"
+        f" WHERE vec_id IN ({query_ids}))"
+    )
+    parts.append(
+        f"""probed AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT pr.query_id, pr.cid,
+      row_number() OVER (PARTITION BY pr.query_id ORDER BY pr.cd, pr.cid) AS rn
+    FROM (
+      SELECT q.query_id, gu.cluster AS cid,
+        CAST(sum((q.qv[gu.dim] - gu.cv) * (q.qv[gu.dim] - gu.cv)) AS BIGINT) AS cd
+      FROM q, gu GROUP BY 1, 2) pr)
+  WHERE rn <= {nprobe})"""
+    )
+    for mi in range(m):
+        lo = mi * sub
+        parts.append(
+            f"""dt{mi} AS MATERIALIZED (
+  SELECT q.query_id, u.cl,
+    CAST(sum((q.qv[{lo} + u.dim] - u.cv) * (q.qv[{lo} + u.dim] - u.cv)) AS BIGINT) AS d
+  FROM q, u{mi} u GROUP BY 1, 2)"""
+        )
+    code_joins = "\n  ".join(
+        f"JOIN code{mi} ON code{mi}.vec_id = ga2.vec_id" for mi in range(m)
+    )
+    dt_joins = "\n  ".join(
+        f"JOIN dt{mi} ON dt{mi}.query_id = probed.query_id AND dt{mi}.cl = code{mi}.c"
+        for mi in range(m)
+    )
+    adc_sum = " + ".join(f"dt{mi}.d" for mi in range(m))
+    parts.append(
+        f"""adc AS MATERIALIZED (
+  SELECT probed.query_id, ga2.vec_id, CAST({adc_sum} AS BIGINT) AS adc_dist
+  FROM ga2
+  JOIN probed ON probed.cid = ga2.cluster AND probed.query_id <> ga2.vec_id
+  {code_joins}
+  {dt_joins})"""
+    )
+    return ",\n".join(parts)
+
+
+_PQ_CODES_ORACLE = (
+    "WITH " + _pq_oracle_ctes() + """
+SELECT e.vec_id AS id,
+  CAST(code0.c AS VARCHAR) || ',' || CAST(code1.c AS VARCHAR) || ','
+    || CAST(code2.c AS VARCHAR) || ',' || CAST(code3.c AS VARCHAR) AS code_str,
+  CAST(4 AS BIGINT) AS n_subspaces
+FROM e
+JOIN code0 USING (vec_id) JOIN code1 USING (vec_id)
+JOIN code2 USING (vec_id) JOIN code3 USING (vec_id)"""
+)
+
+_IVF_PQ_TOPK_ORACLE = (
+    "WITH " + _pq_oracle_ctes() + """
+SELECT query_id, vec_id AS neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+FROM (
+  SELECT query_id, vec_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 10"""
+)
+
+_IVF_PQ_RECALL_ORACLE = (
+    "WITH " + _pq_oracle_ctes() + """,
+topk_adc AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rank
+    FROM adc)
+  WHERE rank <= 10),
+topk_exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))) AS BIGINT), e.vec_id) AS rn
+    FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+  WHERE rn <= 10)
+SELECT q.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+  CAST(10 AS BIGINT) AS k
+FROM q LEFT JOIN (
+  SELECT query_id, count(*) AS n
+  FROM topk_adc JOIN topk_exact USING (query_id, vec_id) GROUP BY 1) h
+USING (query_id)"""
+)
+
+
+@_q("pq_codes", _PQ_CODES_ORACLE)
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jegou et al. 2011): 4 subspaces x 16
+    dims, 4 centroids each, integer fixed point throughout — the M-byte
+    vector representation that makes 10^12-vector rerank state fit. The
+    codebooks broadcast as driver literals so assignment is one narrow
+    scan; the oracle retrains every codebook and recomputes every code
+    from the deterministic k-means contract."""
+    from finetoo_sp_spark.operators.pq import pq_codes
+
+    return pq_codes(T(spark, sf_dir, "embeddings"))
+
+
+@_q("ann_ivf_pq_topk", _IVF_PQ_TOPK_ORACLE)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search: probe the 2 nearest of 4 IVF cells, rank
+    candidates by asymmetric PQ distance (per-subspace ADC lookup
+    tables spliced in as literals — no vector math touches the corpus
+    at query time), top-10 per query with ties to the lower id. The
+    oracle recomputes coarse cells, codebooks, codes, probe order and
+    every ADC distance."""
+    from finetoo_sp_spark.operators.pq import ann_ivf_pq_topk
+
+    return ann_ivf_pq_topk(T(spark, sf_dir, "embeddings"), [0, 1, 2], k=10)
+
+
+@_q("ann_ivf_pq_recall", _IVF_PQ_RECALL_ORACLE)
+def q_ann_ivf_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of IVF-PQ against the exact integer-L2
+    top-10 — the honest operating point of the (nlist=4, nprobe=2,
+    M=4, ksub=4) configuration on this corpus, reproduced value-exactly
+    by the oracle (both rankings are integer-deterministic)."""
+    from finetoo_sp_spark.operators.pq import ivf_pq_recall
+
+    return ivf_pq_recall(T(spark, sf_dir, "embeddings"), [0, 1, 2], k=10)

@@ -55,26 +55,18 @@ def _sqdist_to(v_col, centroid: list[int]):
     )
 
 
-def kmeans_assign(
+def kmeans_fit(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 4,
     iters: int = 2,
     scale: int = 1 << 20,
-) -> DataFrame:
-    """Lloyd's k-means over an ``array<float>`` column; returns
-    ``(id, cluster)`` after ``iters`` assignment passes.
-
-    Deterministic contract (what the DuckDB oracle reproduces):
-    - init: centroids = the vectors of the ``k`` smallest ids;
-    - assignment: argmin of exact integer squared distance, ties to the
-      lowest centroid id (encoded as ``min(dist*k + cid)``);
-    - update: per-dimension ``sum div count`` in fixed point.
-
-    ``iters`` assignment passes means ``iters - 1`` centroid updates —
-    the returned labels are the assignment against the last update.
-    """
+) -> tuple[list[list[int]], DataFrame]:
+    """kmeans_assign that ALSO returns the final centroids (fixed-point
+    int lists) — the piece IVF coarse quantizers need for probing.
+    Same deterministic contract; the assigned frame is the labels
+    against the last centroid update."""
     e = emb.select(
         F.col(id_col).alias("id"), _to_fixed(F.col(vec_col), scale).alias("v")
     )
@@ -108,7 +100,30 @@ def kmeans_assign(
         centroids = new_c
         assigned = assign(e)
 
-    return assigned.select("id", "cluster")
+    return centroids, assigned.select("id", "cluster")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1 << 20,
+) -> DataFrame:
+    """Lloyd's k-means over an ``array<float>`` column; returns
+    ``(id, cluster)`` after ``iters`` assignment passes.
+
+    Deterministic contract (what the DuckDB oracle reproduces):
+    - init: centroids = the vectors of the ``k`` smallest ids;
+    - assignment: argmin of exact integer squared distance, ties to the
+      lowest centroid id (encoded as ``min(dist*k + cid)``);
+    - update: per-dimension ``sum div count`` in fixed point.
+
+    ``iters`` assignment passes means ``iters - 1`` centroid updates —
+    the returned labels are the assignment against the last update.
+    """
+    return kmeans_fit(emb, id_col, vec_col, k=k, iters=iters, scale=scale)[1]
 
 
 def semdedup_survivors(

@@ -254,6 +254,14 @@ CHECKS = {
         ("word-count partial agg", r"HashAggregate"),
         ("only doc_id+text read", r"ReadSchema: struct<doc_id:bigint,text:string>"),
     ],
+    "ann_ivf_pq_topk": [
+        ("codebooks are literals: corpus never crossJoins", r"!CartesianProduct"),
+        ("cell membership equi-join", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
+    "pq_codes": [
+        ("assignment is one narrow scan (no join)", r"!CartesianProduct"),
+        ("no per-row Python in assignment", r"!MapInPandas"),
+    ],
     "ann_recall_curve": [
         ("NO cartesian between corpus sides", r"!CartesianProduct"),
         ("bucket equi-joins", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
