@@ -116,26 +116,20 @@ def _rule_regex(body):
     return F.concat(F.lit("^"), F.replace(out, F.lit("\\*"), F.lit(".*")))
 
 
-def gate_urls(
-    urls: DataFrame,
+def compile_gate_rules(
     rules: DataFrame,
     agent: str = "*",
-    host_col: str = "host",
-    path_col: str = "path",
     max_rules_per_host: int = 2048,
+    materialize: bool = False,
 ) -> DataFrame:
-    """(host, path, allowed) — most-specific-match verdict per URL for
-    ``agent``'s rule group; URLs with no matching rule are allowed.
-
-    Rule paths follow RFC 9309 §2.2.3: ``*`` matches any sequence, a
-    trailing ``$`` anchors to the path end, specificity is the written
-    rule length with Allow winning ties. Per §2.1, a host where
-    ``agent`` has no group of its own falls back to that host's ``*``
-    group (an anti-join on the dimension-sized rules table). Rules
-    beyond ``max_rules_per_host`` (in file order, per RFC truncation
-    guidance) are dropped before the join, bounding per-URL fanout on
-    adversarial robots files; the join itself stays a host equi-join.
-    """
+    """The compiled rule side of ``gate_urls``: agent-group fallback
+    resolved, per-host cap applied, wildcard/`$` paths lifted to
+    anchored Java regexes. With ``materialize=True`` the (dimension-
+    sized) frame is eagerly localCheckpoint'd, so REPEATED gating
+    against one robots snapshot pays the parse + compile chain once —
+    the second ``gate_urls(compiled=...)`` call's plan starts from the
+    materialized rows (lineage cut), not from re-running the robots
+    parser."""
     r_agent = rules.filter(F.lower(F.col("agent")) == agent.lower())
     if agent != "*":
         star = rules.filter(F.col("agent") == "*")
@@ -165,6 +159,41 @@ def gate_urls(
             F.concat(_rule_regex(body), F.when(anchored, F.lit("$")).otherwise(F.lit(""))),
         ).alias("_rx"),
     )
+    return r.localCheckpoint(eager=True) if materialize else r
+
+
+def gate_urls(
+    urls: DataFrame,
+    rules: DataFrame | None = None,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+    max_rules_per_host: int = 2048,
+    compiled: DataFrame | None = None,
+) -> DataFrame:
+    """(host, path, allowed) — most-specific-match verdict per URL for
+    ``agent``'s rule group; URLs with no matching rule are allowed.
+
+    Rule paths follow RFC 9309 §2.2.3: ``*`` matches any sequence, a
+    trailing ``$`` anchors to the path end, specificity is the written
+    rule length with Allow winning ties. Per §2.1, a host where
+    ``agent`` has no group of its own falls back to that host's ``*``
+    group (an anti-join on the dimension-sized rules table). Rules
+    beyond ``max_rules_per_host`` (in file order, per RFC truncation
+    guidance) are dropped before the join, bounding per-URL fanout on
+    adversarial robots files; the join itself stays a host equi-join.
+
+    ``compiled``: a frame from ``compile_gate_rules`` — pass the same
+    materialized frame across calls to gate many URL batches against
+    one robots snapshot without re-parsing/compiling it each time.
+    """
+    if compiled is None:
+        if rules is None:
+            raise ValueError("gate_urls needs rules= or compiled=")
+        compiled = compile_gate_rules(
+            rules, agent=agent, max_rules_per_host=max_rules_per_host
+        )
+    r = compiled
     u = urls.select(F.col(host_col).alias("host"), F.col(path_col).alias("path"))
     match = F.when(F.col("_wild"), F.expr("rlike(path, _rx)")).otherwise(
         F.col("path").startswith(F.col("path_prefix"))

@@ -167,3 +167,55 @@ def test_crawl_delays_per_group_and_dirty_values(spark):
     robots = spark.createDataFrame([("h1", txt)], "host string, robots_txt string")
     got = {(r["host"], r["agent"]): r["delay_s"] for r in crawl_delays(robots).collect()}
     assert got == {("h1", "*"): 3, ("h1", "slowbot"): 10}
+
+
+def test_compile_gate_rules_memoizes_the_parse(spark):
+    """A materialized compiled-rules frame cuts the robots parse +
+    wildcard-compile lineage: gating against it starts from checkpointed
+    rows (ExistingRDD in the plan, no robots re-parse), and a second
+    gate call is not slower than the first cold one."""
+    import time
+
+    from finetoo_sp_spark.sources.robots import compile_gate_rules, gate_urls
+
+    hosts = [f"h{i}.example.com" for i in range(40)]
+    robots = spark.createDataFrame(
+        [
+            (h, "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\n"
+                + "\n".join(f"Disallow: /x{j}" for j in range(50)))
+            for h in hosts
+        ],
+        "host string, robots_txt string",
+    )
+    from finetoo_sp_spark.sources.robots import parse_robots
+
+    rules = parse_robots(robots)
+    urls = spark.createDataFrame(
+        [(hosts[i % 40], p) for i, p in enumerate(
+            ["/private/a", "/private/ok", "/public", "/x7/y"] * 40)],
+        "host string, path string",
+    )
+
+    compiled = compile_gate_rules(rules, materialize=True)
+    plan = gate_urls(urls, compiled=compiled)._jdf.queryExecution().toString()
+    assert "ExistingRDD" in plan  # lineage cut: rules come from the checkpoint
+
+    t0 = time.time()
+    first = {(r["host"], r["path"]): r["allowed"]
+             for r in gate_urls(urls, compiled=compiled).collect()}
+    t1 = time.time()
+    second = {(r["host"], r["path"]): r["allowed"]
+              for r in gate_urls(urls, compiled=compiled).collect()}
+    t2 = time.time()
+    assert second == first
+    # verdicts identical to the uncompiled path
+    direct = {(r["host"], r["path"]): r["allowed"]
+              for r in gate_urls(urls, rules=rules).collect()}
+    assert direct == first
+    assert first[(hosts[0], "/private/a")] is False
+    assert first[(hosts[1], "/private/ok")] is True
+    assert first[(hosts[2], "/public")] is True
+    assert first[(hosts[3], "/x7/y")] is False
+    # soft timing guard (generous: shared noisy host) — the warm call
+    # must not pay the parse again
+    assert (t2 - t1) <= (t1 - t0) * 1.5
