@@ -1,0 +1,975 @@
+"""Pure-stdlib WebP-lossless (VP8L) codec (numpy + struct only).
+
+Brings dHash / near-dup / image-stats to the second-largest undecoded
+web image format (codecs/probe.py covered dimensions only). The VP8L
+bitstream — specified publicly in RFC 9649 ("WebP Image Format",
+lossless bitstream section) — is LSB-first bit-packed and built from:
+
+- up to four TRANSFORMS (predictor, color, subtract-green,
+  color-indexing/palette with sub-byte pixel bundling), each inverse-
+  applied in reverse read order after entropy decode;
+- entropy-coded ARGB with canonical prefix (Huffman) codes — five
+  codes per group (green+length+cache, red, blue, alpha, distance),
+  "simple" 1-2-symbol codes or normal codes whose code lengths are
+  themselves prefix-coded with the DEFLATE-style 16/17/18 repeats;
+- LZ77 backward references with a 120-entry 2D distance map for close
+  neighbors, and an optional hash-addressed color cache;
+- an optional meta-prefix image selecting per-tile code groups.
+
+The decoder implements the full feature set above; lossy VP8 and
+animation stay behind NotImplementedError (corpus kernels skip). The
+encoder is deterministic and emits a spec-valid SUBSET chosen to
+exercise every decoder path with per-pixel-exact fixtures: flat
+complete prefix codes (or simple codes for <=2 symbols), optional
+run-detecting LZ77, optional color cache, and any combination of the
+four transforms (predictor fixed to mode 1/Left per block, color
+transform with fixed multipliers) — lossless by construction, so
+decode(encode(img)) == img exactly.
+
+No code is derived from libwebp; the format is implemented from the
+public spec text. The 2D distance-map table is transcribed from the
+spec's plane-code list; encoder and decoder share it, and plain
+(code > 120) distances are always valid, so self-consistency does not
+depend on the table for correctness of the fixtures that avoid it.
+
+Scale note: bit-serial Python entropy layer — fine for oracle corpora
+and probes; a 100 TB image pass swaps this module behind the same
+decode_image() seam without changing the Spark plan shape.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# code-length-code read order (same as the spec's kCodeLengthCodeOrder)
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D distance map: dist_code 1..120 -> (dx, dy) neighbor offsets
+# (RFC 9649 plane-code table; dist = dy * xsize + dx, clamped to >= 1)
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+
+_HASH_MUL = 0x1E35A7BD
+
+
+# ---------------------------------------------------------------- bits
+
+
+class _LsbReader:
+    """LSB-first bit reader (DEFLATE bit order)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        d, p = self.data, self.pos
+        if (p + n - 1) >> 3 >= len(d):
+            raise ValueError("truncated VP8L stream")
+        v = 0
+        for i in range(n):
+            v |= ((d[(p + i) >> 3] >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+    def bit(self) -> int:
+        p = self.pos
+        if p >> 3 >= len(self.data):
+            raise ValueError("truncated VP8L stream")
+        self.pos = p + 1
+        return (self.data[p >> 3] >> (p & 7)) & 1
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, val: int, n: int) -> None:
+        self.acc |= (val & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+# ---------------------------------------------------------------- huffman
+
+
+class _Code:
+    """Canonical prefix code: decode by walking bits MSB-of-code-first
+    (codes assigned shorter-first, symbol order within a length).
+    A single-symbol code reads zero bits."""
+
+    __slots__ = ("single", "table", "max_len")
+
+    def __init__(self, lengths: list[int]):
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = None
+            self.max_len = 0
+            return
+        self.single = None
+        kraft = sum(1 << (15 - ln) for ln, _ in nz)  # scaled by 2^15
+        if kraft > (1 << 15):
+            raise ValueError("over-subscribed prefix code")
+        if kraft < (1 << 15):
+            raise ValueError("incomplete prefix code")
+        self.table = {}
+        code = 0
+        self.max_len = max(ln for ln, _ in nz)
+        for length in range(1, self.max_len + 1):
+            for ln, sym in nz:
+                if ln == length:
+                    self.table[(length, code)] = sym
+                    code += 1
+            code <<= 1
+
+    def read(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for length in range(1, self.max_len + 1):
+            code = (code << 1) | br.bit()
+            sym = self.table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad prefix code")
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for the encoder (same canonical rule)."""
+    out = {}
+    code = 0
+    for length in range(1, max(lengths) + 1 if any(lengths) else 1):
+        for sym, ln in enumerate(lengths):
+            if ln == length:
+                out[sym] = (code, length)
+                code += 1
+        code <<= 1
+    return out
+
+
+def _read_code_lengths(br: _LsbReader, alphabet: int) -> list[int]:
+    num_cl = 4 + br.bits(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.bits(3)
+    cl_code = _Code(cl_lengths)
+    if br.bit():  # bounded symbol count
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = []
+    prev = 8
+    while len(lengths) < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = cl_code.read(br)
+        if s < 16:
+            lengths.append(s)
+            if s:
+                prev = s
+        elif s == 16:
+            lengths.extend([prev] * (3 + br.bits(2)))
+        elif s == 17:
+            lengths.extend([0] * (3 + br.bits(3)))
+        else:  # 18
+            lengths.extend([0] * (11 + br.bits(7)))
+    if len(lengths) > alphabet:
+        raise ValueError("code lengths overflow alphabet")
+    lengths += [0] * (alphabet - len(lengths))
+    return lengths
+
+
+def _read_prefix_code(br: _LsbReader, alphabet: int) -> _Code:
+    if br.bit():  # simple code
+        n_sym = br.bits(1) + 1
+        if br.bit():  # first symbol is 8-bit
+            s0 = br.bits(8)
+        else:
+            s0 = br.bits(1)
+        lengths = [0] * alphabet
+        if n_sym == 1:
+            lengths[s0] = 1  # marker; _Code treats single symbol as 0-bit
+            return _Code(lengths)
+        s1 = br.bits(8)
+        if s0 == s1:
+            raise ValueError("duplicate simple-code symbols")
+        lengths[s0] = 1
+        lengths[s1] = 1
+        return _Code(lengths)
+    return _Code(_read_code_lengths(br, alphabet))
+
+
+# -------------------------------------------------------------- lz77 misc
+
+
+def _prefix_decode(br: _LsbReader, s: int) -> int:
+    """Length/distance prefix decode: symbol + extra bits -> value."""
+    if s < 4:
+        return s + 1
+    extra = (s - 2) >> 1
+    offset = (2 + (s & 1)) << extra
+    return offset + br.bits(extra) + 1
+
+
+def _prefix_encode(v: int) -> tuple[int, int, int]:
+    """value -> (symbol, extra_bits, extra_val)."""
+    x = v - 1
+    if x < 4:
+        return x, 0, 0
+    eb = x.bit_length() - 2
+    hi = x >> eb
+    return 2 * eb + (hi - 2) + 2, eb, x & ((1 << eb) - 1)
+
+
+def _cache_hash(argb: int, bits: int) -> int:
+    return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - bits)
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _read_entropy_image(
+    br: _LsbReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """Entropy-coded ARGB image -> uint32 array (h, w)."""
+    cache_bits = br.bits(4) if br.bit() else 0
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.bit():
+        meta_bits = br.bits(3) + 2
+        mw = -(-w // (1 << meta_bits))
+        mh = -(-h // (1 << meta_bits))
+        meta_img = _read_entropy_image(br, mw, mh, allow_meta=False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        n_groups = int(meta.max()) + 1
+
+    green_alpha = 256 + 24 + cache_size
+    groups = []
+    for _ in range(n_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_alpha),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    total = w * h
+    g = groups[0]
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[int(meta[y >> meta_bits, (x >> meta_bits)])]
+        green_c, red_c, blue_c, alpha_c, dist_c = g
+        s = green_c.read(br)
+        if s < 256:
+            r = red_c.read(br)
+            b = blue_c.read(br)
+            a = alpha_c.read(br)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            if cache_size:
+                cache[_cache_hash(px, cache_bits)] = px
+            pos += 1
+        elif s < 280:
+            length = _prefix_decode(br, s - 256)
+            dcode = _prefix_decode(br, dist_c.read(br))
+            if dcode > 120:
+                dist = dcode - 120
+            else:
+                dx, dy = _DIST_MAP[dcode - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > total:
+                raise ValueError("bad backward reference")
+            for i in range(length):
+                px = int(out[pos - dist + i])
+                out[pos + i] = px
+                if cache_size:
+                    cache[_cache_hash(px, cache_bits)] = px
+            pos += length
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(h, w)
+
+
+def _ct_delta(m: int, c: int) -> int:
+    """ColorTransformDelta: (int8(m) * int8(c)) >> 5 (arithmetic)."""
+    ms = m - 256 if m > 127 else m
+    cs = c - 256 if c > 127 else c
+    return (ms * cs) >> 5
+
+
+def decode_vp8l(payload: bytes) -> np.ndarray:
+    """Decode a raw VP8L stream to (H, W, 4) RGBA uint8."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("VP8L signature missing")
+    br = _LsbReader(payload)
+    br.bits(8)  # signature
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()  # alpha-is-used hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    # transforms, in read order; xsize shrinks if a palette bundles pixels
+    transforms = []
+    xsize = w
+    seen = set()
+    while br.bit():
+        t = br.bits(2)
+        if t in seen:
+            raise ValueError("duplicate transform")
+        seen.add(t)
+        if t == 0:  # predictor
+            size_bits = br.bits(3) + 2
+            bw = -(-xsize // (1 << size_bits))
+            bh = -(-h // (1 << size_bits))
+            sub = _read_entropy_image(br, bw, bh, allow_meta=False)
+            transforms.append(("pred", size_bits, sub))
+        elif t == 1:  # color transform
+            size_bits = br.bits(3) + 2
+            bw = -(-xsize // (1 << size_bits))
+            bh = -(-h // (1 << size_bits))
+            sub = _read_entropy_image(br, bw, bh, allow_meta=False)
+            transforms.append(("color", size_bits, sub))
+        elif t == 2:  # subtract green
+            transforms.append(("subg",))
+        else:  # color indexing
+            pal_size = br.bits(8) + 1
+            pal_img = _read_entropy_image(br, pal_size, 1, allow_meta=False)
+            # palette entries are componentwise delta-coded
+            pal = np.zeros(pal_size, dtype=np.uint32)
+            prev = 0
+            for i in range(pal_size):
+                cur = 0
+                for shift in (0, 8, 16, 24):
+                    comp = ((int(pal_img[0, i]) >> shift) + (prev >> shift)) & 0xFF
+                    cur |= comp << shift
+                pal[i] = cur
+                prev = cur
+            if pal_size <= 2:
+                wbits = 3
+            elif pal_size <= 4:
+                wbits = 2
+            elif pal_size <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            transforms.append(("palette", pal, wbits, xsize))
+            if wbits:
+                xsize = -(-xsize // (1 << wbits))
+
+    img = _read_entropy_image(br, xsize, h, allow_meta=True)
+
+    for tr in reversed(transforms):
+        if tr[0] == "palette":
+            _, pal, wbits, orig_w = tr
+            if wbits:
+                ppb = 1 << wbits  # packed pixels per green byte
+                bits_pp = 8 >> wbits
+                mask = (1 << bits_pp) - 1
+                greens = (img >> 8) & 0xFF
+                unpacked = np.zeros((h, orig_w), dtype=np.uint32)
+                for x in range(orig_w):
+                    src = greens[:, x // ppb]
+                    idx = (src >> ((x % ppb) * bits_pp)) & mask
+                    unpacked[:, x] = idx
+                idx = unpacked
+            else:
+                idx = (img >> 8) & 0xFF
+            if int(idx.max()) >= len(pal):
+                raise ValueError("palette index out of range")
+            img = pal[idx.astype(np.int64)]
+        elif tr[0] == "subg":
+            g = (img >> 8) & 0xFF
+            r = (((img >> 16) & 0xFF) + g) & 0xFF
+            b = ((img & 0xFF) + g) & 0xFF
+            img = (img & 0xFF00FF00) | (r << 16) | b
+        elif tr[0] == "color":
+            _, size_bits, sub = tr
+            hh, ww = img.shape
+            out = img.copy()
+            for y in range(hh):
+                for x in range(ww):
+                    cte = int(sub[y >> size_bits, x >> size_bits])
+                    g2r = cte & 0xFF
+                    g2b = (cte >> 8) & 0xFF
+                    r2b = (cte >> 16) & 0xFF
+                    px = int(out[y, x])
+                    gch = (px >> 8) & 0xFF
+                    rch = ((px >> 16) & 0xFF) + _ct_delta(g2r, gch) & 0xFF
+                    bch = (
+                        (px & 0xFF) + _ct_delta(g2b, gch) + _ct_delta(r2b, rch)
+                    ) & 0xFF
+                    out[y, x] = (px & 0xFF00FF00) | (rch << 16) | bch
+            img = out
+        elif tr[0] == "pred":
+            _, size_bits, sub = tr
+            img = _inverse_predictor(img, sub, size_bits)
+    a = (img >> 24) & 0xFF
+    r = (img >> 16) & 0xFF
+    g = (img >> 8) & 0xFF
+    b = img & 0xFF
+    return np.stack([r, g, b, a], axis=2).astype(np.uint8)
+
+
+def _avg2(a, b):
+    return tuple((x + y) // 2 for x, y in zip(a, b))
+
+
+def _chans(px: int) -> tuple[int, int, int, int]:
+    return ((px >> 24) & 0xFF, (px >> 16) & 0xFF, (px >> 8) & 0xFF, px & 0xFF)
+
+
+def _pack(c) -> int:
+    return (c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3]
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _predict(mode: int, left, top, tl, tr) -> tuple[int, int, int, int]:
+    if mode == 0:
+        return (0xFF, 0, 0, 0)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    if mode == 11:  # Select
+        p = tuple(l + t - c for l, t, c in zip(left, top, tl))
+        p_l = sum(abs(pc - lc) for pc, lc in zip(p, left))
+        p_t = sum(abs(pc - tc) for pc, tc in zip(p, top))
+        return left if p_l < p_t else top
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            _clamp(l + t - c) for l, t, c in zip(left, top, tl)
+        )
+    if mode == 13:  # ClampAddSubtractHalf
+        av = _avg2(left, top)
+        return tuple(_clamp(a + (a - c) // 2 if a >= c else a - (c - a) // 2)
+                     for a, c in zip(av, tl))
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _inverse_predictor(img: np.ndarray, sub: np.ndarray, size_bits: int) -> np.ndarray:
+    h, w = img.shape
+    out = np.zeros_like(img)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = _chans(int(out[0, x - 1]))  # top row: Left
+            elif x == 0:
+                pred = _chans(int(out[y - 1, 0]))  # first column: Top
+            else:
+                mode = (int(sub[y >> size_bits, x >> size_bits]) >> 8) & 0xFF
+                left = _chans(int(out[y, x - 1]))
+                top = _chans(int(out[y - 1, x]))
+                tl = _chans(int(out[y - 1, x - 1]))
+                tr = (
+                    _chans(int(out[y - 1, x + 1]))
+                    if x + 1 < w
+                    else _chans(int(out[y, 0]))
+                )
+                pred = _predict(mode, left, top, tl, tr)
+            res = _chans(int(img[y, x]))
+            out[y, x] = _pack(tuple((rc + pc) & 0xFF for rc, pc in zip(res, pred)))
+    return out
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """Decode a WebP container to (H, W, 3) RGB or (H, W, 4) RGBA uint8
+    (alpha kept only when some pixel is non-opaque). Lossy VP8 and
+    animation raise NotImplementedError; malformed input ValueError."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if fourcc == b"VP8L":
+            rgba = decode_vp8l(body)
+            if (rgba[:, :, 3] == 255).all():
+                return rgba[:, :, :3]
+            return rgba
+        if fourcc == b"VP8 ":
+            raise NotImplementedError("lossy VP8 decode")
+        if fourcc == b"ANIM":
+            raise NotImplementedError("animated WebP decode")
+        # VP8X and metadata chunks: keep scanning for VP8L
+    raise ValueError("no VP8L chunk in WebP container")
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _flat_lengths(alphabet: int, used: set[int]) -> list[int]:
+    """A COMPLETE canonical code over the whole alphabet (decoders
+    reject incomplete codes): with L = ceil(log2 n), 2^L - n symbols at
+    length L-1 and the rest at L. Deterministic and valid; compression
+    is irrelevant for fixtures."""
+    n = alphabet
+    if n == 1:
+        return [1]
+    length = max(1, (n - 1).bit_length())
+    m = (1 << length) - n  # symbols promoted to length-1
+    return [length - 1 if i < m and length > 1 else length for i in range(n)]
+
+
+def _write_code(bw: _LsbWriter, lengths: list[int], used: list[int]) -> None:
+    """Emit a prefix code: simple form for <=2 used symbols, else the
+    normal form with the code-length code (no repeats — fixtures are
+    small and the decoder's repeat path is covered by 17/18 zeros? no:
+    plain literals only, bounded-symbol flag off)."""
+    if len(used) == 1 and used[0] < 256:
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        if used[0] < 2:
+            bw.write(0, 1)  # 1-bit first symbol
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)  # 8-bit first symbol
+            bw.write(used[0], 8)
+        return
+    if len(used) == 2 and used[0] < 256 and used[1] < 256 and used[0] < 2:
+        bw.write(1, 1)
+        bw.write(1, 1)  # two symbols
+        bw.write(0, 1)  # first symbol in 1 bit
+        bw.write(used[0], 1)
+        bw.write(used[1], 8)
+        return
+    # normal form: code lengths in {L-1, L}; transmit them literally
+    bw.write(0, 1)
+    distinct = sorted(set(lengths))
+    # code-length code: give each distinct length a 1- or 2-bit code
+    cl_lengths = [0] * 19
+    if len(distinct) == 1:
+        cl_lengths[distinct[0]] = 1  # single-symbol CL code reads 0 bits
+    else:
+        for d in distinct:
+            cl_lengths[d] = 1 if len(distinct) == 2 else 2
+        if len(distinct) > 4:
+            raise ValueError("flat code should have <= 2 distinct lengths")
+    need = max(_CL_ORDER.index(d) for d in distinct) + 1
+    num_cl = max(need, 4)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no bounded-symbol-count trick
+    cl_codes = _canonical_codes(cl_lengths)
+    for ln in lengths:
+        code, n = cl_codes[ln]
+        bw.write(code, n)
+
+
+def _emit_entropy_image(
+    bw: _LsbWriter,
+    argb: np.ndarray,
+    cache_bits: int = 0,
+    use_lz77: bool = False,
+    main: bool = False,
+    use_dist_map: bool = False,
+) -> None:
+    """Encode an ARGB (h, w) array as one entropy-coded image: color-
+    cache header, the meta-prefix bit (main image only — always 0 here:
+    a single code group), one code group, pixel stream. Optional
+    run-detecting LZ77 over distance-1 / distance-width runs."""
+    h, w = argb.shape
+    flat = [int(x) for x in argb.reshape(-1)]
+    total = len(flat)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    # tokenize
+    tokens = []  # ('lit', px) / ('copy', length, dist) / ('cache', idx)
+    cache = [0] * cache_size
+    pos = 0
+    while pos < total:
+        if use_lz77 and pos >= 1:
+            best_len = 0
+            best_dist = 0
+            for dist in ([1, w] if pos >= w else [1]):
+                ln = 0
+                while pos + ln < total and flat[pos + ln] == flat[pos + ln - dist]:
+                    ln += 1
+                    if ln >= 4096:
+                        break
+                if ln > best_len:
+                    best_len, best_dist = ln, dist
+            if best_len >= 3:
+                tokens.append(("copy", best_len, best_dist))
+                if cache_size:
+                    for i in range(best_len):
+                        px = flat[pos + i]
+                        cache[_cache_hash(px, cache_bits)] = px
+                pos += best_len
+                continue
+        px = flat[pos]
+        if cache_size and cache[_cache_hash(px, cache_bits)] == px:
+            tokens.append(("cache", _cache_hash(px, cache_bits)))
+        else:
+            tokens.append(("lit", px))
+        if cache_size:
+            cache[_cache_hash(px, cache_bits)] = px
+        pos += 1
+
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)
+    if main:
+        bw.write(0, 1)  # no meta-prefix image: one code group
+
+    green_alpha = 256 + 24 + cache_size
+    g_used, r_used, b_used, a_used, d_used = set(), set(), set(), set(), set()
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            g_used.add((px >> 8) & 0xFF)
+            r_used.add((px >> 16) & 0xFF)
+            b_used.add(px & 0xFF)
+            a_used.add((px >> 24) & 0xFF)
+        elif t[0] == "copy":
+            g_used.add(256 + _prefix_encode(t[1])[0])
+            if use_dist_map and t[2] == 1:
+                d_used.add(_prefix_encode(2)[0])
+            elif use_dist_map and t[2] == w:
+                d_used.add(_prefix_encode(1)[0])
+            else:
+                d_used.add(_prefix_encode(t[2] + 120)[0])
+        else:
+            g_used.add(280 + t[1])
+
+    tables = []
+    for alphabet, used in (
+        (green_alpha, g_used),
+        (256, r_used),
+        (256, b_used),
+        (256, a_used),
+        (40, d_used),
+    ):
+        u = sorted(used) if used else [0]
+        if len(u) <= 2 and all(x < 256 for x in u) and (len(u) == 1 or u[0] < 2):
+            _write_simple_code(bw, u)
+            if len(u) == 1:
+                tables.append({u[0]: (0, 0)})
+            else:
+                tables.append({u[0]: (0, 1), u[1]: (1, 1)})
+        else:
+            lengths = _flat_lengths(alphabet)
+            _write_normal_code(bw, lengths)
+            tables.append(_canonical_codes(lengths))
+    g_tab, r_tab, b_tab, a_tab, d_tab = tables
+
+    def emit(tab, sym):
+        # prefix codes are read MSB-of-code-first (DEFLATE convention)
+        # while all other fields pack LSB-first: write reversed
+        code, n = tab[sym]
+        for i in range(n - 1, -1, -1):
+            bw.write((code >> i) & 1, 1)
+
+    for t in tokens:
+        if t[0] == "lit":
+            px = t[1]
+            emit(g_tab, (px >> 8) & 0xFF)
+            emit(r_tab, (px >> 16) & 0xFF)
+            emit(b_tab, px & 0xFF)
+            emit(a_tab, (px >> 24) & 0xFF)
+        elif t[0] == "copy":
+            _, length, dist = t
+            sym, eb, ev = _prefix_encode(length)
+            emit(g_tab, 256 + sym)
+            if eb:
+                bw.write(ev, eb)
+            if use_dist_map and dist == 1:
+                dcode = 2  # map entry (1, 0)
+            elif use_dist_map and dist == w:
+                dcode = 1  # map entry (0, 1)
+            else:
+                dcode = dist + 120  # plain distance code
+            sym, eb, ev = _prefix_encode(dcode)
+            emit(d_tab, sym)
+            if eb:
+                bw.write(ev, eb)
+        else:
+            emit(g_tab, 280 + t[1])
+
+
+def _flat_lengths(alphabet: int) -> list[int]:
+    """A COMPLETE canonical code over the whole alphabet (decoders
+    reject incomplete codes): with L = ceil(log2 n), the first
+    2^L - n symbols get length L-1 and the rest length L. Deterministic
+    and valid; compression is irrelevant for fixtures."""
+    n = alphabet
+    if n == 1:
+        return [1]
+    length = (n - 1).bit_length()
+    m = (1 << length) - n
+    return [length - 1 if i < m and length > 1 else length for i in range(n)]
+
+
+def _write_simple_code(bw: _LsbWriter, used: list[int]) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(len(used) - 1, 1)
+    if len(used) == 1:
+        if used[0] < 2:
+            bw.write(0, 1)
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        return
+    # two symbols: first must fit the chosen width; we only take u0 < 2
+    bw.write(0, 1)
+    bw.write(used[0], 1)
+    bw.write(used[1], 8)
+
+
+def _write_normal_code(bw: _LsbWriter, lengths: list[int]) -> None:
+    """Normal form with the code-length code; the flat code has at most
+    two distinct lengths, each transmitted literally (no repeats)."""
+    bw.write(0, 1)
+    distinct = sorted(set(lengths))
+    cl_lengths = [0] * 19
+    if len(distinct) == 1:
+        cl_lengths[distinct[0]] = 1  # single-symbol CL code: zero bits
+    else:
+        for d in distinct:
+            cl_lengths[d] = 1
+    need = max(_CL_ORDER.index(d) for d in distinct) + 1
+    num_cl = max(need, 4)
+    bw.write(num_cl - 4, 4)
+    for i in range(num_cl):
+        bw.write(cl_lengths[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no bounded-symbol-count form
+    cl_codes = _canonical_codes(cl_lengths)
+    single = len(distinct) == 1
+    for ln in lengths:
+        if not single:
+            code, n = cl_codes[ln]
+            for i in range(n - 1, -1, -1):  # MSB-first (see emit())
+                bw.write((code >> i) & 1, 1)
+        # single distinct length: the CL code reads zero bits per symbol
+
+
+def encode_webp_lossless(
+    arr: np.ndarray,
+    use_palette: bool = False,
+    subtract_green: bool = False,
+    predictor_left: bool = False,
+    predictor_mode: int | None = None,
+    color_transform: tuple[int, int, int] | None = None,
+    cache_bits: int = 0,
+    use_lz77: bool = True,
+    use_dist_map: bool = False,
+) -> bytes:
+    """Deterministic VP8L encoder for (H, W) grayscale, (H, W, 3) RGB or
+    (H, W, 4) RGBA uint8 arrays — lossless by construction (fixtures
+    assert decode(encode(x)) == x exactly). The transform flags
+    exercise the decoder's inverse-transform paths; the predictor
+    variant fixes every block to mode 1 (Left). Transforms are
+    announced (and forward-applied) in subtract-green -> predictor ->
+    palette order; the decoder inverse-applies them in reverse."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a, a, a], axis=2)
+    if a.shape[2] == 3:
+        a = np.concatenate([a, np.full((*a.shape[:2], 1), 255, np.uint8)], axis=2)
+    h, w = a.shape[:2]
+    if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
+        raise ValueError("VP8L dims out of range")
+    argb = (
+        (a[:, :, 3].astype(np.uint32) << 24)
+        | (a[:, :, 0].astype(np.uint32) << 16)
+        | (a[:, :, 1].astype(np.uint32) << 8)
+        | a[:, :, 2].astype(np.uint32)
+    )
+
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(int((a[:, :, 3] != 255).any()), 1)
+    bw.write(0, 3)  # version
+
+    img = argb
+    if predictor_left and predictor_mode is None:
+        predictor_mode = 1
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)  # SUBTRACT_GREEN
+        g = (img >> 8) & 0xFF
+        r = (((img >> 16) & 0xFF) - g) & 0xFF
+        b = ((img & 0xFF) - g) & 0xFF
+        img = (img & np.uint32(0xFF00FF00)) | (r << 16) | b
+    if color_transform is not None:
+        g2r, g2b, r2b = color_transform
+        bw.write(1, 1)
+        bw.write(1, 2)  # COLOR transform
+        size_bits = 2
+        bw.write(size_bits - 2, 3)
+        bwk = -(-w // (1 << size_bits))
+        bh = -(-h // (1 << size_bits))
+        cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+        _emit_entropy_image(bw, np.full((bh, bwk), cte, dtype=np.uint32),
+                            use_lz77=True)
+        out = img.copy()
+        for y in range(h):
+            for x in range(w):
+                px = int(img[y, x])
+                gch = (px >> 8) & 0xFF
+                rch = (px >> 16) & 0xFF
+                bch = px & 0xFF
+                sr = (rch - _ct_delta(g2r, gch)) & 0xFF
+                # the inverse adds d(r2b, FINAL red) = d(r2b, original red)
+                sb = (bch - _ct_delta(g2b, gch) - _ct_delta(r2b, rch)) & 0xFF
+                out[y, x] = (px & 0xFF00FF00) | (sr << 16) | sb
+        img = out
+    if predictor_mode is not None:
+        bw.write(1, 1)
+        bw.write(0, 2)  # PREDICTOR
+        size_bits = 2  # blocks of 4
+        bw.write(size_bits - 2, 3)
+        bwk = -(-w // (1 << size_bits))
+        bh = -(-h // (1 << size_bits))
+        sub = np.full((bh, bwk), 0xFF000000 | (predictor_mode << 8),
+                      dtype=np.uint32)
+        _emit_entropy_image(bw, sub, use_lz77=True)
+        # residuals per the decoder's corner/edge rules; inside pixels
+        # use _predict on the ORIGINAL neighbors (decoded == original,
+        # the transform is lossless)
+        res = np.zeros_like(img)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = (0xFF, 0, 0, 0)
+                elif y == 0:
+                    pred = _chans(int(img[0, x - 1]))
+                elif x == 0:
+                    pred = _chans(int(img[y - 1, 0]))
+                else:
+                    left = _chans(int(img[y, x - 1]))
+                    top = _chans(int(img[y - 1, x]))
+                    tl = _chans(int(img[y - 1, x - 1]))
+                    tr = (_chans(int(img[y - 1, x + 1])) if x + 1 < w
+                          else _chans(int(img[y, 0])))
+                    pred = _predict(predictor_mode, left, top, tl, tr)
+                cur = _chans(int(img[y, x]))
+                res[y, x] = _pack(tuple((c - p) & 0xFF for c, p in zip(cur, pred)))
+        img = res
+    if use_palette:
+        colors = []
+        seen = {}
+        for px in img.reshape(-1):
+            px = int(px)
+            if px not in seen:
+                seen[px] = len(colors)
+                colors.append(px)
+        if len(colors) > 256:
+            raise ValueError("palette mode needs <= 256 distinct colors")
+        bw.write(1, 1)
+        bw.write(3, 2)  # COLOR_INDEXING
+        bw.write(len(colors) - 1, 8)
+        pal = np.zeros((1, len(colors)), dtype=np.uint32)  # delta-coded
+        prev = 0
+        for i, c in enumerate(colors):
+            d = 0
+            for shift in (0, 8, 16, 24):
+                d |= (((c >> shift) - (prev >> shift)) & 0xFF) << shift
+            pal[0, i] = d
+            prev = c
+        _emit_entropy_image(bw, pal, use_lz77=False)
+        n = len(colors)
+        wbits = 3 if n <= 2 else (2 if n <= 4 else (1 if n <= 16 else 0))
+        idx = np.vectorize(lambda p: seen[int(p)])(img).astype(np.uint32)
+        if wbits:
+            ppb = 1 << wbits
+            bits_pp = 8 >> wbits
+            pw = -(-w // ppb)
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for x in range(w):
+                packed[:, x // ppb] |= idx[:, x] << ((x % ppb) * bits_pp)
+            img = np.uint32(0xFF000000) | (packed << 8)
+        else:
+            img = np.uint32(0xFF000000) | (idx << 8)
+    bw.write(0, 1)  # no more transforms
+
+    _emit_entropy_image(bw, img, cache_bits=cache_bits, use_lz77=use_lz77,
+                        main=True, use_dist_map=use_dist_map)
+    payload = bw.flush()
+
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

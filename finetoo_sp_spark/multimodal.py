@@ -60,10 +60,13 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
     PNG decodes via the pure-stdlib codec (codecs/png.py: zlib inflate,
     chunk CRCs, all five scanline filters, vectorized de-filter);
-    baseline JPEG via codecs/jpeg.py (SOF0/SOF1, Huffman, 4:4:4/4:2:0,
-    restart markers). Progressive JPEG and other formats (WebP, GIF)
-    raise NotImplementedError — corpus kernels catch and skip, and
-    ``fake_features`` remains the deterministic plumbing fallback.
+    JPEG via codecs/jpeg.py (baseline SOF0/SOF1 AND progressive SOF2,
+    Huffman, 4:4:4/4:2:0, restart markers); WebP-lossless via
+    codecs/vp8l.py (full VP8L: transforms, color cache, LZ77,
+    meta-prefix groups). Lossy-VP8 WebP, GIF pixels, and
+    arithmetic-coded JPEG raise NotImplementedError — corpus kernels
+    catch and skip, and ``fake_features`` remains the deterministic
+    plumbing fallback.
     """
     b = bytes(payload)
     if b.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -74,10 +77,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from finetoo_sp_spark.codecs.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from finetoo_sp_spark.codecs.vp8l import decode_webp
+
+        return decode_webp(b)
     raise NotImplementedError(
-        "unsupported image format (PNG and baseline JPEG decode without "
-        "a codec library); use fake_features (deterministic) for "
-        "plumbing tests"
+        "unsupported image format (PNG, JPEG, and lossless WebP decode "
+        "without a codec library); use fake_features (deterministic) "
+        "for plumbing tests"
     )
 
 
