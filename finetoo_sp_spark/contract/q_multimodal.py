@@ -271,6 +271,32 @@ def q_image_stats_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_stats_gif",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode (LZW + sub-block framing + 4-pass interlace on odd
+    ids) under the same per-pixel-exact formula oracle as the
+    JPEG/WebP queries — GIF is palette-lossless, so any decode slip in
+    the LZW dictionary, width growth, or interlace reorder breaks the
+    sums."""
+    from finetoo_sp_spark.datagen import gen_gif_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_gif_assets(spark, 48))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx

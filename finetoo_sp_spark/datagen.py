@@ -409,6 +409,38 @@ def gen_webp_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFra
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
+def gen_gif_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """The block-flat formula images through the GIF encoder (lossless:
+    the few distinct block values fit any palette), alternating
+    sequential and interlaced layout per id — LZW, sub-block framing
+    and the 4-pass interlace reorder all verify under the same
+    per-pixel formula oracle."""
+    from finetoo_sp_spark.codecs.gif import encode_gif
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        rows.append((i, "image", encode_gif(img, interlace=bool(i % 2))))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_gif_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic GIF corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_gif_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_wav_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Deterministic synthetic WAV assets with CLOSED-FORM stats: mono
     16-bit square waves at 8 kHz where every sample of asset i is

@@ -63,10 +63,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
     JPEG via codecs/jpeg.py (baseline SOF0/SOF1 AND progressive SOF2,
     Huffman, 4:4:4/4:2:0, restart markers); WebP-lossless via
     codecs/vp8l.py (full VP8L: transforms, color cache, LZ77,
-    meta-prefix groups). Lossy-VP8 WebP, GIF pixels, and
-    arithmetic-coded JPEG raise NotImplementedError — corpus kernels
-    catch and skip, and ``fake_features`` remains the deterministic
-    plumbing fallback.
+    meta-prefix groups); GIF via codecs/gif.py (LZW, interlace,
+    transparency; animated files decode the first frame). Lossy-VP8
+    WebP and arithmetic-coded JPEG raise NotImplementedError — corpus
+    kernels catch and skip, and ``fake_features`` remains the
+    deterministic plumbing fallback.
     """
     b = bytes(payload)
     if b.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -81,6 +82,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from finetoo_sp_spark.codecs.vp8l import decode_webp
 
         return decode_webp(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from finetoo_sp_spark.codecs.gif import decode_gif
+
+        return decode_gif(b)
     raise NotImplementedError(
         "unsupported image format (PNG, JPEG, and lossless WebP decode "
         "without a codec library); use fake_features (deterministic) "

@@ -270,6 +270,10 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "multimodal_image_stats_gif": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
     "multimodal_image_stats_webp": [
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
