@@ -395,6 +395,20 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dhash(gen_dhash_assets(spark, 80))
 
 
+@_q("image_dhash_mixed_formats", _DHASH_SQL)
+def q_image_dhash_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format decode parity under the dHash value oracle: the
+    SAME textured formula images, encoded per id as PNG / lossless
+    WebP / GIF (all lossless), must hash identically — the oracle
+    recomputes the 64 bits from the pixel formula and never sees a
+    container, so any format-specific decode slip (transform inverse,
+    LZW width, palette order) breaks exactly its third of the rows."""
+    from finetoo_sp_spark.datagen import gen_dhash_mixed_assets
+    from finetoo_sp_spark.multimodal import image_dhash
+
+    return image_dhash(gen_dhash_mixed_assets(spark, 80))
+
+
 @_q(
     "image_neardup_pairs",
     f"""

@@ -441,6 +441,44 @@ def gen_gif_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFram
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
+def gen_dhash_mixed_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """gen_dhash_pandas's textured formula images, rotated across the
+    three LOSSLESS encoders per id — PNG (i%3=0), WebP-VP8L (1),
+    GIF (2; the formula's channel offsets keep distinct RGB triples
+    <= 256) — so one dHash oracle verifies decode parity across
+    formats: lossless means the hash must be identical whatever the
+    container."""
+    from finetoo_sp_spark.codecs.gif import encode_gif
+    from finetoo_sp_spark.codecs.png import encode_png
+    from finetoo_sp_spark.codecs.vp8l import encode_webp_lossless
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 16 + i % 8, 12 + i % 5
+        r = np.arange(h)[:, None, None]
+        c = np.arange(w)[None, :, None]
+        ch = np.arange(3)[None, None, :]
+        img = (
+            (13 * i + 3 * r * r + 5 * c * c + (1 + i % 4) * r * c + 11 * ch) % 256
+        ).astype(np.uint8)
+        enc = [encode_png, encode_webp_lossless, encode_gif][i % 3]
+        rows.append((i, "image", enc(img)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_dhash_mixed_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed mixed-lossless-format dHash corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_dhash_mixed_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_wav_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Deterministic synthetic WAV assets with CLOSED-FORM stats: mono
     16-bit square waves at 8 kHz where every sample of asset i is
