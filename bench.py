@@ -183,6 +183,15 @@ def main() -> None:
         "ccnet_lm_filter",
         "video_metadata",
         "image_dup_clusters",
+        # round-5 additions
+        "multimodal_image_stats_jpeg_progressive",
+        "multimodal_image_stats_webp",
+        "multimodal_image_stats_gif",
+        "image_dhash_mixed_formats",
+        "dxf_entities_by_type",
+        "pq_codes",
+        "ann_ivf_pq_topk",
+        "http_robots_gate",
         "image_dimensions",
         "curation_v3",
         "bpe_learn_merges",

@@ -598,9 +598,32 @@ def _emit_eobrun(wtr: _BitWriter, ac_codes, eobrun: int, corr_bits) -> None:
         wtr.write(b, 1)
 
 
-def _encode_dc_scan(wtr, units, flat, dc_codes, ah: int, al: int) -> None:
+class _RestartEmitter:
+    """Byte-aligns the writer and appends an RSTn marker every ``ri``
+    coding units (T.81 restart semantics: pad with 1-bits, marker
+    modulo-8, entropy state resets at the boundary)."""
+
+    def __init__(self, wtr: _BitWriter, ri: int):
+        self.wtr = wtr
+        self.ri = ri
+        self.n = 0
+
+    def boundary(self, unit_idx: int) -> bool:
+        if self.ri and unit_idx and unit_idx % self.ri == 0:
+            self.wtr.flush()
+            self.wtr.buf += bytes([0xFF, 0xD0 + self.n % 8])
+            self.n += 1
+            return True
+        return False
+
+
+def _encode_dc_scan(wtr, units, flat, dc_codes, ah: int, al: int,
+                    ri: int = 0) -> None:
     preds: dict[int, int] = {}
-    for unit in units:
+    rst = _RestartEmitter(wtr, ri)
+    for ui, unit in enumerate(units):
+        if rst.boundary(ui):
+            preds = {}
         for ci, bi in unit:
             dc = int(flat[ci][bi][0])
             if ah == 0:
@@ -616,9 +639,16 @@ def _encode_dc_scan(wtr, units, flat, dc_codes, ah: int, al: int) -> None:
                 wtr.write((dc >> al) & 1, 1)
 
 
-def _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al) -> None:
+def _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al,
+                          ri: int = 0) -> None:
     eobrun = 0
-    for zz in blocks:
+    rst = _RestartEmitter(wtr, ri)
+    for ui, zz in enumerate(blocks):
+        if ri and ui and ui % ri == 0:
+            if eobrun:  # a run may not cross a restart boundary
+                _emit_eobrun(wtr, ac_codes, eobrun, [])
+                eobrun = 0
+            rst.boundary(ui)
         band = [_shift_mag(int(zz[k]), al) for k in range(ss, se + 1)]
         last = -1
         for i, v in enumerate(band):
@@ -653,7 +683,8 @@ def _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al) -> None:
         _emit_eobrun(wtr, ac_codes, eobrun, [])
 
 
-def _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al) -> None:
+def _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al,
+                           ri: int = 0) -> None:
     """Correction-bit pass (T.81 G.1.2.3): newly-significant
     coefficients code as run/1 symbols whose runs count only
     ZERO-HISTORY positions; a correction bit for every
@@ -663,7 +694,13 @@ def _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al) -> None:
     decoder consumes them."""
     eobrun = 0
     pend: list[int] = []  # correction bits riding the deferred EOBn
-    for zz in blocks:
+    rst = _RestartEmitter(wtr, ri)
+    for ui, zz in enumerate(blocks):
+        if ri and ui and ui % ri == 0:
+            if eobrun:
+                _emit_eobrun(wtr, ac_codes, eobrun, pend)
+                eobrun, pend = 0, []
+            rst.boundary(ui)
         # walk events at this precision: 'c'=history coef (corr bit),
         # 'n'=newly significant (sign), 'z'=still zero
         events: list[tuple] = []
@@ -739,6 +776,7 @@ def encode_jpeg_progressive(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     scans: list[tuple] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Deterministic progressive (SOF2) JFIF encoder: same color /
     subsample / FDCT / quantization front end as the baseline encoder,
@@ -769,6 +807,8 @@ def encode_jpeg_progressive(
     head += _seg(0xC2, bytes(sof))  # SOF2: progressive DCT, Huffman
     head += _seg(0xC4, _dht_payload(0, 0, _FLAT_DC))
     head += _seg(0xC4, _dht_payload(1, 0, _FLAT_AC))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
 
     body = bytearray()
     for cis, ss, se, ah, al in scans:
@@ -785,13 +825,16 @@ def encode_jpeg_progressive(
         units = _scan_units(cis, comps, h, w, hmax, vmax, mcux, mcuy)
         wtr = _BitWriter()
         if ss == 0:
-            _encode_dc_scan(wtr, units, flat, dc_codes, ah, al)
+            _encode_dc_scan(wtr, units, flat, dc_codes, ah, al,
+                            ri=restart_interval)
         else:
             blocks = [flat[u[0][0]][u[0][1]] for u in units]
             if ah == 0:
-                _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al)
+                _encode_ac_first_scan(wtr, blocks, ac_codes, ss, se, al,
+                                      ri=restart_interval)
             else:
-                _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al)
+                _encode_ac_refine_scan(wtr, blocks, ac_codes, ss, se, al,
+                                       ri=restart_interval)
         wtr.flush()
         body += _seg(0xDA, bytes(sos)) + bytes(wtr.buf)
     return bytes(head) + bytes(body) + b"\xff\xd9"

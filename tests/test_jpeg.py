@@ -278,3 +278,29 @@ def test_progressive_flows_through_image_stats_kernel(spark):
     for i in (0, 1):
         assert (got[i]["width"], got[i]["height"], got[i]["channels"]) == (16, 16, 1)
         assert got[i]["sum_r"] == 140 * 16 * 16
+
+
+def test_progressive_restart_markers():
+    """Restart markers inside progressive scans (DC predictor and
+    EOB-run state reset at every RSTn boundary, runs never cross it)
+    reconstruct the exact baseline pixels."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(21)
+    for img, kw in [
+        (rng.integers(0, 256, (24, 24), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+         {"subsampling": "420"}),
+        (np.full((32, 16), 140, dtype=np.uint8), {}),
+    ]:
+        b = decode_jpeg(encode_jpeg_baseline(img, **kw))
+        for ri in (1, 2, 3):
+            p = decode_jpeg(
+                encode_jpeg_progressive(img, restart_interval=ri, **kw)
+            )
+            assert (b == p).all(), (img.shape, kw, ri)
+    # the stream really carries RST markers
+    blob = encode_jpeg_progressive(
+        rng.integers(0, 256, (24, 24), dtype=np.uint8), restart_interval=2
+    )
+    assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
