@@ -78,7 +78,9 @@ def main() -> None:
     n_out = 0
     for leg_no in range(3 + leg_retry_budget):
         if leg_no >= 3:
-            if best_leg_steal is None or best_leg_steal <= 2.0:
+            # retry gate matches the headline_polluted threshold (1%):
+            # a leg the record would flag is a leg worth re-running
+            if best_leg_steal is None or best_leg_steal <= 1.0:
                 break  # already have a clean best leg
             time.sleep(8.0)  # give the noisy neighbor a chance to pass
             headline_retries += 1
@@ -303,7 +305,7 @@ def main() -> None:
                 "headline_polluted": bool(best_leg_steal and best_leg_steal > 1.0),
                 "headline_retries": headline_retries,
                 "headline_retries_exhausted": bool(
-                    headline_retries and best_leg_steal and best_leg_steal > 2.0
+                    headline_retries and best_leg_steal and best_leg_steal > 1.0
                 ),
             }
         )
