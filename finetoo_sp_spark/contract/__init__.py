@@ -90,6 +90,7 @@ from finetoo_sp_spark.contract.q_crawl import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_webgraph import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_multimodal import *  # noqa: F401,F403
 from finetoo_sp_spark.contract.q_sketch import *  # noqa: F401,F403
+from finetoo_sp_spark.contract.q_cdx import *  # noqa: F401,F403
 
 
 

@@ -1,0 +1,213 @@
+"""Contract queries: the Common Crawl ACCESS layer (cdx index + HTTP
+transfer decoding).
+
+warc_roundtrip proved the container parses; these two prove the two
+things a consumer of a real crawl additionally relies on:
+
+* ``cdx_index`` — gzip-member offset indexing with SURT keys
+  (sources/cdx.py). The query writes real .warc.gz archives (one gzip
+  member per record, Common Crawl layout), scans member bounds by
+  streaming inflate, then fetches EVERY record back through its own
+  (offset, length) slice — so the oracle-matched payload sha is also a
+  proof the offsets are valid random-access handles. File membership
+  and in-file order are deterministic (file_id = doc_id % 4, records
+  sorted by doc_id) so the oracle can recompute filename and rec_seq.
+
+* ``http_transfer_decode`` — WARC response records carry the HTTP
+  message as it crossed the wire, so Transfer-Encoding: chunked and
+  Content-Encoding: gzip arrive verbatim; the reader must undo both
+  layers (transport framing first, then representation). Four on-wire
+  modes cycle by doc_id % 4; the oracle recomputes the decoded bytes'
+  sha/length straight from the documents table, so a missed or
+  misordered decode can't hash-match.
+"""
+
+from __future__ import annotations
+
+from finetoo_sp_spark.contract._core import (
+    DataFrame,
+    SparkSession,
+    F,
+    T,
+    _q,
+    _tmp_out,
+)
+
+# Shared SQL: urls synthesized from the documents table, cycling three
+# SURT-relevant surface spellings (plain / www + unsorted query params +
+# trailing slash / uppercase scheme-host + default port).
+_CDX_URLS_SQL = """
+urls AS (
+  SELECT doc_id, text,
+    CAST(doc_id % 4 AS INTEGER) AS file_id,
+    CASE CAST(doc_id % 3 AS INTEGER)
+      WHEN 0 THEN 'https://' || source || '.example.com/doc/' || doc_id
+      WHEN 1 THEN 'https://www.' || source || '.example.com/doc/' || doc_id
+        || '/?b=' || CAST(doc_id % 7 AS VARCHAR)
+        || '&a=' || CAST(doc_id % 5 AS VARCHAR)
+      ELSE 'HTTP://' || upper(source) || '.EXAMPLE.COM:80/doc/' || doc_id
+    END AS url
+  FROM documents
+)"""
+
+
+def _cdx_write_urls(doc_id: int, source: str) -> str:
+    m = doc_id % 3
+    if m == 0:
+        return f"https://{source}.example.com/doc/{doc_id}"
+    if m == 1:
+        return (
+            f"https://www.{source}.example.com/doc/{doc_id}"
+            f"/?b={doc_id % 7}&a={doc_id % 5}"
+        )
+    return f"HTTP://{source.upper()}.EXAMPLE.COM:80/doc/{doc_id}"
+
+
+@_q(
+    "cdx_index",
+    f"""
+WITH {_CDX_URLS_SQL},
+s AS (
+  SELECT *, regexp_replace(regexp_replace(lower(url),
+    '^[a-z][a-z0-9+.-]*://', ''), '#.*', '') AS t
+  FROM urls
+),
+p AS (
+  SELECT *, regexp_extract(t, '^([^/?]*)', 1) AS hostport,
+    regexp_replace(t, '^[^/?]*', '') AS pathq
+  FROM s
+),
+h AS (
+  SELECT *,
+    regexp_replace(regexp_replace(hostport, ':(80|443)$', ''),
+      '^www[0-9]*\\.', '') AS host,
+    CASE WHEN regexp_replace(pathq, '\\?.*', '') = '' THEN '/'
+         ELSE regexp_replace(pathq, '\\?.*', '') END AS path,
+    CASE WHEN position('?' IN pathq) > 0
+         THEN regexp_replace(pathq, '^[^?]*\\?', '') ELSE '' END AS qs
+  FROM p
+)
+SELECT 'part-' || CAST(file_id AS VARCHAR) || '.warc.gz' AS filename,
+  CAST(row_number() OVER (PARTITION BY file_id ORDER BY doc_id) - 1
+    AS BIGINT) AS rec_seq,
+  array_to_string(list_reverse(string_split(host, '.')), ',') || ')'
+    || path
+    || CASE WHEN qs = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(string_split(qs, '&')), '&')
+       END AS surt_key,
+  url,
+  TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts,
+  sha256(text) AS payload_sha
+FROM h""",
+)
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdx over real archives (sources/cdx.py): write gzip-member WARCs
+    with deterministic file membership, scan member spans, random-fetch
+    each record through its own slice, emit the index row. rec_seq is
+    rank-by-offset within the file; the oracle expects rank-by-doc_id —
+    equality proves member order == write order, and the sha proves the
+    (offset, length) handles decode to the right record."""
+    import datetime as _dt
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.cdx import read_cdx_entries, surt_key
+    from finetoo_sp_spark.sources.warc import make_warc
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = _tmp_out("cdx")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                _cdx_write_urls(int(r.doc_id), r.source),
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+                r.text.encode("utf-8"),
+            )
+            for r in pdf.itertuples()
+        ]
+        fid = int(pdf["file_id"].iloc[0])
+        with open(_os.path.join(out, f"part-{fid}.warc.gz"), "wb") as f:
+            f.write(make_warc(recs, gzip_members=True))
+        return pd.DataFrame({"n": [len(recs)]})
+
+    (
+        docs.withColumn("file_id", (F.col("doc_id") % 4).cast("int"))
+        .groupBy("file_id")
+        .applyInPandas(write, "n long")
+        .collect()
+    )
+    idx = read_cdx_entries(spark, out)
+    return idx.select(
+        "filename",
+        "rec_seq",
+        surt_key(F.col("url")).alias("surt_key"),
+        "url",
+        "warc_ts",
+        F.sha2("html", 256).alias("payload_sha"),
+    )
+
+
+@_q(
+    "http_transfer_decode",
+    """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+  CASE CAST(doc_id % 4 AS INTEGER)
+    WHEN 0 THEN 'plain' WHEN 1 THEN 'chunked'
+    WHEN 2 THEN 'gzip' ELSE 'chunked+gzip' END AS mode,
+  sha256(text) AS payload_sha,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents""",
+)
+def q_http_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-wire HTTP encodings through the WARC reader
+    (sources/warc.make_warc_transfer / _decode_http_body): bodies are
+    written chunked, gzipped, both, or plain — cycling by doc_id — and
+    the decoded payload's sha256 and byte length must equal the
+    original text's on every mode."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.warc import make_warc_transfer, read_warc_pages_http
+
+    _MODES = ["plain", "chunked", "gzip", "chunked+gzip"]
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    out = _tmp_out("httpenc")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = [
+                (
+                    f"https://{r.source}.example.com/doc/{int(r.doc_id)}",
+                    _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+                    r.text.encode("utf-8"),
+                    _MODES[int(r.doc_id) % 4],
+                )
+                for r in pdf.itertuples()
+            ]
+            name = _hl.sha256(recs[0][0].encode()).hexdigest()[:16]
+            with open(_os.path.join(out, f"{name}.warc"), "wb") as f:
+                f.write(make_warc_transfer(recs))
+            yield pd.DataFrame({"n": [len(recs)]})
+
+    docs.repartition(4).mapInPandas(write, "n long").collect()
+    pages = read_warc_pages_http(spark, out)
+    doc_id = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    return pages.select(
+        "url",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MODES]),
+            (doc_id % 4 + 1).cast("int"),
+        ).alias("mode"),
+        F.sha2("html", 256).alias("payload_sha"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )

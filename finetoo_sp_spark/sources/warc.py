@@ -28,6 +28,7 @@ import datetime as dt
 import gzip
 import io
 import re
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -111,15 +112,139 @@ def parse_warc(
             ts = dt.datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ")
         except ValueError:
             pass
-        # strip the HTTP response envelope if present
-        payload = body
-        if rec_type == b"response" and body[:5] in (b"HTTP/",):
-            sep = body.find(_CRLF + _CRLF)
-            if sep >= 0:
-                payload = body[sep + 4 :]
+        # strip the HTTP response envelope (and undo its transfer /
+        # content encodings) if present
+        payload = _strip_http(body) if rec_type == b"response" else body
         if url:
             out.append((url, ts, payload))
     return out
+
+
+def _dechunk(body: bytes) -> "bytes | None":
+    """Decode an RFC 9112 chunked transfer coding: hex-size CRLF data
+    CRLF ... 0 CRLF [trailers] CRLF. Chunk extensions (';ext=...') are
+    ignored per spec; trailers are dropped. Returns None on malformed
+    framing so callers can fall back to the raw bytes (a WARC must
+    never lose a record to a bad origin)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(_CRLF, pos)
+        if eol < 0:
+            return None
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return None
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) < size or body[pos + size : pos + size + 2] != _CRLF:
+            return None
+        out += chunk
+        pos += size + 2
+
+
+def _decode_http_body(payload: bytes, transfer_enc: str, content_enc: str) -> bytes:
+    """WARC response records store the HTTP message as it crossed the
+    wire (ISO 28500 §6.3.2), so chunked framing and compressed
+    representations arrive verbatim — warcio/CC tooling decodes both
+    layers and so do we: Transfer-Encoding first (transport framing),
+    then Content-Encoding (representation). Tolerant: undecodable
+    bodies pass through raw rather than costing the record."""
+    if "chunked" in transfer_enc:
+        decoded = _dechunk(payload)
+        if decoded is not None:
+            payload = decoded
+    ce = content_enc.strip()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            payload = gzip.decompress(payload)
+        except OSError:
+            pass
+    elif ce == "deflate":
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error:
+            try:
+                payload = zlib.decompress(payload, -15)  # raw-deflate origins
+            except zlib.error:
+                pass
+    return payload
+
+
+def _strip_http(body: bytes) -> bytes:
+    """Strip the HTTP response envelope and undo its transfer /
+    content encodings (see _decode_http_body). Bodies that do not start
+    with an HTTP status line are returned untouched."""
+    if body[:5] != b"HTTP/":
+        return body
+    sep = body.find(_CRLF + _CRLF)
+    if sep < 0:
+        return body
+    te = ce = ""
+    for line in body[:sep].split(_CRLF)[1:]:
+        k, _, v = line.partition(b":")
+        hk = k.strip().lower()
+        if hk == b"transfer-encoding":
+            te = v.strip().decode("ascii", "replace").lower()
+        elif hk == b"content-encoding":
+            ce = v.strip().decode("ascii", "replace").lower()
+    return _decode_http_body(body[sep + 4 :], te, ce)
+
+
+def _chunk_encode(payload: bytes, size: int = 1000) -> bytes:
+    """Deterministic chunked transfer coding (fixed chunk size) for the
+    writer side — fixtures exercise multi-chunk bodies without any
+    content-dependent framing choices."""
+    out = bytearray()
+    for i in range(0, len(payload), size):
+        part = payload[i : i + size]
+        out += f"{len(part):x}".encode() + _CRLF + part + _CRLF
+    out += b"0" + _CRLF + _CRLF
+    return bytes(out)
+
+
+def make_warc_transfer(
+    records: list[tuple[str, "dt.datetime", bytes, str]],
+) -> bytes:
+    """make_warc variant exercising on-wire HTTP encodings: records are
+    (url, ts, payload, mode) with mode in {'plain', 'chunked', 'gzip',
+    'chunked+gzip'}. 'gzip' applies Content-Encoding (deterministic
+    mtime=0) and 'chunked' wraps the (possibly compressed) body in
+    Transfer-Encoding framing — the layering real origins produce and
+    parse_warc/_strip_http must undo."""
+    out = io.BytesIO()
+    for url, ts, payload, mode in records:
+        body = payload
+        extra = b""
+        if "gzip" in mode:
+            body = gzip.compress(body, mtime=0)
+            extra += b"Content-Encoding: gzip" + _CRLF
+        if "chunked" in mode:
+            body = _chunk_encode(body)
+            extra += b"Transfer-Encoding: chunked" + _CRLF
+        http = (
+            b"HTTP/1.1 200 OK" + _CRLF
+            + b"Content-Type: text/html" + _CRLF
+            + extra
+            + f"Content-Length: {len(body)}".encode() + _CRLF
+            + _CRLF
+            + body
+        )
+        header = (
+            b"WARC/1.0" + _CRLF
+            + b"WARC-Type: response" + _CRLF
+            + f"WARC-Target-URI: {url}".encode() + _CRLF
+            + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
+            + b"Content-Type: application/http;msgtype=response" + _CRLF
+            + f"Content-Length: {len(http)}".encode() + _CRLF
+            + _CRLF
+        )
+        out.write(header + http + _CRLF + _CRLF)
+    return out.getvalue()
 
 
 PAGES_FROM_WARC_SCHEMA = "url string, warc_ts timestamp, html binary"
@@ -266,7 +391,7 @@ def parse_warc_http(
             )
         except ValueError:
             pass
-        payload, label, x_robots = body, "", ""
+        payload, label, x_robots, te, ce = body, "", "", "", ""
         if body[:5] == b"HTTP/":
             sep = body.find(_CRLF + _CRLF)
             if sep >= 0:
@@ -287,6 +412,11 @@ def parse_warc_http(
                         # earlier lines would under-block opted-out pages.
                         tok = v.strip().decode("utf-8", "replace").lower()
                         x_robots = f"{x_robots}, {tok}" if x_robots else tok
+                    elif hk == b"transfer-encoding":
+                        te = v.strip().decode("ascii", "replace").lower()
+                    elif hk == b"content-encoding":
+                        ce = v.strip().decode("ascii", "replace").lower()
+                payload = _decode_http_body(payload, te, ce)
         if url:
             out.append((url, ts, payload, label, x_robots))
     return out
