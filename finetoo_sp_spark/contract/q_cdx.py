@@ -152,6 +152,90 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "zipnum_index",
+    """
+WITH c AS (
+  SELECT 'com,example,' || source || ')/doc/' || doc_id AS surt,
+    strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+      '%Y%m%d%H%M%S') AS ts14,
+    'https://' || source || '.example.com/doc/' || doc_id AS url
+  FROM documents
+), p AS (
+  SELECT *,
+    CASE WHEN surt < 'com,example,src5' THEN 0 ELSE 1 END AS pid,
+    surt || ' ' || ts14 || ' ' || url AS line
+  FROM c
+), r AS (
+  SELECT *, CAST(row_number()
+    OVER (PARTITION BY pid ORDER BY surt, ts14) - 1 AS BIGINT) AS rk
+  FROM p
+)
+SELECT 'part-' || CAST(pid AS VARCHAR) || '.zipnum.gz' AS filename,
+  rk // 100 AS block_no,
+  count(*) AS n_lines,
+  min(surt) AS first_key,
+  max(surt) AS last_key,
+  sha256(string_agg(line, chr(10) ORDER BY rk) || chr(10)) AS block_sha
+FROM r GROUP BY 1, 2""",
+)
+def q_zipnum_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level cdx index (sources/cdx.pack_zipnum): sorted cdx lines
+    packed into gzip-member blocks of 100 with a cluster.idx of
+    first-key pointers — Common Crawl's binary-searchable index layout.
+    Partition membership uses a FIXED split key (the way cc-index jobs
+    ship a split file), so the oracle can recompute every block's line
+    count, key range, and the sha of its exact decompressed text; the
+    read side decodes each block from its own member slice."""
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.cdx import pack_zipnum, read_zipnum_blocks
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source")
+    out = _tmp_out("zipnum")
+    _os.makedirs(out, exist_ok=True)
+
+    surt = F.concat(
+        F.lit("com,example,"), "source", F.lit(")/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    keyed = docs.select(
+        "doc_id", "source", surt.alias("surt"),
+        F.when(surt < "com,example,src5", 0).otherwise(1).alias("pid"),
+    )
+
+    def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts14 = (
+            pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(pdf["doc_id"], "s")
+        ).dt.strftime("%Y%m%d%H%M%S")
+        url = "https://" + pdf["source"] + ".example.com/doc/" + pdf[
+            "doc_id"
+        ].astype(str)
+        lines = (pdf["surt"] + " " + ts14 + " " + url).tolist()
+        order = pdf["surt"].argsort(kind="stable").tolist()
+        lines = [lines[i] for i in order]
+        blob, cluster = pack_zipnum(lines, block_size=100)
+        pid = int(pdf["pid"].iloc[0])
+        with open(_os.path.join(out, f"part-{pid}.zipnum.gz"), "wb") as f:
+            f.write(blob)
+        return pd.DataFrame(
+            [(pid, k, b, o, ln) for (k, b, o, ln) in cluster],
+            columns=["pid", "first_key", "block_no", "offset", "length"],
+        )
+
+    cluster_idx = keyed.groupBy("pid").applyInPandas(
+        write,
+        "pid int, first_key string, block_no long, offset long, length long",
+    )
+    cluster_idx.collect()  # drives the distributed write
+    return read_zipnum_blocks(spark, out).select(
+        "filename", "block_no", "n_lines", "first_key", "last_key", "block_sha"
+    )
+
+
+@_q(
     "http_transfer_decode",
     """
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,

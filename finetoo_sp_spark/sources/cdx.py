@@ -30,6 +30,7 @@ archive bytes, slice-decompress one member.
 from __future__ import annotations
 
 import gzip
+import io
 import zlib
 from collections.abc import Iterator
 
@@ -153,6 +154,91 @@ def read_cdx_entries(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.mapInPandas(run, schema=CDX_ENTRY_SCHEMA)
+
+
+ZIPNUM_BLOCK_SCHEMA = (
+    "filename string, block_no long, offset long, length long,"
+    " n_lines long, first_key string, last_key string, block_sha string"
+)
+
+
+def pack_zipnum(lines: list[str], block_size: int = 3000) -> tuple[bytes, list]:
+    """Pack SORTED cdx lines into the ZipNum layout: consecutive blocks
+    of ``block_size`` lines, each block gzip-compressed as its own
+    member (deterministic mtime=0) and concatenated. Returns (bytes,
+    cluster entries) where each cluster entry is (first_key_of_block,
+    block_no, offset, length) — the rows of Common Crawl's cluster.idx,
+    the tiny secondary index that makes a ~300 GB cdx binary-searchable:
+    find the last cluster entry <= your key, range-read ONE block,
+    scan <= block_size lines."""
+    out = io.BytesIO()
+    cluster = []
+    for bno in range(0, len(lines), block_size):
+        chunk = lines[bno : bno + block_size]
+        blob = gzip.compress(("\n".join(chunk) + "\n").encode("utf-8"), mtime=0)
+        cluster.append((chunk[0].split(" ", 1)[0], bno // block_size, out.tell(), len(blob)))
+        out.write(blob)
+    return out.getvalue(), cluster
+
+
+def zipnum_lookup(data: bytes, cluster: list, key: str) -> list[str]:
+    """Consumer side of the two-level index: binary-search the cluster
+    entries for the block that can contain ``key``, slice-decompress
+    ONLY that member, return its matching lines. O(log blocks) compares
+    + one block decode regardless of index size."""
+    import bisect
+
+    firsts = [c[0] for c in cluster]
+    i = bisect.bisect_right(firsts, key) - 1
+    if i < 0:
+        return []
+    _, _, off, ln = cluster[i]
+    text = gzip.decompress(data[off : off + ln]).decode("utf-8")
+    return [l for l in text.splitlines() if l.split(" ", 1)[0] == key]
+
+
+def read_zipnum_blocks(spark: SparkSession, path: str) -> DataFrame:
+    """Scan ZipNum part files back into per-block stats (filename,
+    block_no, offset, length, n_lines, first_key, last_key, block_sha).
+    Each block is decoded from its OWN member slice (fetch path =
+    verification path, as in read_cdx_entries); block_sha is sha256 of
+    the decompressed block text, so the packing is value-checkable."""
+    import hashlib
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                name = str(p).rsplit("/", 1)[-1]
+                data = bytes(blob)
+                for bno, (off, ln) in enumerate(gzip_member_spans(data)):
+                    try:
+                        raw = gzip.decompress(data[off : off + ln])
+                    except OSError:
+                        continue
+                    lines = raw.decode("utf-8").splitlines()
+                    if not lines:
+                        continue
+                    rows.append(
+                        (
+                            name, bno, off, ln, len(lines),
+                            lines[0].split(" ", 1)[0],
+                            lines[-1].split(" ", 1)[0],
+                            hashlib.sha256(raw).hexdigest(),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "filename", "block_no", "offset", "length",
+                        "n_lines", "first_key", "last_key", "block_sha",
+                    ],
+                )
+
+    return files.mapInPandas(run, schema=ZIPNUM_BLOCK_SCHEMA)
 
 
 def build_cdx(spark: SparkSession, path: str) -> DataFrame:

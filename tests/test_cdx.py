@@ -14,8 +14,11 @@ from finetoo_sp_spark.sources.cdx import (
     build_cdx,
     fetch_warc_record,
     gzip_member_spans,
+    pack_zipnum,
     read_cdx_entries,
+    read_zipnum_blocks,
     surt_key,
+    zipnum_lookup,
 )
 from finetoo_sp_spark.sources.warc import (
     _chunk_encode,
@@ -153,6 +156,50 @@ def test_surt_key_cases(spark):
     df = spark.createDataFrame([(u,) for u, _ in SURT_CASES], ["url"])
     got = [r.k for r in df.select(surt_key("url").alias("k")).collect()]
     assert got == [k for _, k in SURT_CASES]
+
+
+def _zipnum_lines(n=25):
+    return [f"com,h{i:03d})/p 20240101000000 https://h{i:03d}.com/p"
+            for i in range(n)]
+
+
+def test_pack_zipnum_blocks_and_cluster():
+    lines = _zipnum_lines(25)
+    blob, cluster = pack_zipnum(lines, block_size=10)
+    assert [c[1] for c in cluster] == [0, 1, 2]  # 10+10+5
+    assert cluster[0][0] == "com,h000)/p"
+    assert cluster[2][0] == "com,h020)/p"
+    spans = gzip_member_spans(blob)
+    assert [(o, l) for o, l in spans] == [(c[2], c[3]) for c in cluster]
+    # block 1 decodes from its slice alone to exactly lines 10..19
+    o, l = spans[1]
+    text = gzip.decompress(blob[o : o + l]).decode()
+    assert text.splitlines() == lines[10:20]
+
+
+def test_zipnum_lookup_binary_search():
+    lines = _zipnum_lines(25)
+    blob, cluster = pack_zipnum(lines, block_size=10)
+    # middle block, exact key
+    assert zipnum_lookup(blob, cluster, "com,h013)/p") == [lines[13]]
+    # first line of a block (boundary)
+    assert zipnum_lookup(blob, cluster, "com,h010)/p") == [lines[10]]
+    # last partial block
+    assert zipnum_lookup(blob, cluster, "com,h024)/p") == [lines[24]]
+    # key before every block / absent key inside range
+    assert zipnum_lookup(blob, cluster, "aaa") == []
+    assert zipnum_lookup(blob, cluster, "com,h013)/q") == []
+
+
+def test_read_zipnum_blocks(spark, tmp_path):
+    lines = _zipnum_lines(25)
+    blob, _ = pack_zipnum(lines, block_size=10)
+    (tmp_path / "part-0.zipnum.gz").write_bytes(blob)
+    rows = read_zipnum_blocks(spark, str(tmp_path)).orderBy("block_no").collect()
+    assert [(r.block_no, r.n_lines) for r in rows] == [(0, 10), (1, 10), (2, 5)]
+    assert rows[0].first_key == "com,h000)/p"
+    assert rows[2].last_key == "com,h024)/p"
+    assert all(len(r.block_sha) == 64 for r in rows)
 
 
 def test_read_cdx_entries_and_build_cdx(spark, tmp_path):
