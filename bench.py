@@ -224,6 +224,9 @@ def main() -> None:
         "wat_roundtrip",
         "warc_http_charset",
         "http_robots_gate",
+        "cdx_index",
+        "zipnum_index",
+        "http_transfer_decode",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

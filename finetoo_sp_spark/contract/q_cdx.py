@@ -29,8 +29,11 @@ from finetoo_sp_spark.contract._core import (
     SparkSession,
     F,
     T,
+    _docpages_expected_sql,
     _q,
     _tmp_out,
+    documents_to_pages,
+    extract_pages,
 )
 
 # Shared SQL: urls synthesized from the documents table, cycling three
@@ -295,3 +298,96 @@ def q_http_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("html", 256).alias("payload_sha"),
         F.length("html").cast("long").alias("n_bytes"),
     )
+
+
+@_q(
+    "cdx_fetch_extract",
+    f"""
+SELECT url, text
+FROM ({_docpages_expected_sql("url, text, doc_id")})
+WHERE doc_id % 17 = 3""",
+)
+def q_cdx_fetch_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The access-layer capstone: the reason a crawl gets an index is so
+    a downstream job can extract 0.1% of its pages WITHOUT scanning
+    100 TB. Real docpages HTML is archived into gzip-member WARCs, the
+    cdx index is built once, then the wanted urls (doc_id % 17 == 3)
+    select index rows, the (offset, length) handles are grouped per
+    archive file and BROADCAST against the file bytes, and ONLY those
+    members are slice-decompressed and fed to the extraction kernel —
+    whose output must still be the byte-identical expected text.
+
+    Scale shape: the fetch plan reads each archive file once (one
+    binaryFile task per file), probes a broadcast list of spans, and
+    decompresses selected members only — I/O and CPU proportional to
+    the SELECTION, not the crawl. At real scale the binaryFile read
+    becomes ranged GETs; the plan shape (index join -> grouped spans ->
+    per-file slice fetch) is unchanged."""
+    import datetime as _dt
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.cdx import fetch_warc_record, read_cdx_entries
+    from finetoo_sp_spark.sources.warc import make_warc
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    doc_id = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    pages = pages.select("url", "html", doc_id.alias("doc_id"))
+    out = _tmp_out("cdxfetch")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (
+                r.url,
+                _dt.datetime(2024, 1, 1) + _dt.timedelta(seconds=int(r.doc_id)),
+                bytes(r.html),
+            )
+            for r in pdf.itertuples()
+        ]
+        fid = int(pdf["file_id"].iloc[0])
+        with open(_os.path.join(out, f"part-{fid}.warc.gz"), "wb") as f:
+            f.write(make_warc(recs, gzip_members=True))
+        return pd.DataFrame({"n": [len(recs)]})
+
+    (
+        pages.withColumn("file_id", (F.col("doc_id") % 4).cast("int"))
+        .groupBy("file_id")
+        .applyInPandas(write, "n long")
+        .collect()
+    )
+
+    # the index job runs once per crawl; consumers only touch it
+    idx = read_cdx_entries(spark, out).select("filename", "offset", "length", "url")
+    wanted = idx.filter(
+        F.regexp_extract("url", "([0-9]+)$", 1).cast("long") % 17 == 3
+    )
+    spans = wanted.groupBy("filename").agg(
+        F.collect_list(F.struct("offset", "length")).alias("spans")
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.regexp_extract("path", "([^/]+)$", 1).alias("filename"), "content"
+        )
+        .join(F.broadcast(spans), "filename")
+    )
+
+    def fetch(batches):
+        for pdf in batches:
+            rows = []
+            for blob, sp in zip(pdf["content"], pdf["spans"]):
+                data = bytes(blob)
+                for s in sp:
+                    rec = fetch_warc_record(data, int(s["offset"]), int(s["length"]))
+                    if rec is not None:
+                        rows.append((rec[0], rec[2]))
+            if rows:
+                yield pd.DataFrame(rows, columns=["url", "html"])
+
+    fetched = files.mapInPandas(fetch, "url string, html binary")
+    return extract_pages(fetched).select("url", "text")

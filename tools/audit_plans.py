@@ -47,6 +47,22 @@ CHECKS = {
         ("NO shuffle (per-feed parse is embarrassingly parallel)", r"!Exchange"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "cdx_fetch_extract": [
+        ("span lists broadcast against archive bytes", r"BroadcastHashJoin"),
+        ("index scan + slice fetch are Arrow kernels", r"MapInPandas"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF node", r"!BatchEvalPython"),
+    ],
+    "cdx_index": [
+        ("member scan is the Arrow binaryFile kernel", r"MapInPandas"),
+        ("SURT key stays JVM-side column ops", r"!BatchEvalPython"),
+        ("NO shuffle after the scan (index rows are final)", r"!Exchange"),
+    ],
+    "http_transfer_decode": [
+        ("WARC parse is the Arrow binaryFile kernel", r"MapInPandas"),
+        ("mode/sha/length stay JVM-side", r"!BatchEvalPython"),
+        ("NO shuffle", r"!Exchange"),
+    ],
     "http_robots_gate": [
         ("WARC parse is the Arrow binaryFile kernel", r"MapInPandas"),
         ("compliance flags stay column ops (no join)", r"!CartesianProduct"),
