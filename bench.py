@@ -227,6 +227,7 @@ def main() -> None:
         "cdx_index",
         "zipnum_index",
         "http_transfer_decode",
+        "warc_revisit_resolve",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

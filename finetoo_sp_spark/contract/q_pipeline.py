@@ -390,6 +390,100 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "warc_revisit_resolve",
+    """
+WITH d AS (
+  SELECT doc_id, text,
+    'https://' || source || '.example.com/doc/' || doc_id AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND AS warc_ts
+  FROM documents
+)
+SELECT url, warc_ts, sha256(text) AS payload_sha,
+  FALSE AS is_revisit, TRUE AS digest_ok
+FROM d WHERE doc_id % 3 <> 2
+UNION ALL
+SELECT r.url, r.warc_ts, sha256(o.text) AS payload_sha,
+  TRUE AS is_revisit, (r.doc_id % 9 <> 2) AS digest_ok
+FROM d r JOIN d o ON o.doc_id = r.doc_id - 1
+WHERE r.doc_id % 3 = 2 AND r.doc_id % 9 <> 8""",
+)
+def q_warc_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-time dedup via IIPC identical-payload-digest revisits
+    (sources/warc.py make_warc_mixed / read_warc_resolved): every third
+    capture is written as a revisit record carrying only (refers-to
+    url, refers-to date, payload digest) — Common Crawl's way of not
+    storing a repeat capture's bytes twice. The reader resolves each
+    revisit to its original's payload by an equi-join on the pointer
+    key and re-verifies the stored digest against the resolved bytes.
+    Fault injection: doc_id%9==2 carries a corrupted digest (must
+    surface digest_ok=false, not drop), doc_id%9==8 points at a
+    capture outside the corpus (must drop). At crawl scale the join
+    shuffles (url, ts, sha) pointer rows, never response payloads —
+    responses pass through map-side."""
+    import datetime as _dt
+    import hashlib as _hl
+    import os as _os
+
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.sources.warc import make_warc_mixed, read_warc_resolved
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    prev = docs.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.col("text").alias("prev_text"),
+        F.col("source").alias("prev_source"),
+    )
+    staged = docs.join(prev, "doc_id", "left").withColumn(
+        "file_id", (F.col("doc_id") % 4).cast("int")
+    )
+    out = _tmp_out("warc_revisit")
+    _os.makedirs(out, exist_ok=True)
+
+    def write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        t0 = _dt.datetime(2024, 1, 1)
+        recs = []
+        for r in pdf.itertuples():
+            i = int(r.doc_id)
+            url = f"https://{r.source}.example.com/doc/{i}"
+            ts = t0 + _dt.timedelta(seconds=i)
+            if i % 3 != 2:
+                recs.append(("response", url, ts, r.text.encode("utf-8")))
+                continue
+            # the original capture's url embeds ITS OWN source
+            refers = f"https://{r.prev_source}.example.com/doc/{i - 1}"
+            body = (r.prev_text or "").encode("utf-8")
+            digest = _hl.sha256(body + (b"!" if i % 9 == 2 else b"")).hexdigest()
+            if i % 9 == 8:
+                refers = f"https://void.example.com/doc/{i}"
+            recs.append(
+                (
+                    "revisit",
+                    url,
+                    ts,
+                    refers,
+                    t0 + _dt.timedelta(seconds=i - 1),
+                    "sha256:" + digest,
+                )
+            )
+        fid = int(pdf["file_id"].iloc[0])
+        with open(_os.path.join(out, f"part-{fid}.warc.gz"), "wb") as f:
+            f.write(make_warc_mixed(recs, gzip_members=True))
+        return pd.DataFrame({"n": [len(recs)]})
+
+    staged.groupBy("file_id").applyInPandas(write, "n long").collect()
+    pages = read_warc_resolved(spark, out)
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.sha2("html", 256).alias("payload_sha"),
+        "is_revisit",
+        "digest_ok",
+    )
+
+
+@_q(
     "curation_lineage",
     f"""
 WITH RECURSIVE pairs AS ({_CURATION_JACCARD}),

@@ -451,3 +451,181 @@ def read_warc_pages_http(spark: SparkSession, path: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- revisit records (crawl-time dedup, IIPC identical-payload-digest) ----
+
+_REVISIT_PROFILE = b"http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def make_warc_mixed(records: list[tuple], gzip_members: bool = False) -> bytes:
+    """WARC writer with revisit support (ISO 28500 + the IIPC
+    identical-payload-digest profile — how Common Crawl dedups repeat
+    captures at crawl time without storing the payload twice). Records
+    are either ('response', url, ts, payload) or ('revisit', url, ts,
+    refers_url, refers_ts, digest): a revisit stores ONLY the HTTP
+    headers plus WARC-Refers-To-Target-URI / WARC-Refers-To-Date /
+    WARC-Payload-Digest pointers to the original capture."""
+    out = io.BytesIO()
+    for rec in records:
+        kind = rec[0]
+        if kind == "response":
+            _, url, ts, payload = rec
+            http = (
+                b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Type: text/html" + _CRLF
+                + f"Content-Length: {len(payload)}".encode() + _CRLF
+                + _CRLF
+                + payload
+            )
+            extra = b""
+        else:
+            _, url, ts, refers_url, refers_ts, digest = rec
+            http = (
+                b"HTTP/1.1 200 OK" + _CRLF
+                + b"Content-Length: 0" + _CRLF
+                + _CRLF
+            )
+            extra = (
+                b"WARC-Profile: " + _REVISIT_PROFILE + _CRLF
+                + f"WARC-Refers-To-Target-URI: {refers_url}".encode() + _CRLF
+                + f"WARC-Refers-To-Date: {refers_ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
+                + f"WARC-Payload-Digest: {digest}".encode() + _CRLF
+            )
+        header = (
+            b"WARC/1.0" + _CRLF
+            + f"WARC-Type: {'response' if kind == 'response' else 'revisit'}".encode() + _CRLF
+            + f"WARC-Target-URI: {url}".encode() + _CRLF
+            + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}".encode() + _CRLF
+            + extra
+            + b"Content-Type: application/http;msgtype=response" + _CRLF
+            + f"Content-Length: {len(http)}".encode() + _CRLF
+            + _CRLF
+        )
+        rec_bytes = header + http + _CRLF + _CRLF
+        out.write(gzip.compress(rec_bytes, mtime=0) if gzip_members else rec_bytes)
+    return out.getvalue()
+
+
+def parse_warc_revisits(
+    data: bytes,
+) -> list[tuple[str, "dt.datetime | None", str, "dt.datetime | None", str]]:
+    """(url, warc_ts, refers_url, refers_ts, payload_digest) for every
+    revisit record. Same tolerant single-pass walk as parse_warc."""
+    if data[:2] == b"\x1f\x8b":
+        try:
+            data = gzip.decompress(data)
+        except OSError:
+            return []
+    out = []
+    pos, n = 0, len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            break
+        head_end = data.find(_CRLF + _CRLF, start)
+        if head_end < 0:
+            break
+        headers = {}
+        for line in data[start:head_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get(b"content-length", b""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        pos = head_end + 4 + length
+        if headers.get(b"warc-type") != b"revisit":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+
+        def _ts(raw: bytes):
+            try:
+                return dt.datetime.strptime(
+                    raw.decode("ascii", "replace"), "%Y-%m-%dT%H:%M:%SZ"
+                )
+            except ValueError:
+                return None
+
+        if url:
+            out.append(
+                (
+                    url,
+                    _ts(headers.get(b"warc-date", b"")),
+                    headers.get(b"warc-refers-to-target-uri", b"").decode(
+                        "utf-8", "replace"
+                    ),
+                    _ts(headers.get(b"warc-refers-to-date", b"")),
+                    headers.get(b"warc-payload-digest", b"").decode(
+                        "ascii", "replace"
+                    ),
+                )
+            )
+    return out
+
+
+def read_warc_revisits(spark: SparkSession, path: str) -> DataFrame:
+    """WARC directory -> revisit pointer rows (url, warc_ts, refers_url,
+    refers_ts, digest). Same binaryFile + Arrow-kernel shape as
+    read_warc_pages."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                rows.extend(parse_warc_revisits(bytes(blob)))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["url", "warc_ts", "refers_url", "refers_ts", "digest"],
+                )
+
+    return files.select("content").mapInPandas(
+        run,
+        schema=(
+            "url string, warc_ts timestamp, refers_url string,"
+            " refers_ts timestamp, digest string"
+        ),
+    )
+
+
+def read_warc_resolved(spark: SparkSession, path: str) -> DataFrame:
+    """The dedup-aware pages view: response records pass through;
+    revisit records are RESOLVED to their original capture's payload by
+    an equi-join on (refers_url, refers_ts), and the stored
+    WARC-Payload-Digest is checked against the resolved bytes
+    (digest_ok). Unresolvable revisits (original not in this path) are
+    dropped — at crawl scale the join key is (url, ts), so resolution
+    shuffles both sides once and never moves payloads for responses.
+
+    Output: (url, warc_ts, html, is_revisit, digest_ok)."""
+    resp = read_warc_pages(spark, path)
+    rev = read_warc_revisits(spark, path)
+    originals = resp.select(
+        F.col("url").alias("refers_url"),
+        F.col("warc_ts").alias("refers_ts"),
+        F.col("html").alias("orig_html"),
+    )
+    resolved = (
+        rev.join(originals, ["refers_url", "refers_ts"], "inner")
+        .select(
+            "url",
+            "warc_ts",
+            F.col("orig_html").alias("html"),
+            F.lit(True).alias("is_revisit"),
+            (
+                F.regexp_replace("digest", "^sha256:", "")
+                == F.sha2("orig_html", 256)
+            ).alias("digest_ok"),
+        )
+    )
+    plain = resp.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(False).alias("is_revisit"),
+        F.lit(True).alias("digest_ok"),
+    )
+    return plain.unionByName(resolved)

@@ -113,6 +113,57 @@ def test_wat_roundtrip_hostile_title(spark, tmp_path):
     assert env == {u: u for u in env}
 
 
+def test_warc_revisit_roundtrip_and_resolution(spark, tmp_path):
+    """IIPC identical-payload-digest revisits: the revisit record stores
+    only pointers; read_warc_resolved joins it back to the original
+    capture's payload and validates the stored digest."""
+    import hashlib
+
+    from finetoo_sp_spark.sources.warc import (
+        make_warc_mixed,
+        parse_warc,
+        parse_warc_revisits,
+        read_warc_resolved,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = dt.datetime(2024, 1, 2, 0, 0, 0)
+    payload = b"<html>original</html>"
+    good = "sha256:" + hashlib.sha256(payload).hexdigest()
+    bad = "sha256:" + hashlib.sha256(payload + b"!").hexdigest()
+    recs = [
+        ("response", "https://a/1", t0, payload),
+        ("revisit", "https://a/1b", t1, "https://a/1", t0, good),
+        ("revisit", "https://a/1c", t1, "https://a/1", t0, bad),
+        ("revisit", "https://a/1d", t1, "https://gone/x", t0, good),
+    ]
+    for gz in (False, True):
+        blob = make_warc_mixed(recs, gzip_members=gz)
+        # response reader never sees revisits; revisit reader never
+        # sees responses
+        assert [u for u, _, _ in parse_warc(blob)] == ["https://a/1"]
+        revs = parse_warc_revisits(blob)
+        assert [(r[0], r[2], r[4]) for r in revs] == [
+            ("https://a/1b", "https://a/1", good),
+            ("https://a/1c", "https://a/1", bad),
+            ("https://a/1d", "https://gone/x", good),
+        ]
+        assert all(r[1] == t1 and r[3] == t0 for r in revs)
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "f.warc.gz").write_bytes(make_warc_mixed(recs, gzip_members=True))
+    got = {
+        r["url"]: (bytes(r["html"]), r["is_revisit"], r["digest_ok"])
+        for r in read_warc_resolved(spark, str(d)).collect()
+    }
+    # unresolvable revisit (original not in corpus) is dropped
+    assert set(got) == {"https://a/1", "https://a/1b", "https://a/1c"}
+    assert got["https://a/1"] == (payload, False, True)
+    assert got["https://a/1b"] == (payload, True, True)
+    assert got["https://a/1c"] == (payload, True, False)
+
+
 def test_warc_record_content_type_uses_semicolon_parameter():
     # ISO 28500 / WARC 1.0: the record Content-Type parameter separator
     # is a semicolon ('application/http;msgtype=response'); a colon

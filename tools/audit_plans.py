@@ -58,6 +58,15 @@ CHECKS = {
         ("SURT key stays JVM-side column ops", r"!BatchEvalPython"),
         ("NO shuffle after the scan (index rows are final)", r"!Exchange"),
     ],
+    "warc_revisit_resolve": [
+        ("WARC parse (responses + revisits) is the Arrow kernel", r"MapInPandas"),
+        (
+            "revisit resolution is a hash equi-join on the pointer key",
+            r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)",
+        ),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF node", r"!BatchEvalPython"),
+    ],
     "http_transfer_decode": [
         ("WARC parse is the Arrow binaryFile kernel", r"MapInPandas"),
         ("mode/sha/length stay JVM-side", r"!BatchEvalPython"),
