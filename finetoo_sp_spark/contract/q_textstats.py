@@ -980,3 +980,129 @@ def q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return bpe_learn(vocab, 6)
+
+
+# --- multilingual segmentation (space-free scripts) --------------------------
+
+# RE2 (DuckDB) and Java (Spark) agree on all five script classes — proven
+# by the script_profile oracle; verified for Hiragana/Katakana/Hangul/Thai
+# in round 5.
+_SPACEFREE_RE2 = "[\\p{Han}\\p{Hiragana}\\p{Katakana}\\p{Hangul}\\p{Thai}]"
+
+_ML_TAIL_SQL = """CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN ' 日本語のテキストです'
+      WHEN 1 THEN ' 你好世界欢迎光临'
+      WHEN 2 THEN ' 안녕하세요세계'
+      WHEN 3 THEN ' สวัสดีโลก'
+      ELSE '' END"""
+
+
+@_q(
+    "token_counts_multilingual",
+    f"""
+WITH t AS (
+  SELECT doc_id AS id, text || {_ML_TAIL_SQL} AS tx FROM documents
+), c AS (
+  SELECT id, length(tx) AS n_chars,
+    length(tx) - length(regexp_replace(tx, '{_SPACEFREE_RE2}', '', 'g')) AS n_cjk,
+    trim(regexp_replace(regexp_replace(tx, '{_SPACEFREE_RE2}', ' ', 'g'), '\\s+', ' ', 'g')) AS scrub
+  FROM t
+), w AS (
+  SELECT id, n_chars, n_cjk,
+    CASE WHEN scrub = '' THEN 0 ELSE len(string_split(scrub, ' ')) END AS n_space_words
+  FROM c
+)
+SELECT id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_cjk AS BIGINT) AS n_cjk,
+  CAST(n_space_words AS BIGINT) AS n_space_words,
+  CAST(n_space_words + n_cjk AS BIGINT) AS n_words_seg,
+  CAST((n_chars - n_cjk + 3) // 4 + n_cjk AS BIGINT) AS n_tokens_est
+FROM w""",
+)
+def q_tokens_multilingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmentation-aware token counting over a mixed-script corpus:
+    every doc gets a deterministic space-free-script tail (Japanese with
+    all three scripts / Chinese / Korean / Thai, cycling by id, with a
+    pure-Latin residue class) so the CJK census, the scrubbed
+    whitespace word count, and the per-script BPE cost model are all
+    exercised against an oracle that recomputes them from the same
+    regex classes. Whitespace-only token_counts reads these tails as
+    ~1 giant word — the miss this operator exists to fix."""
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 5).cast("int")
+    tail = (
+        F.when(m == 0, F.lit(" 日本語のテキストです"))
+        .when(m == 1, F.lit(" 你好世界欢迎光临"))
+        .when(m == 2, F.lit(" 안녕하세요세계"))
+        .when(m == 3, F.lit(" สวัสดีโลก"))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select("doc_id", F.concat("text", tail).alias("text"))
+    return ts.token_counts_multilingual(pages, "doc_id", "text")
+
+
+@_q(
+    "lang_id_script",
+    f"""
+WITH t AS (
+  SELECT doc_id, CASE CAST(doc_id % 6 AS INT)
+      WHEN 0 THEN '日本語のテキストです'
+      WHEN 1 THEN '你好世界欢迎光临'
+      WHEN 2 THEN '안녕하세요세계'
+      WHEN 3 THEN 'สวัสดีโลก'
+      WHEN 4 THEN '12345 67890 !!'
+      ELSE text END AS tx
+  FROM documents
+), w AS (
+  SELECT doc_id, tx,
+    regexp_split_to_array(trim(regexp_replace(lower(tx), '\\s+', ' ', 'g')), ' ') AS ws
+  FROM t
+), c AS (
+  SELECT doc_id, tx, {_LANG_COUNTS_SQL} FROM w
+), s AS (
+  SELECT *,
+    length(tx) - length(regexp_replace(tx, '[\\p{{Hiragana}}\\p{{Katakana}}]', '', 'g')) AS kana,
+    length(tx) - length(regexp_replace(tx, '\\p{{Hangul}}', '', 'g')) AS hang,
+    length(tx) - length(regexp_replace(tx, '\\p{{Thai}}', '', 'g')) AS thai,
+    length(tx) - length(regexp_replace(tx, '\\p{{Han}}', '', 'g')) AS han,
+    greatest(c_de, c_en, c_es, c_fr) AS best
+  FROM c
+)
+SELECT doc_id AS id,
+  CASE WHEN best > 0 THEN
+    CASE WHEN c_de > 0 AND c_de = best THEN 'de'
+         WHEN c_en > 0 AND c_en = best THEN 'en'
+         WHEN c_es > 0 AND c_es = best THEN 'es'
+         WHEN c_fr > 0 AND c_fr = best THEN 'fr'
+         ELSE 'und' END
+  ELSE
+    CASE WHEN kana > 0 THEN 'ja' WHEN hang > 0 THEN 'ko'
+         WHEN thai > 0 THEN 'th' WHEN han > 0 THEN 'zh'
+         ELSE 'und' END
+  END AS pred_lang,
+  CAST(best AS BIGINT) AS marker_hits,
+  CAST(CASE WHEN best = 0 THEN
+    CASE WHEN kana > 0 THEN kana WHEN hang > 0 THEN hang
+         WHEN thai > 0 THEN thai WHEN han > 0 THEN han ELSE 0 END
+  ELSE 0 END AS BIGINT) AS script_hits
+FROM s""",
+)
+def q_lang_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with the writing-system fallback: five residue
+    classes REPLACE the text (Japanese incl. kana-beats-Han priority,
+    Chinese, Korean, Thai, a digits/punctuation 'und' decoy) and the
+    sixth keeps the original marker-word path, so both voting layers
+    and every branch of the script chain execute under the value
+    oracle. Stopword voting alone calls every one of these pages
+    'und' — the blind spot this operator closes."""
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 6).cast("int")
+    tx = (
+        F.when(m == 0, F.lit("日本語のテキストです"))
+        .when(m == 1, F.lit("你好世界欢迎光临"))
+        .when(m == 2, F.lit("안녕하세요세계"))
+        .when(m == 3, F.lit("สวัสดีโลก"))
+        .when(m == 4, F.lit("12345 67890 !!"))
+        .otherwise(F.col("text"))
+    )
+    pages = d.select("doc_id", tx.alias("text"))
+    return ts.lang_id_script(pages, "doc_id", "text")

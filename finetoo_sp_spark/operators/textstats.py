@@ -653,3 +653,129 @@ def sentence_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         n_words.alias("n_words"),
         F.round(n_words / F.greatest(n_sent, F.lit(1)), 4).alias("avg_sentence_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multilingual (space-free-script-aware) segmentation
+# ---------------------------------------------------------------------------
+
+# Character classes whose scripts write WITHOUT word spaces: whitespace
+# tokenization sees a whole Chinese/Japanese/Thai document as ~1 "word".
+# The mC4/CCNet convention (Xue et al. 2021; Wenzek et al. 2020) is to
+# count each such character as its own token. Java \p{IsX} and RE2 \p{X}
+# agree on all five script sets (verified), so the DuckDB twin can
+# recompute every count.
+_SPACEFREE_JAVA = (
+    "[\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}\\p{IsThai}]"
+)
+
+
+def token_counts_multilingual(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, n_chars, n_cjk, n_space_words, n_words_seg, n_tokens_est) —
+    segmentation-aware token counting for mixed-script corpora.
+
+    - n_cjk: characters from space-free scripts (Han, Hiragana,
+      Katakana, Hangul, Thai) — each counts as one word/token.
+    - n_space_words: whitespace words of the text with space-free
+      characters scrubbed to spaces (so "word漢字word" still yields 2
+      Latin words), 0 when nothing remains.
+    - n_words_seg = n_space_words + n_cjk — the mC4 mixed-script word
+      count; for pure-Latin text this equals token_counts.n_words.
+    - n_tokens_est = ceil(non-CJK chars / 4) + n_cjk — the chars/4 BPE
+      proxy applied only to the spaced portion; CJK characters cost ~1
+      token each under all public BPE vocabularies.
+
+    One narrow JVM pass (two regexp_counts + one scrub/split), no UDF,
+    no shuffle — identical plan shape to token_counts.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    # F.regexp_count with a lit pattern: the raw regex reaches Java
+    # without a second SQL-literal unescaping pass
+    n_cjk = F.regexp_count(t, F.lit(_SPACEFREE_JAVA)).cast("long")
+    scrubbed = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, _SPACEFREE_JAVA, " "), r"\s+", " "
+        )
+    )
+    n_space_words = F.when(scrubbed == "", F.lit(0)).otherwise(
+        F.size(F.split(scrubbed, " "))
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_cjk.alias("n_cjk"),
+        n_space_words.alias("n_space_words"),
+        (n_space_words + n_cjk).alias("n_words_seg"),
+        (F.ceil((n_chars - n_cjk) / 4) + n_cjk).cast("long").alias("n_tokens_est"),
+    )
+
+
+def lang_id_script(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pred_lang, marker_hits, script_hits) — lang_id with a
+    writing-system fallback for the languages stopword voting cannot
+    see (no spaces → no marker words).
+
+    When marker voting yields a hit, its verdict stands (same rules as
+    lang_id). When it yields zero hits, the script census votes:
+    any kana → 'ja' (kana is unique to Japanese; Japanese pages always
+    carry some), else any Hangul → 'ko', else any Thai → 'th', else
+    any Han → 'zh' (Han with no kana and no Hangul), else 'und'.
+    script_hits is the winning script's character count (0 for
+    marker-voted or 'und' rows).
+
+    Pure column ops (the lang_id chain + four regexp_counts); one
+    narrow pass, no shuffle.
+    """
+    w = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_t"),
+        _words(text_col).alias("_w"),
+    )
+    counted = w.select(
+        "id",
+        *[
+            F.size(F.filter(F.col("_w"), lambda x: x.isin(ws))).alias(f"_c_{lang}")
+            for lang, ws in sorted(STOPWORDS.items())
+        ],
+        F.expr("regexp_count(_t, '[\\\\p{IsHiragana}\\\\p{IsKatakana}]')").alias("_kana"),
+        F.expr("regexp_count(_t, '\\\\p{IsHangul}')").alias("_hang"),
+        F.expr("regexp_count(_t, '\\\\p{IsThai}')").alias("_thai"),
+        F.expr("regexp_count(_t, '\\\\p{IsHan}')").alias("_han"),
+    )
+    counts = {lang: F.col(f"_c_{lang}") for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    marker_pred = F.lit("und")
+    for lang in sorted(counts, reverse=True):
+        marker_pred = F.when(
+            (counts[lang] > 0) & (counts[lang] == best), F.lit(lang)
+        ).otherwise(marker_pred)
+    kana, hang, thai, han = (
+        F.col("_kana"), F.col("_hang"), F.col("_thai"), F.col("_han"),
+    )
+    script_pred = (
+        F.when(kana > 0, F.lit("ja"))
+        .when(hang > 0, F.lit("ko"))
+        .when(thai > 0, F.lit("th"))
+        .when(han > 0, F.lit("zh"))
+        .otherwise(F.lit("und"))
+    )
+    script_hits = (
+        F.when(kana > 0, kana)
+        .when(hang > 0, hang)
+        .when(thai > 0, thai)
+        .when(han > 0, han)
+        .otherwise(F.lit(0))
+    )
+    use_script = best == 0
+    return counted.select(
+        "id",
+        F.when(use_script, script_pred).otherwise(marker_pred).alias("pred_lang"),
+        best.cast("long").alias("marker_hits"),
+        F.when(use_script & (script_pred != "und"), script_hits)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("script_hits"),
+    )

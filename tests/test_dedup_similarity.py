@@ -292,12 +292,14 @@ def test_decode_image_dispatch():
 
     img = (np.arange(4 * 5 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
     assert (decode_image(encode_png(img, filter_type=4)) == img).all()
-    # JPEG magic now routes to the baseline decoder: malformed data is a
-    # ValueError; genuinely unsupported formats still NotImplementedError
+    # JPEG and GIF magics now route to real decoders: malformed data is
+    # a ValueError; genuinely unsupported formats still NotImplementedError
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF87a" + b"\x00" * 16)
     with _pytest.raises(NotImplementedError):
-        decode_image(b"GIF87a not supported")
+        decode_image(b"BM bitmap not supported")
 
 
 def test_png_codec_property_roundtrip():
