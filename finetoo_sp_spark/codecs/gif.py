@@ -287,3 +287,175 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# ------------------------------------------------------------- animation
+
+
+def decode_gif_frames(data: bytes):
+    """Decode ALL frames of a (possibly animated) GIF.
+
+    Returns (frames, delays_cs, loop_count): frames are the COMPOSITED
+    (screen_h, screen_w, 3) RGB uint8 canvases the viewer would show —
+    per-frame rects are painted onto the logical screen honoring the
+    GIF89a graphic-control disposal methods (0/1 leave, 2 restore to
+    the background color, 3 restore to the previous canvas) and the
+    transparent index (transparent pixels keep the underlying canvas).
+    delays_cs are the per-frame GCE delays in centiseconds; loop_count
+    is the NETSCAPE2.0 iteration count (0 = loop forever) or -1 when
+    the extension is absent. The initial canvas and disposal-2 fill are
+    the global-color-table background entry (black when there is no
+    GCT) — the deterministic choice our encoder twin also makes.
+    Malformed streams raise ValueError, same contract as decode_gif.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(data) < 13:
+        raise ValueError("truncated GIF header")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    bg_index = data[11]
+    gct = None
+    pos = 13
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    bg_color = (
+        gct[bg_index] if gct is not None and bg_index < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_color
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    loop_count = -1
+    transparent = None
+    disposal = 0
+    delay = 0
+    while pos < len(data):
+        b0 = data[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = data[pos + 1]
+            if label == 0xF9 and data[pos + 2] >= 4:  # graphic control
+                flags = data[pos + 3]
+                disposal = (flags >> 2) & 0x07
+                delay = struct.unpack("<H", data[pos + 4 : pos + 6])[0]
+                transparent = data[pos + 6] if flags & 1 else None
+            sub = _SubBlockReader(data, pos + 2)
+            if label == 0xFF and sub.data[:11] == b"NETSCAPE2.0":
+                body = sub.data[11:]
+                if len(body) >= 3 and body[0] == 1:
+                    loop_count = struct.unpack("<H", body[1:3])[0]
+            pos = sub.end
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{b0:02X}")
+        left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = data[pos]
+        if not 2 <= min_code <= 11:
+            raise ValueError("bad LZW minimum code size")
+        sub = _SubBlockReader(data, pos + 1)
+        pos = sub.end
+        idx = np.array(_lzw_decode(sub.data, min_code, w * h), dtype=np.int64)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data underflow")
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("GIF index beyond color table")
+        if ipacked & 0x40:  # interlaced
+            rows = idx.reshape(h, w)
+            out_rows = np.zeros_like(rows)
+            src = 0
+            for start, step in _INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    out_rows[y] = rows[src]
+                    src += 1
+            idx = out_rows.reshape(-1)
+        if left + w > sw or top + h > sh:
+            raise ValueError("GIF frame rect outside logical screen")
+        before = canvas.copy()  # disposal-3 restore point
+        region = canvas[top : top + h, left : left + w]
+        idx2 = idx.reshape(h, w)
+        painted = table[idx2]
+        if transparent is not None:
+            mask = idx2 != transparent
+            region[mask] = painted[mask]
+        else:
+            region[:, :] = painted
+        frames.append(canvas.copy())
+        delays.append(delay)
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_color
+        elif disposal == 3:
+            canvas = before
+        # disposal 0/1: composited canvas carries forward
+        transparent = None
+        disposal = 0
+        delay = 0
+    if not frames:
+        raise ValueError("no image data in GIF")
+    return frames, delays, loop_count
+
+
+def encode_gif_anim(
+    sw: int,
+    sh: int,
+    palette: np.ndarray,
+    bg_index: int,
+    frames: list[dict],
+    loop: int = 0,
+) -> bytes:
+    """Deterministic animated-GIF89a writer — the fixture twin of
+    decode_gif_frames. ``palette`` is the (N<=256, 3) global color
+    table; each frame dict carries left, top, idx ((h, w) int index
+    array), delay_cs, disposal (0..3), transparent (index or None) and
+    optional local_palette ((M, 3) — written as a per-frame LCT).
+    Emits one NETSCAPE2.0 loop block, one GCE per frame, real LZW.
+    """
+    pal = np.asarray(palette, dtype=np.uint8)
+    size_bits = max(1, (len(pal) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", sw, sh)
+    out += bytes([0x80 | (size_bits - 1), bg_index, 0])
+    out += pal.tobytes() + b"\x00" * 3 * ((1 << size_bits) - len(pal))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    for fr in frames:
+        idx = np.asarray(fr["idx"], dtype=np.int64)
+        h, w = idx.shape
+        tr = fr.get("transparent")
+        flags = (fr.get("disposal", 0) & 0x07) << 2 | (1 if tr is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([flags])
+        out += struct.pack("<H", fr.get("delay_cs", 0))
+        out += bytes([tr or 0, 0])
+        out += b"\x2c" + struct.pack(
+            "<HHHH", fr.get("left", 0), fr.get("top", 0), w, h
+        )
+        lct = fr.get("local_palette")
+        if lct is not None:
+            lct = np.asarray(lct, dtype=np.uint8)
+            lbits = max(1, (len(lct) - 1).bit_length())
+            out += bytes([0x80 | (lbits - 1)])
+            out += lct.tobytes() + b"\x00" * 3 * ((1 << lbits) - len(lct))
+            table_bits = lbits
+        else:
+            out += b"\x00"
+            table_bits = size_bits
+        min_code = max(2, table_bits)
+        out += bytes([min_code])
+        lzw = _lzw_encode([int(x) for x in idx.reshape(-1)], min_code)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -549,3 +549,38 @@ def q_frame_sample_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import frame_sample_times
 
     return frame_sample_times(gen_mp4_assets(spark, 96), interval_ms=500)
+
+
+@_q(
+    "gif_animation_stats",
+    """
+SELECT i AS asset_id,
+  CAST(3 AS BIGINT) AS n_frames,
+  CAST(i % 4 AS BIGINT) AS loop_count,
+  CAST(9 + 3*(i % 7) AS BIGINT) AS duration_cs,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(
+      (8*(2 + i%3)) * (8*(2 + i%2)) * (40 + i%40)
+    + (4*(2 + i%3)) * (8*(2 + i%2)) * ((90 + i%40) + (40 + i%40))
+    + (4*(2 + i%3)) * (8*(2 + i%2))
+      * ((CASE 1 + i%3 WHEN 1 THEN 90 + i%40 WHEN 2 THEN 0
+          ELSE 40 + i%40 END) + (140 + i%40))
+  AS BIGINT) AS sum_gray
+FROM range(0, 48) t(i)""",
+)
+def q_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF decode under a closed-form composited-pixel oracle:
+    3-frame animations whose middle frame cycles disposal 1/2/3 per id
+    and paints through a LOCAL color table, and whose last frame
+    composites a half-transparent full-screen image — the oracle states
+    each composited frame's gray sum from area arithmetic (the left
+    half of frame 3 shows b, background 0, or a depending on the
+    disposal branch), so a slip in disposal restore, transparency
+    masking, LCT routing, NETSCAPE loop parsing or GCE delay accounting
+    breaks the sums. Extends the still-image GIF query to the animation
+    semantics a video-adjacent web corpus actually carries."""
+    from finetoo_sp_spark.datagen import gen_gif_anim_assets
+    from finetoo_sp_spark.multimodal import gif_animation_stats
+
+    return gif_animation_stats(gen_gif_anim_assets(spark, 48))

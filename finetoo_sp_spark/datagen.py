@@ -690,3 +690,64 @@ def gen_charset_pages(spark: SparkSession, n: int, partitions: int = 4) -> DataF
                 yield gen_charset_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema="page_id long, html binary")
+
+
+def gen_gif_anim_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic ANIMATED GIF corpus with closed-form composited
+    sums: per id, a 3-frame animation over an 8*(2+i%3) x 8*(2+i%2)
+    screen — frame 0 paints the full screen gray a=40+i%40, frame 1 paints the LEFT HALF gray b=90+i%40 through a
+    LOCAL color table with disposal cycling 1/2/3 by i%3, frame 2 is a
+    full-screen image whose left half is the TRANSPARENT index and
+    right half gray c=140+i%40. Every disposal branch, the LCT path and
+    transparency compositing are thus live under the SQL oracle: the
+    left half of composited frame 2 shows b (disposal 1), background 0
+    (disposal 2) or a (disposal 3). Delays 2+i%7 / 3+i%7 / 4+i%7 cs,
+    NETSCAPE loop count i%4."""
+    from finetoo_sp_spark.codecs.gif import encode_gif_anim
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 8 * (2 + i % 3), 8 * (2 + i % 2)
+        a, b, c = 40 + i % 40, 90 + i % 40, 140 + i % 40
+        pal = np.array(
+            [[0, 0, 0], [a, a, a], [0, 0, 0], [c, c, c], [255, 0, 255]],
+            dtype=np.uint8,
+        )
+        lct = np.array(
+            [[0, 0, 0], [0, 0, 0], [b, b, b], [0, 0, 0]], dtype=np.uint8
+        )
+        f0 = {
+            "idx": np.full((h, w), 1),
+            "delay_cs": 2 + i % 7,
+            "disposal": 1,
+        }
+        f1 = {
+            "idx": np.full((h, w // 2), 2),
+            "local_palette": lct,
+            "delay_cs": 3 + i % 7,
+            "disposal": 1 + i % 3,
+        }
+        i2 = np.full((h, w), 3)
+        i2[:, : w // 2] = 4
+        f2 = {
+            "idx": i2,
+            "transparent": 4,
+            "delay_cs": 4 + i % 7,
+            "disposal": 1,
+        }
+        payload = encode_gif_anim(w, h, pal, 0, [f0, f1, f2], loop=i % 4)
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_gif_anim_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic animated-GIF corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_gif_anim_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -533,3 +533,55 @@ def frame_sample_times(assets: DataFrame, interval_ms: int = 500) -> DataFrame:
         (F.col("ts_ms") / F.lit(int(interval_ms))).cast("long").alias("sample_idx"),
         F.col("ts_ms").cast("long").alias("ts_ms"),
     )
+
+
+GIF_ANIM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("loop_count", LongType(), False),
+        StructField("duration_cs", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_gray", LongType(), False),
+    ]
+)
+
+
+def gif_animation_stats(assets: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode over the binary column: per asset the
+    frame count, NETSCAPE loop count (-1 when absent, 0 = forever),
+    total declared duration in centiseconds, logical-screen geometry
+    and the exact integer gray sum (R channel) over ALL composited
+    frames — so disposal handling (leave / restore-background /
+    restore-previous), transparency compositing and local color tables
+    are pinned by an external oracle, not just frame 1. Arrow-batched
+    mapInPandas like image_stats; undecodable payloads are SKIPPED,
+    never task-fatal. Still images are 1-frame animations (loop -1).
+    """
+    from finetoo_sp_spark.codecs.gif import decode_gif_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    frames, delays, loop = decode_gif_frames(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError, struct_error):
+                    continue
+                sh, sw = frames[0].shape[:2]
+                total = sum(int(f[:, :, 0].sum(dtype=np.int64)) for f in frames)
+                recs.append(
+                    (asset_id, len(frames), loop, sum(delays), sw, sh, total)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "n_frames", "loop_count", "duration_cs",
+                    "width", "height", "sum_gray",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, schema=GIF_ANIM_SCHEMA)
