@@ -469,6 +469,20 @@ CHECKS = {
         ("whole-stage codegen", r"codegen id : "),
         ("NO join", r"!Join"),
     ],
+    "token_counts_multilingual": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
+    "lang_id_script": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
+    "gif_animation_stats": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
     "robots_gate": [
         ("rule join is host-keyed (equi + prefix filter, no theta-only join)", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ("NO cartesian product", r"!CartesianProduct"),
