@@ -247,3 +247,69 @@ def q_robots_gate_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = g if out is None else out.unionByName(g)
     return out
+
+
+@_q(
+    "frontier_schedule",
+    """
+WITH f AS (
+  SELECT 'https://' || source || '/doc/' || doc_id AS url,
+         source AS host, doc_id % 7 AS priority
+  FROM documents
+), d AS (
+  SELECT DISTINCT source AS host,
+         CAST(length(source) % 5 + 1 AS BIGINT) AS delay_s
+  FROM documents WHERE length(source) % 2 = 0
+), r AS (
+  SELECT f.url, f.host, f.priority,
+    row_number() OVER (PARTITION BY f.host ORDER BY f.priority DESC, f.url ASC)
+      AS rank_in_host,
+    coalesce(d.delay_s, 1) AS delay_s
+  FROM f LEFT JOIN d USING (host)
+)
+SELECT url, host, CAST(priority AS BIGINT) AS priority,
+  CAST(rank_in_host AS BIGINT) AS rank_in_host,
+  CAST(delay_s AS BIGINT) AS delay_s,
+  CAST((rank_in_host - 1) * delay_s AS BIGINT) AS scheduled_t_s,
+  (rank_in_host - 1) * delay_s < 120 AS within_budget
+FROM r""",
+)
+def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware frontier scheduling: per-host serial fetch
+    slots (priority desc, url asc) spaced by the host's Crawl-delay —
+    the delay dimension is recovered through the REAL robots parse
+    (crawl_delays over synthesized robots.txt) for even-length hosts
+    only, so both the declared-delay and default-delay branches
+    execute; a 120 s round budget marks the dispatchable subset. One
+    host equi-join + one host-partitioned window — the partition key
+    politeness forces."""
+    from finetoo_sp_spark.operators.frontier import frontier_schedule
+    from finetoo_sp_spark.sources.robots import crawl_delays
+
+    d = T(spark, sf_dir, "documents")
+    frontier = d.select(
+        F.concat(F.lit("https://"), "source", F.lit("/doc/"), "doc_id").alias("url"),
+        F.col("source").alias("host"),
+        (F.col("doc_id") % 7).alias("priority"),
+    )
+    hosts = d.select(F.col("source").alias("host")).distinct().filter(
+        F.length("host") % 2 == 0
+    )
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\nCrawl-delay: "),
+            (F.length("host") % 5 + 1).cast("string"),
+            F.lit("\nDisallow: /tmp"),
+        ).alias("robots_txt"),
+    )
+    delays = crawl_delays(robots).filter(F.col("agent") == "*")
+    out = frontier_schedule(frontier, delays, default_delay_s=1, budget_s=120)
+    return out.select(
+        "url", "host",
+        F.col("priority").cast("long").alias("priority"),
+        F.col("rank_in_host").cast("long").alias("rank_in_host"),
+        F.col("delay_s").cast("long").alias("delay_s"),
+        F.col("scheduled_t_s").cast("long").alias("scheduled_t_s"),
+        "within_budget",
+    )

@@ -483,6 +483,11 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "frontier_schedule": [
+        ("host-partitioned window (politeness key)", r"Window"),
+        ("delay dimension joins by host equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "robots_gate": [
         ("rule join is host-keyed (equi + prefix filter, no theta-only join)", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ("NO cartesian product", r"!CartesianProduct"),
