@@ -228,6 +228,12 @@ def main() -> None:
         "zipnum_index",
         "http_transfer_decode",
         "warc_revisit_resolve",
+        "token_counts_multilingual",
+        "lang_id_script",
+        "gif_animation_stats",
+        "frontier_schedule",
+        "table_pruned_scan",
+        "registrable_domains",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

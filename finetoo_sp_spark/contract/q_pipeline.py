@@ -989,3 +989,36 @@ def q_wat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("wat_json", meta + "['Links']")
         ).cast("long").alias("n_links"),
     )
+
+
+@_q(
+    "table_pruned_scan",
+    """
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id BETWEEN 100 AND 180""",
+)
+def q_table_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data-skipping (Iceberg scan planning): commits record
+    per-file [min, max] footer bounds for doc_id in the manifest
+    (stats_cols), and the pruned read opens ONLY files overlapping
+    [100, 180] — the range lives in the first of two range-partitioned
+    commits, so at least the second commit's files all skip (asserted:
+    files_skipped >= files of one commit). The oracle recomputes the
+    surviving rows relationally; file-level skip counts are pinned by
+    tests/test_tables.py hand fixtures. At 10^12 rows this planning
+    step is the difference between a corpus scan and a range read."""
+    from finetoo_sp_spark.sources.table import commit_version, read_version_pruned
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    path = _tmp_out("table_prune")
+    commit_version(
+        d.filter(F.col("doc_id") < 250).repartitionByRange(4, "doc_id"),
+        path, mode="overwrite", stats_cols=["doc_id"],
+    )
+    commit_version(
+        d.filter(F.col("doc_id") >= 250).repartitionByRange(4, "doc_id"),
+        path, mode="append", stats_cols=["doc_id"],
+    )
+    df, report = read_version_pruned(spark, path, "doc_id", 100, 180)
+    assert report["files_skipped"] >= 4, report  # all of commit 2 skips
+    return df.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))

@@ -313,3 +313,80 @@ def q_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("scheduled_t_s").cast("long").alias("scheduled_t_s"),
         "within_budget",
     )
+
+
+@_q(
+    "registrable_domains",
+    """
+WITH hosts AS (
+  SELECT DISTINCT CASE CAST(doc_id % 6 AS INT)
+    WHEN 0 THEN source || '.example.com'
+    WHEN 1 THEN source || '.co.uk'
+    WHEN 2 THEN 'www.' || source || '.co.uk'
+    WHEN 3 THEN source || '.nom.ck'
+    WHEN 4 THEN 'www.ck'
+    ELSE source END AS host
+  FROM documents
+),
+rules(key, match_on, ps_labels, is_exc) AS (
+  VALUES ('com','cand',1,FALSE), ('co.uk','cand',2,FALSE), ('uk','cand',1,FALSE),
+         ('ck','parent',2,FALSE), ('www.ck','cand',1,TRUE)
+),
+h AS (
+  SELECT host, string_split(host, '.') AS labs,
+         len(string_split(host, '.')) AS nlab
+  FROM hosts
+),
+c AS (
+  SELECT host, nlab,
+    array_to_string(labs[k:nlab], '.') AS cand,
+    CASE WHEN nlab - k >= 1 THEN array_to_string(labs[k+1:nlab], '.')
+         ELSE '' END AS cand_parent
+  FROM h, UNNEST(generate_series(1, nlab)) AS t(k)
+),
+m AS (
+  SELECT host, nlab,
+    (CASE WHEN r.is_exc THEN 100 ELSE 0 END) + r.ps_labels AS prio
+  FROM c JOIN rules r ON (r.match_on = 'cand' AND c.cand = r.key)
+  UNION ALL
+  SELECT host, nlab,
+    (CASE WHEN r.is_exc THEN 100 ELSE 0 END) + r.ps_labels
+  FROM c JOIN rules r ON (r.match_on = 'parent' AND c.cand_parent = r.key)
+),
+b AS (SELECT host, nlab, max(prio) AS prio FROM m GROUP BY host, nlab),
+res AS (
+  SELECT h.host, h.nlab, h.labs,
+    coalesce(CASE WHEN b.prio >= 100 THEN b.prio - 100 ELSE b.prio END, 1) AS pl
+  FROM h LEFT JOIN b ON h.host = b.host
+)
+SELECT host,
+  array_to_string(labs[nlab - pl + 1 : nlab], '.') AS public_suffix,
+  CASE WHEN nlab > pl THEN array_to_string(labs[nlab - pl : nlab], '.')
+  END AS registrable_domain
+FROM res""",
+)
+def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction under publicsuffix.org semantics: six host
+    shapes exercise plain rules at two depths, the wildcard rule
+    (*.ck makes nom.ck a suffix), the exception rule (!www.ck beats
+    the wildcard), the implicit-* default (bare hosts) and the
+    suffix-with-nothing-registered NULL. The oracle re-runs the whole
+    prevailing-rule algorithm relationally — candidates, two rule
+    joins, exception-beats-length priority — against the same rule
+    list. The rule dimension broadcasts (the real PSL is ~9k rows);
+    hosts never shuffle beyond the suffix-candidate groupBy."""
+    from finetoo_sp_spark.operators.psl import registrable_domain
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 6).cast("int")
+    host = (
+        F.when(m == 0, F.concat("source", F.lit(".example.com")))
+        .when(m == 1, F.concat("source", F.lit(".co.uk")))
+        .when(m == 2, F.concat(F.lit("www."), "source", F.lit(".co.uk")))
+        .when(m == 3, F.concat("source", F.lit(".nom.ck")))
+        .when(m == 4, F.lit("www.ck"))
+        .otherwise(F.col("source"))
+    )
+    hosts = d.select(host.alias("host")).distinct()
+    rules = ["com", "co.uk", "uk", "*.ck", "!www.ck"]
+    return registrable_domain(hosts, "host", rules)

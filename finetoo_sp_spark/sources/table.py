@@ -38,6 +38,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class CommitConflict(RuntimeError):
@@ -69,12 +70,58 @@ def _load_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
+def _footer_stats(path: str, rel_files: list[str], cols: list[str]) -> dict:
+    """Per-file [min, max] for ``cols``, read from the parquet FOOTERS
+    (no data scan — the same source Iceberg harvests into its manifest
+    column_sizes/lower_bounds/upper_bounds). Columns without footer
+    statistics are simply absent for that file, which pruned reads
+    treat as "must read" — always safe."""
+    import pyarrow.parquet as pq
+
+    stats: dict[str, dict] = {}
+    for rel in rel_files:
+        meta = pq.ParquetFile(os.path.join(path, rel)).metadata
+        names = {meta.schema.column(j).name: j for j in range(meta.num_columns)}
+        per_col: dict[str, list] = {}
+        for c in cols:
+            j = names.get(c)
+            if j is None:
+                continue
+            lo = hi = None
+            ok = True
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(j).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = st.min, st.max
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                if not isinstance(lo, (int, float, str)):
+                    lo, hi = str(lo), str(hi)  # dates etc. -> ISO strings
+                per_col[c] = [lo, hi]
+        if per_col:
+            stats[rel] = per_col
+    return stats
+
+
+def commit_version(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as the next table version; returns its number.
 
     ``mode``: 'append' references the parent version's files plus the
     newly written ones; 'overwrite' references only the new ones (the
     old files stay on disk, still referenced by older manifests).
+
+    ``stats_cols``: record per-file [min, max] footer statistics for
+    these columns in the manifest (Iceberg's lower/upper bounds) —
+    the data-skipping index :func:`read_version_pruned` consults.
+    Append commits carry the parent's stats forward for reused files.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode {mode!r}")
@@ -87,9 +134,15 @@ def commit_version(df: DataFrame, path: str, mode: str = "append") -> int:
     )
     parent = current_version(path)
     files = list(new_files)
+    stats: dict = {}
     if mode == "append" and parent is not None:
-        files = _load_manifest(path, parent)["files"] + new_files
-    return _publish(path, files, mode, parent)
+        pm = _load_manifest(path, parent)
+        files = pm["files"] + new_files
+        stats.update(pm.get("stats") or {})
+    if stats_cols:
+        stats.update(_footer_stats(path, new_files, stats_cols))
+    extra = {"stats": stats} if stats else None
+    return _publish(path, files, mode, parent, extra=extra)
 
 
 def rollback(spark: SparkSession, path: str, to_version: int) -> int:
@@ -160,6 +213,58 @@ def read_version(
         if version is None:
             raise FileNotFoundError(f"no committed versions under {path}")
     return _resolve(spark, path, version)
+
+
+def read_version_pruned(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+):
+    """Data-skipping snapshot read: ``col BETWEEN lo AND hi`` rows of
+    ``version``, opening ONLY the data files whose manifest [min, max]
+    bounds overlap the range (Iceberg's scan planning against manifest
+    lower/upper bounds). Files without recorded stats for ``col`` are
+    always read — missing stats can never lose rows. The residual
+    filter still applies (pruning is file-granular), and Spark pushes
+    it into the parquet scan of the surviving files.
+
+    Returns (df, report) where report = {files_total, files_read,
+    files_skipped}. Merge-on-read and rollback versions resolve
+    normally and filter (correctness first; report shows zero skips) —
+    at 10^12 rows this metadata-only planning step is what turns a
+    full-corpus scan into a partition-range read.
+    """
+    if version is None:
+        version = current_version(path)
+        if version is None:
+            raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, version)
+    rng = (F.col(col) >= lo) & (F.col(col) <= hi)
+    if m.get("resolve_as") is not None or m.get("delete_files"):
+        df = _resolve(spark, path, version).filter(rng)
+        n = len(m["files"])
+        return df, {"files_total": n, "files_read": n, "files_skipped": 0}
+    stats = m.get("stats") or {}
+    keep = []
+    for f in m["files"]:
+        b = stats.get(f, {}).get(col)
+        if b is None or (b[0] <= hi and b[1] >= lo):
+            keep.append(f)
+    report = {
+        "files_total": len(m["files"]),
+        "files_read": len(keep),
+        "files_skipped": len(m["files"]) - len(keep),
+    }
+    if not keep:
+        empty = spark.read.parquet(os.path.join(path, m["files"][0])).filter(
+            F.lit(False)
+        )
+        return empty, report
+    df = spark.read.parquet(*[os.path.join(path, f) for f in keep]).filter(rng)
+    return df, report
 
 
 def upsert_version(df: DataFrame, path: str, key_col: str) -> int:

@@ -483,6 +483,15 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "table_pruned_scan": [
+        ("range filter pushed into the parquet scan", r"PushedFilters: \[IsNotNull\(doc_id\), GreaterThanOrEqual\(doc_id,100\), LessThanOrEqual\(doc_id,180\)"),
+        ("file-granular pruning left ONE file to scan", r"InMemoryFileIndex \[[^\]]*1 entries"),
+        ("NO shuffle: metadata planning + narrow scan", r"!Exchange"),
+    ],
+    "registrable_domains": [
+        ("PSL rule dimension broadcast to both matchers", r"BroadcastHashJoin"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "frontier_schedule": [
         ("host-partitioned window (politeness key)", r"Window"),
         ("delay dimension joins by host equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
