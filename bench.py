@@ -234,6 +234,7 @@ def main() -> None:
         "frontier_schedule",
         "table_pruned_scan",
         "registrable_domains",
+        "resolve_references",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

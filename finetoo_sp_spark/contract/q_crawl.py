@@ -378,3 +378,67 @@ def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("host"), F.concat(rss, atom).alias("feed_xml")
     )
     return parse_feeds(feeds)
+
+
+@_q(
+    "resolve_references",
+    """
+WITH t AS (
+  SELECT doc_id AS id,
+    'https://' || source || '.example.com' AS pre,
+    CAST(doc_id % 8 AS INT) AS m
+  FROM documents
+)
+SELECT id,
+  CASE m
+    WHEN 0 THEN 'page' || id || '.html'
+    WHEN 1 THEN '../up' || id
+    WHEN 2 THEN '/abs/./x/../p' || id
+    WHEN 3 THEN '//cdn.example.net/l' || id || '.js'
+    WHEN 4 THEN ''
+    WHEN 5 THEN '?s=' || id
+    WHEN 6 THEN 'http://ext.example.org/e' || id
+    ELSE 'sub/dir' || id || '/x?k=1#f' END AS ref,
+  CASE m
+    WHEN 0 THEN pre || '/d1/d2/page' || id || '.html'
+    WHEN 1 THEN pre || '/d1/up' || id
+    WHEN 2 THEN pre || '/abs/p' || id
+    WHEN 3 THEN 'https://cdn.example.net/l' || id || '.js'
+    WHEN 4 THEN pre || '/d1/d2/f?b=1'
+    WHEN 5 THEN pre || '/d1/d2/f?s=' || id
+    WHEN 6 THEN 'http://ext.example.org/e' || id
+    ELSE pre || '/d1/d2/sub/dir' || id || '/x?k=1' END AS resolved
+FROM t""",
+)
+def q_resolve_references(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 §5 reference resolution: eight reference shapes per
+    page (path-relative, dot-climbing, root-relative with ./..
+    noise, protocol-relative, empty, query-only, absolute, and a
+    deep relative with query+fragment) resolved against a real base
+    URL; the oracle restates every resolved form from the synthesis
+    parameters — the operator's merge/fold logic is never consulted.
+    The step that makes path-relative hrefs (the majority of real
+    on-site links, which extract_links documents as out of scope)
+    joinable in a link graph. Narrow JVM-only plan."""
+    from finetoo_sp_spark.operators.urlnorm import resolve_refs
+
+    d = T(spark, sf_dir, "documents")
+    pre = F.concat(F.lit("https://"), "source", F.lit(".example.com"))
+    i = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 8).cast("int")
+    ref = (
+        F.when(m == 0, F.concat(F.lit("page"), i, F.lit(".html")))
+        .when(m == 1, F.concat(F.lit("../up"), i))
+        .when(m == 2, F.concat(F.lit("/abs/./x/../p"), i))
+        .when(m == 3, F.concat(F.lit("//cdn.example.net/l"), i, F.lit(".js")))
+        .when(m == 4, F.lit(""))
+        .when(m == 5, F.concat(F.lit("?s="), i))
+        .when(m == 6, F.concat(F.lit("http://ext.example.org/e"), i))
+        .otherwise(F.concat(F.lit("sub/dir"), i, F.lit("/x?k=1#f")))
+    )
+    rows = d.select(
+        F.col("doc_id").alias("id"),
+        F.concat(pre, F.lit("/d1/d2/f?b=1#top")).alias("base"),
+        ref.alias("ref"),
+    )
+    return resolve_refs(rows, "base", "ref").select("id", "ref", "resolved")

@@ -147,3 +147,69 @@ def canonicalize_urls(
         "_scheme", "_rest", "_auth", "_after", "_hostname", "_port", "_portout",
         "_path", "_query",
     )
+
+
+def resolve_refs(
+    df: DataFrame, base_col: str, ref_col: str, out_col: str = "resolved"
+) -> DataFrame:
+    """RFC 3986 §5 reference resolution: absolute-ize a link reference
+    against its page's base URL — the step a link graph needs before
+    path-relative hrefs (``page.html``, ``../up/x``) can join anything.
+
+    Handles, per the spec's cases: absolute references (pass through),
+    protocol-relative ``//host/p`` (base scheme), root-relative ``/p``
+    (base origin + dot-segment removal), query-only ``?q`` (base path
+    swapped query), empty and fragment-only references (the base
+    itself), and path-relative references merged onto the base path's
+    directory then dot-resolved (§5.2.4 via the same ``aggregate`` fold
+    canonicalize_urls uses). Fragments are stripped from the output —
+    link-graph semantics, where #section never names a new document.
+    Pure JVM column ops; narrow, no shuffle.
+    """
+    base = F.col(base_col)
+    # strip fragment from the reference first (never part of the target)
+    ref = F.substring_index(F.col(ref_col), "#", 1)
+    b_scheme = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    b_origin = F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    b_path = F.regexp_extract(base, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    b_nofrag = F.substring_index(base, "#", 1)
+    b_dir = F.regexp_replace(b_path, r"[^/]*$", "")
+    r_path = F.substring_index(ref, "?", 1)
+    r_query = F.when(
+        F.instr(ref, "?") > 0, F.expr(f"substring(substring_index({ref_col}, '#', 1), instr(substring_index({ref_col}, '#', 1), '?'))")
+    ).otherwise(F.lit(""))
+    resolved = (
+        # absolute: has a scheme of its own
+        F.when(ref.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+        # protocol-relative
+        .when(ref.startswith("//"), F.concat(b_scheme, F.lit(":"), ref))
+        # root-relative: origin + dot-resolved path
+        .when(
+            ref.startswith("/"),
+            F.concat(b_origin, _resolve_dot_segments(r_path), r_query),
+        )
+        # empty or fragment-only: the base document
+        .when(ref == "", b_nofrag)
+        # query-only: base path, new query
+        .when(
+            ref.startswith("?"),
+            F.concat(
+                b_origin,
+                F.when(b_path == "", F.lit("/")).otherwise(b_path),
+                ref,
+            ),
+        )
+        # path-relative: merge onto the base directory, then dot-resolve
+        .otherwise(
+            F.concat(
+                b_origin,
+                _resolve_dot_segments(
+                    F.concat(
+                        F.when(b_dir == "", F.lit("/")).otherwise(b_dir), r_path
+                    )
+                ),
+                r_query,
+            )
+        )
+    )
+    return df.withColumn(out_col, resolved)

@@ -61,3 +61,39 @@ def test_narrow_plan_no_exchange(spark):
     df = spark.createDataFrame([Row(url="http://h/a?b=2&a=1")])
     plan = canonicalize_urls(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------- reference resolution
+
+
+def test_resolve_refs_rfc3986_hand_cases(spark):
+    from finetoo_sp_spark.operators.urlnorm import resolve_refs
+
+    base = "https://h.example.com/a/b/c?q=1#top"
+    cases = [
+        ("http://other.com/x", "http://other.com/x"),
+        ("mailto:x@y.z", "mailto:x@y.z"),
+        ("//cdn.com/lib.js", "https://cdn.com/lib.js"),
+        ("/root/./x/../y?z=2", "https://h.example.com/root/y?z=2"),
+        ("", "https://h.example.com/a/b/c?q=1"),
+        ("#sec", "https://h.example.com/a/b/c?q=1"),
+        ("?new=3", "https://h.example.com/a/b/c?new=3"),
+        ("page.html", "https://h.example.com/a/b/page.html"),
+        ("../up.html", "https://h.example.com/a/up.html"),
+        ("../../../over.html", "https://h.example.com/over.html"),  # .. above root drops
+        ("sub/dir/x?k=v#f", "https://h.example.com/a/b/sub/dir/x?k=v"),
+    ]
+    df = spark.createDataFrame([(base, r) for r, _ in cases], ["base", "ref"])
+    out = {r["ref"]: r["resolved"] for r in resolve_refs(df, "base", "ref").collect()}
+    for ref, exp in cases:
+        assert out[ref] == exp, (ref, out[ref], exp)
+
+
+def test_resolve_refs_pathless_base(spark):
+    from finetoo_sp_spark.operators.urlnorm import resolve_refs
+
+    df = spark.createDataFrame(
+        [("https://h.com", "p.html"), ("https://h.com", "?q=1")], ["base", "ref"]
+    )
+    out = {r["ref"]: r["resolved"] for r in resolve_refs(df, "base", "ref").collect()}
+    assert out == {"p.html": "https://h.com/p.html", "?q=1": "https://h.com/?q=1"}

@@ -492,6 +492,11 @@ CHECKS = {
         ("PSL rule dimension broadcast to both matchers", r"BroadcastHashJoin"),
         ("NO cartesian product", r"!CartesianProduct"),
     ],
+    "resolve_references": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("whole-stage codegen", r"codegen id : "),
+        ("NO join", r"!Join"),
+    ],
     "frontier_schedule": [
         ("host-partitioned window (politeness key)", r"Window"),
         ("delay dimension joins by host equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
