@@ -235,6 +235,7 @@ def main() -> None:
         "table_pruned_scan",
         "registrable_domains",
         "resolve_references",
+        "recrawl_plan",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

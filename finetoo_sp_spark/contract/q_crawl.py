@@ -442,3 +442,71 @@ def q_resolve_references(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.alias("ref"),
     )
     return resolve_refs(rows, "base", "ref").select("id", "ref", "resolved")
+
+
+@_q(
+    "recrawl_plan",
+    """
+WITH snap AS (
+  SELECT 'https://' || source || '/p' || doc_id AS url,
+    1000000 + doc_id AS fetched_at,
+    CASE WHEN doc_id % 3 = 0 THEN 'W/"' || doc_id || '"' END AS etag,
+    CASE WHEN doc_id % 3 = 1 THEN 'Mon, 01 Jan 2024 00:00:' || doc_id % 60 END
+      AS last_modified
+  FROM documents
+), lm AS (
+  SELECT 'https://' || source || '/p' || doc_id AS url,
+    1000000 + doc_id + CASE WHEN doc_id % 8 = 0 THEN 500 ELSE -500 END AS lastmod
+  FROM documents WHERE doc_id % 4 = 0
+), j AS (
+  SELECT s.*, lm.lastmod FROM snap s LEFT JOIN lm ON s.url = lm.url
+)
+SELECT url,
+  CASE WHEN lastmod IS NOT NULL AND lastmod > fetched_at THEN 'fetch'
+       WHEN etag IS NOT NULL THEN 'revalidate'
+       WHEN last_modified IS NOT NULL THEN 'revalidate'
+       WHEN 2000000 - fetched_at > 999800 THEN 'fetch'
+       ELSE 'skip' END AS action,
+  CASE WHEN lastmod IS NOT NULL AND lastmod > fetched_at THEN ''
+       WHEN etag IS NOT NULL THEN 'if-none-match'
+       WHEN last_modified IS NOT NULL THEN 'if-modified-since'
+       ELSE '' END AS cond_header,
+  CASE WHEN lastmod IS NOT NULL AND lastmod > fetched_at THEN ''
+       WHEN etag IS NOT NULL THEN etag
+       WHEN last_modified IS NOT NULL THEN last_modified
+       ELSE '' END AS cond_value
+FROM j""",
+)
+def q_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET recrawl planning: a synthetic snapshot where a
+    third of URLs hold ETags, a third Last-Modified, and every fourth
+    has a sitemap lastmod signal that is newer (stale -> fetch, beats
+    any validator) or older (falls through to revalidation) than our
+    fetch; an age budget splits the validator-less rest into fetch vs
+    skip. The oracle restates the whole decision table relationally.
+    One dimension left-join + narrow CASE chain, no window."""
+    from finetoo_sp_spark.operators.recrawl import recrawl_plan
+
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), "source", F.lit("/p"), F.col("doc_id"))
+    snap = d.select(
+        url.alias("url"),
+        (F.lit(1000000) + F.col("doc_id")).alias("fetched_at"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('W/"'), F.col("doc_id"), F.lit('"')),
+        ).alias("etag"),
+        F.when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("Mon, 01 Jan 2024 00:00:"), F.col("doc_id") % 60),
+        ).alias("last_modified"),
+    )
+    lm = d.filter(F.col("doc_id") % 4 == 0).select(
+        url.alias("url"),
+        (
+            F.lit(1000000)
+            + F.col("doc_id")
+            + F.when(F.col("doc_id") % 8 == 0, F.lit(500)).otherwise(F.lit(-500))
+        ).alias("lastmod"),
+    )
+    return recrawl_plan(snap, lm, now_epoch_s=2000000, max_age_s=999800)

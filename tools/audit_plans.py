@@ -497,6 +497,11 @@ CHECKS = {
         ("whole-stage codegen", r"codegen id : "),
         ("NO join", r"!Join"),
     ],
+    "recrawl_plan": [
+        ("lastmod dimension joins by url equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("NO window", r"!Window"),
+    ],
     "frontier_schedule": [
         ("host-partitioned window (politeness key)", r"Window"),
         ("delay dimension joins by host equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
