@@ -236,6 +236,7 @@ def main() -> None:
         "registrable_domains",
         "resolve_references",
         "recrawl_plan",
+        "resolved_links",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

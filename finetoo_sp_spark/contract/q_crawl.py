@@ -510,3 +510,49 @@ def q_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("lastmod"),
     )
     return recrawl_plan(snap, lm, now_epoch_s=2000000, max_age_s=999800)
+
+
+@_q(
+    "resolved_links",
+    """
+WITH t AS (
+  SELECT doc_id AS id, source AS src,
+    'https://' || source || '/d/p' || doc_id || '.html' AS url,
+    doc_id % 2 = 0 AS has_base
+  FROM documents
+)
+SELECT url, 'r' || id || '.html' AS href,
+  CASE WHEN has_base THEN 'https://b' || src || '/bb/r' || id || '.html'
+       ELSE 'https://' || src || '/d/r' || id || '.html' END AS target
+FROM t
+UNION ALL
+SELECT url, '/a' || id AS href,
+  CASE WHEN has_base THEN 'https://b' || src || '/a' || id
+       ELSE 'https://' || src || '/a' || id END AS target
+FROM t""",
+)
+def q_resolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-aware link extraction: pages alternate between declaring a
+    <base href> (pointing at a DIFFERENT host+directory, the
+    CDN-mirror case) and not; each carries a path-relative and a
+    root-relative anchor. The oracle restates both targets per page
+    from the synthesis parameters — base redirection must change the
+    relative AND root-relative results, and its absence must fall back
+    to the page URL's directory. One regexp lift + posexplode + the
+    RFC 3986 resolver, all JVM, no shuffle."""
+    from finetoo_sp_spark.extraction.meta import resolved_links
+
+    d = T(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://"), "source", F.lit("/d/p"), i, F.lit(".html"))
+    base_tag = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit('<base href="https://b'), "source", F.lit('/bb/">')),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"), base_tag,
+        F.lit('</head><body><a href="r'), i, F.lit('.html">x</a>'),
+        F.lit('<a href="/a'), i, F.lit('">y</a></body></html>'),
+    )
+    pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
+    return resolved_links(pages).select("url", "href", "target")

@@ -119,3 +119,37 @@ def anchor_rel_links(
         rel.alias("rel"),
         rel.rlike(r"(^| )(nofollow|sponsored|ugc)( |$)").alias("is_nofollow"),
     ).filter(F.col("href") != "")
+
+
+def resolved_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, href, target) — every <a href> on the page resolved to an
+    absolute URL against the page's EFFECTIVE base: the first
+    ``<base href>`` when the document declares one (HTML's only
+    mechanism for relocating relative references — served-from-CDN and
+    mirrored pages depend on it), the page URL otherwise. Resolution is
+    RFC 3986 §5 via operators/urlnorm.resolve_refs, so path-relative
+    hrefs — the majority of real on-site links, out of scope for the
+    kernel's extract_links — become joinable link-graph edges.
+    Same JVM lift shape as og_meta: one regexp_extract_all +
+    posexplode + the resolver's column expressions; no UDF, no shuffle.
+    """
+    from finetoo_sp_spark.operators.urlnorm import resolve_refs
+
+    hs = _html_str(pages, html_col)
+    base_href = F.regexp_extract(
+        hs, r"""(?i)<base\s[^>]*href\s*=\s*["']([^"']+)""", 1
+    )
+    hrefs = F.expr(
+        f"""regexp_extract_all(CAST({html_col} AS STRING),
+            '(?i)<a\\\\s[^>]*href\\\\s*=\\\\s*["\\']([^"\\']*)', 1)"""
+    )
+    rows = pages.select(
+        F.col(url_col).alias("url"),
+        F.when(base_href != "", base_href).otherwise(F.col(url_col)).alias("base"),
+        F.explode(hrefs).alias("href"),
+    )
+    return resolve_refs(rows, "base", "href", "target").select(
+        "url", "href", "target"
+    )

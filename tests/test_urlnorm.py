@@ -97,3 +97,29 @@ def test_resolve_refs_pathless_base(spark):
     )
     out = {r["ref"]: r["resolved"] for r in resolve_refs(df, "base", "ref").collect()}
     assert out == {"p.html": "https://h.com/p.html", "?q=1": "https://h.com/?q=1"}
+
+
+def test_resolved_links_base_tag(spark):
+    from finetoo_sp_spark.extraction.meta import resolved_links
+
+    html1 = (
+        '<html><head><base href="https://cdn.example.net/mirror/dir/"></head>'
+        '<body><a href="page.html">x</a><a href="/root.html">y</a>'
+        '<a href="http://abs.com/z">z</a></body></html>'
+    )
+    html2 = '<html><body><A HREF="../up.html">u</A><a href="#frag">f</a></body></html>'
+    df = spark.createDataFrame(
+        [
+            ("https://site.com/a/b/c.html", html1.encode()),
+            ("https://site.com/a/b/c.html", html2.encode()),
+        ],
+        "url string, html binary",
+    )
+    out = {r["href"]: r["target"] for r in resolved_links(df).collect()}
+    assert out == {
+        "page.html": "https://cdn.example.net/mirror/dir/page.html",
+        "/root.html": "https://cdn.example.net/root.html",
+        "http://abs.com/z": "http://abs.com/z",
+        "../up.html": "https://site.com/a/up.html",
+        "#frag": "https://site.com/a/b/c.html",
+    }

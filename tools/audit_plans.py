@@ -497,6 +497,10 @@ CHECKS = {
         ("whole-stage codegen", r"codegen id : "),
         ("NO join", r"!Join"),
     ],
+    "resolved_links": [
+        ("narrow plan: NO shuffle at all", r"!Exchange"),
+        ("NO join", r"!Join"),
+    ],
     "recrawl_plan": [
         ("lastmod dimension joins by url equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ("NO cartesian product", r"!CartesianProduct"),
