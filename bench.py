@@ -237,6 +237,7 @@ def main() -> None:
         "resolve_references",
         "recrawl_plan",
         "resolved_links",
+        "domain_quality_report",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

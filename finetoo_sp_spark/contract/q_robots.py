@@ -390,3 +390,75 @@ def q_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     hosts = d.select(host.alias("host")).distinct()
     rules = ["com", "co.uk", "uk", "*.ck", "!www.ck"]
     return registrable_domain(hosts, "host", rules)
+
+
+@_q(
+    "domain_quality_report",
+    f"""
+WITH docs AS (
+  SELECT doc_id, text,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN 'www.' || source || '.co.uk'
+      WHEN 1 THEN source || '.co.uk'
+      ELSE 'cdn.' || source || '.com' END AS host,
+    CASE CAST(doc_id % 3 AS INT)
+      WHEN 0 THEN source || '.co.uk'
+      WHEN 1 THEN source || '.co.uk'
+      ELSE source || '.com' END AS domain
+  FROM documents
+), q AS (
+  SELECT doc_id, host, domain, {{QUALITY_KEEP}} AS keep
+  FROM (
+    SELECT doc_id, host, domain, text, {_WORDS_SQL} AS ws,
+      length(text) AS n_chars, CAST(len({_WORDS_SQL}) AS INTEGER) AS n_words
+    FROM docs
+  )
+)
+SELECT domain AS registrable_domain,
+  count(*) AS n_docs,
+  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+  CAST((sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+    AS keep_ppm
+FROM q GROUP BY domain""".replace(
+        "{QUALITY_KEEP}",
+        f"""(n_words >= 10
+   AND round(length(regexp_replace(lower(text), '\\s+', '', 'g')) / greatest(n_words, 1), 4) BETWEEN 2 AND 12
+   AND round(len(list_filter(ws, x -> list_contains({_STOP_LIST_SQL}, x))) / greatest(n_words, 1), 4) >= 0.01)""",
+    ),
+)
+def q_domain_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-domain curation rollup (the RefinedWeb move: filter
+    DOMAINS, not pages, when a site is systematically low-quality):
+    per-page C4-style keep flags aggregate to the REGISTRABLE domain —
+    www.X.co.uk and X.co.uk collapse onto one X.co.uk row through the
+    PSL operator, which is the point of grouping by eTLD+1 instead of
+    host — yielding docs, distinct hosts, keeps and an exact integer
+    keep-ppm per domain. Composition: registrable_domain (column-
+    preserving) x quality_scores x one partial agg; the oracle
+    composes the two HAND-WRITTEN SQL texts relationally and restates
+    the domain mapping from the synthesis parameters."""
+    from finetoo_sp_spark.operators.psl import registrable_domain
+    from finetoo_sp_spark.operators.textstats import quality_scores
+
+    d = T(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 3).cast("int")
+    host = (
+        F.when(m == 0, F.concat(F.lit("www."), "source", F.lit(".co.uk")))
+        .when(m == 1, F.concat("source", F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("cdn."), "source", F.lit(".com")))
+    )
+    pages = d.select("doc_id", "text", host.alias("host"))
+    with_dom = registrable_domain(pages, "host", ["com", "co.uk", "uk"])
+    keeps = quality_scores(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "keep"
+    )
+    j = with_dom.join(keeps, "doc_id")
+    return j.groupBy("registrable_domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.expr(
+            "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 div count(*) AS BIGINT)"
+        ).alias("keep_ppm"),
+    )

@@ -114,6 +114,14 @@ def registrable_domain(
         F.expr("substring_index(host, '.', -(ps_labels + 1))"),
     )
     out = resolved.select(
-        "host", ps.alias("public_suffix"), reg.alias("registrable_domain")
+        F.col("host").alias("_psl_host"),
+        ps.alias("public_suffix"),
+        reg.alias("registrable_domain"),
     )
-    return df.select(F.lower(F.col(host_col)).alias("host")).join(out, "host")
+    # preserve every input column (so the op composes into rollups);
+    # the dimension out is host-distinct, so this never duplicates rows
+    return (
+        df.withColumn("_psl_host", F.lower(F.col(host_col)))
+        .join(out, "_psl_host")
+        .drop("_psl_host")
+    )

@@ -28,7 +28,8 @@ def test_registrable_domain_hand_cases(spark):
         for r in registrable_domain(df, "host", RULES).collect()
     }
     for h, exp in HAND_CASES.items():
-        assert out[h.lower()] == exp, (h, out[h.lower()], exp)
+        # input columns are preserved as-is; matching is case-folded
+        assert out[h] == exp, (h, out[h], exp)
 
 
 def test_registrable_domain_preserves_input_multiplicity(spark):

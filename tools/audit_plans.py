@@ -501,6 +501,11 @@ CHECKS = {
         ("narrow plan: NO shuffle at all", r"!Exchange"),
         ("NO join", r"!Join"),
     ],
+    "domain_quality_report": [
+        ("PSL dimension broadcast", r"BroadcastHashJoin"),
+        ("single partial-agg rollup", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "recrawl_plan": [
         ("lastmod dimension joins by url equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
         ("NO cartesian product", r"!CartesianProduct"),
