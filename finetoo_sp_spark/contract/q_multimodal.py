@@ -345,6 +345,39 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(gen_wav_assets(spark, 96))
 
 
+@_q(
+    "multimodal_audio_stats_flac",
+    """
+SELECT i AS asset_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(CASE WHEN i%4 = 0 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+  CAST(16 AS BIGINT) AS bits,
+  CAST(400 + (i%5)*80 AS BIGINT) AS n_samples,
+  CAST((400 + (i%5)*80) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST((CASE WHEN i%4 = 0 THEN 1 ELSE 2 END)
+       * (400 + (i%5)*80) * (1000 + (i%7)*500) * (1000 + (i%7)*500)
+       AS BIGINT) AS sumsq,
+  CAST(1000 + (i%7)*500 AS BIGINT) AS peak
+FROM range(0, 96) t(i)""",
+)
+def q_audio_stats_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode under the same sample-exact oracle as the WAV
+    query: the corpus (datagen.gen_flac_pandas) re-encodes the square
+    waves through the pure-stdlib FLAC codec, cycling every subframe
+    strategy (verbatim / fixed 0-2 / constant) and every stereo
+    decorrelation mode (independent / left-side / right-side /
+    mid-side, the side channel at 17-bit depth) per id; the DuckDB
+    twin recomputes channels*n*A^2 / A from the synthesis formula
+    alone — it never sees a FLAC byte, so agreement proves Rice
+    residual decode, fixed prediction, CRC framing and stereo
+    reconstruction are all sample-correct. FLAC being lossless is what
+    makes the WAV-grade oracle transferable."""
+    from finetoo_sp_spark.datagen import gen_flac_assets
+    from finetoo_sp_spark.multimodal import audio_stats
+
+    return audio_stats(gen_flac_assets(spark, 96))
+
+
 # Closed-form dHash oracle over the textured corpus (datagen.
 # gen_dhash_pandas): grid gray values from the pixel formula + the
 # integer floor-rule resample, adjacent-column comparisons packed at

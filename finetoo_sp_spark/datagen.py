@@ -511,6 +511,59 @@ def gen_wav_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFram
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
+def gen_flac_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic synthetic FLAC assets with the SAME closed-form
+    stats as the WAV corpus: 16-bit square waves at 8 kHz, amplitude
+    A = 1000 + (i%7)*500 over n = 400 + (i%5)*80 frames, toggling every
+    16 samples — so sumsq = channels*n*A^2 and peak = A exactly. Per id
+    the encoder cycles EVERY decode path on purpose:
+
+    - subframe strategy (i%5): verbatim / fixed0 / fixed1 / fixed2 /
+      constant (constant uses blocksize 16 so each block IS constant);
+    - channels (i%4): mono-independent, then stereo with R = -L
+      through left/side, right/side, mid/side decorrelation — side
+      carries 17-bit depth, so the +1-bit path executes.
+
+    FLAC is lossless, so any slip in Rice decode, fixed prediction,
+    CRC framing, or stereo reconstruction breaks the formula sums."""
+    from finetoo_sp_spark.codecs.flac import encode_flac
+
+    subframes = ["verbatim", "fixed0", "fixed1", "fixed2", "constant"]
+    stereos = ["independent", "left_side", "right_side", "mid_side"]
+    rows = []
+    for i in ids:
+        i = int(i)
+        n = 400 + (i % 5) * 80
+        amp = 1000 + (i % 7) * 500
+        t = np.arange(n)
+        left = np.where((t // 16) % 2 == 0, amp, -amp).astype(np.int64)
+        sub = subframes[i % 5]
+        st = stereos[i % 4]
+        if st == "independent":
+            s = left[:, None]
+        else:
+            s = np.stack([left, -left], axis=1)
+        bsz = 16 if sub == "constant" else 192
+        rows.append(
+            (i, "audio",
+             encode_flac(s, 8000, bits=16, blocksize=bsz,
+                         subframe=sub, stereo=st))
+        )
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_flac_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic FLAC corpus: spark.range -> mapInPandas."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_flac_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_dhash_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Textured synthetic PNGs for perceptual-hash tests: pixel(r,c,ch) =
     (13*id + 3r^2 + 5c^2 + (1 + id%4)*rc + 11ch) % 256. The quadratic +

@@ -274,9 +274,12 @@ def audio_stats(assets: DataFrame) -> DataFrame:
     (n_frames * 1000 div rate).
 
     WAV/PCM decodes via the pure-stdlib codec (codecs/wav.py, numpy
-    frombuffer — no per-sample Python); compressed audio (MP3/Opus/...)
-    raises inside the codec and is SKIPPED, never task-fatal.
+    frombuffer — no per-sample Python); FLAC decodes via codecs/flac.py
+    (lossless, so the same sample-exact stats apply), dispatched on the
+    ``fLaC`` magic; lossy/compressed audio (MP3/Opus/...) raises inside
+    the codec and is SKIPPED, never task-fatal.
     """
+    from finetoo_sp_spark.codecs.flac import FlacError, decode_flac
     from finetoo_sp_spark.codecs.wav import WavError, decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -286,8 +289,10 @@ def audio_stats(assets: DataFrame) -> DataFrame:
             recs = []
             for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
                 try:
-                    rate, ch, bits, samples = decode_wav(bytes(payload))
-                except (WavError, ValueError):
+                    raw = bytes(payload)
+                    decode = decode_flac if raw[:4] == b"fLaC" else decode_wav
+                    rate, ch, bits, samples = decode(raw)
+                except (FlacError, WavError, ValueError):
                     continue
                 s64 = samples.astype(np.int64)
                 recs.append(

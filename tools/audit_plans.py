@@ -307,6 +307,10 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "multimodal_audio_stats_flac": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
     "dxf_entities_by_type": [
         ("group-code kernel in one Arrow pass", r"MapInPandas"),
         ("partial agg before the count shuffle", r"partial_count"),
