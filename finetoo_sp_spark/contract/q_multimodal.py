@@ -297,6 +297,36 @@ def q_image_stats_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_stats_bmp_ico",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_bmp_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMP + ICO (favicon) decode under the same per-pixel-exact
+    formula oracle as the GIF/WebP queries: the corpus encodes the
+    block-flat images as 24/32/8-bpp-palette/top-down BMPs and as
+    single-entry ICOs with DIB (doubled-height XOR + AND mask) and
+    PNG payloads, cycling per id — any slip in BGR ordering, 4-byte
+    row padding, bottom-up flip, palette indexing, or ICO payload
+    routing breaks exactly its sixth of the rows. Favicons are
+    fetched for nearly every crawled host, so this is the highest-
+    frequency image container a web curation pipeline touches."""
+    from finetoo_sp_spark.datagen import gen_bmp_ico_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_bmp_ico_assets(spark, 48))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx
@@ -376,6 +406,47 @@ def q_audio_stats_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import audio_stats
 
     return audio_stats(gen_flac_assets(spark, 96))
+
+
+@_q(
+    "audio_probe_meta",
+    """
+SELECT i AS asset_id,
+  CASE i%4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp3'
+           WHEN 2 THEN 'ogg-vorbis' ELSE 'ogg-opus' END AS container,
+  CAST(CASE i%4
+    WHEN 0 THEN CASE i%3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+    WHEN 1 THEN CASE i%3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+    WHEN 2 THEN 8000 + (i%5)*4000
+    ELSE 48000 END AS BIGINT) AS sample_rate,
+  CAST(CASE i%4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 1 + (i%2) END
+       AS BIGINT) AS channels,
+  CAST(CASE i%4
+    WHEN 0 THEN (50 + (i%20)) * 1152 * 1000
+      // (CASE i%3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+    WHEN 1 THEN (40 + (i%10)*2) * 1152 * 1000
+      // (CASE i%3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+    WHEN 2 THEN (10000 + i*37) * 1000 // (8000 + (i%5)*4000)
+    ELSE (48000 + i*480 - 312) * 1000 // 48000 END AS BIGINT) AS duration_ms,
+  CAST(CASE i%4 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 0 END
+       AS BIGINT) AS bitrate_kbps,
+  i%4 <> 0 AS vbr
+FROM range(0, 120) t(i)""",
+)
+def q_audio_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only compressed-audio metadata under a full value oracle:
+    the corpus (datagen.gen_audio_probe_pandas) writes structurally
+    valid MP3 / Ogg-Vorbis / Ogg-Opus streams with zero entropy
+    payloads and formula-driven frame counts / granule positions; the
+    probe walks MPEG frame headers (exact sample counts, Xing VBR
+    flag, mean kbps) and Ogg id-headers + closing granules, and the
+    DuckDB twin recomputes every column from the formulas alone — it
+    never sees a container byte. This is the pre-decode curation path
+    for crawled audio (bucket by codec/rate/length, drop clips)."""
+    from finetoo_sp_spark.datagen import gen_audio_probe_assets
+    from finetoo_sp_spark.multimodal import audio_probe
+
+    return audio_probe(gen_audio_probe_assets(spark, 120))
 
 
 # Closed-form dHash oracle over the textured corpus (datagen.
@@ -537,29 +608,42 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "image_dimensions",
     """
 SELECT i AS asset_id,
-  CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
-       WHEN 2 THEN 'gif' ELSE 'webp' END AS format,
-  CAST(CASE CAST(i % 4 AS INTEGER)
+  CASE CAST(i % 7 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+       WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff'
+       WHEN 5 THEN 'bmp' ELSE 'ico' END AS format,
+  CAST(CASE CAST(i % 7 AS INTEGER)
     WHEN 0 THEN 16 + i % 8
     WHEN 1 THEN 8 * (2 + i % 3)
     WHEN 2 THEN 100 + i
-    ELSE 1 + i % 200 END AS BIGINT) AS width,
-  CAST(CASE CAST(i % 4 AS INTEGER)
+    WHEN 3 THEN 1 + i % 200
+    WHEN 4 THEN 200 + i % 31
+    WHEN 5 THEN 30 + i % 11
+    ELSE CASE CAST(i % 5 AS INTEGER) WHEN 0 THEN 16 WHEN 1 THEN 32
+         WHEN 2 THEN 48 WHEN 3 THEN 64 ELSE 256 END
+    END AS BIGINT) AS width,
+  CAST(CASE CAST(i % 7 AS INTEGER)
     WHEN 0 THEN 12 + i % 5
     WHEN 1 THEN 8 * (2 + i % 2)
     WHEN 2 THEN 50 + i % 7
-    ELSE 1 + (i * 3) % 150 END AS BIGINT) AS height
-FROM range(0, 120) t(i)""",
+    WHEN 3 THEN 1 + (i * 3) % 150
+    WHEN 4 THEN 100 + i % 17
+    WHEN 5 THEN 20 + i % 9
+    ELSE CASE CAST(i % 5 AS INTEGER) WHEN 0 THEN 16 WHEN 1 THEN 32
+         WHEN 2 THEN 48 WHEN 3 THEN 64 ELSE 256 END
+    END AS BIGINT) AS height
+FROM range(0, 140) t(i)""",
 )
 def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-decode image gate: header-only format/dimension probe over a
-    mixed PNG (real encoder) / JPEG (real encoder) / GIF / WebP corpus
-    — formats whose full decode is out of scope still yield the fields
-    curation filters on. Oracle recomputes everything from the id."""
+    mixed PNG / JPEG / GIF / WebP / TIFF (both byte orders) / BMP
+    (incl. negative-height top-down) / ICO (largest directory entry,
+    0-coded 256px sizes) corpus — every format a crawl's <img> and
+    favicon fetches actually surface yields the fields curation
+    filters on. Oracle recomputes everything from the id."""
     from finetoo_sp_spark.datagen import gen_mixed_image_assets
     from finetoo_sp_spark.multimodal import image_dimensions
 
-    return image_dimensions(gen_mixed_image_assets(spark, 120))
+    return image_dimensions(gen_mixed_image_assets(spark, 140))
 
 
 @_q(

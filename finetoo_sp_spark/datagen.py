@@ -429,6 +429,56 @@ def gen_gif_pandas(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
 
 
+def gen_bmp_ico_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """The block-flat formula images through the BMP/ICO encoders —
+    both are uncompressed-lossless, so the per-pixel formula oracle
+    transfers unchanged while every container shape executes: per id
+    (i%6) 24-bpp bottom-up BMP, 32-bpp BMP, 8-bpp palette BMP, 24-bpp
+    top-down BMP, single-entry ICO with a DIB (XOR + opaque AND mask)
+    payload, ICO with a PNG payload."""
+    from finetoo_sp_spark.codecs.bmp import encode_bmp, encode_ico
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(
+            np.repeat(vals, 8, axis=0), 8, axis=1
+        )[:, :, None].repeat(3, axis=2)
+        kind = i % 6
+        if kind == 0:
+            payload = encode_bmp(img, bits=24)
+        elif kind == 1:
+            payload = encode_bmp(img, bits=32)
+        elif kind == 2:
+            payload = encode_bmp(img, bits=8)
+        elif kind == 3:
+            payload = encode_bmp(img, bits=24, top_down=True)
+        elif kind == 4:
+            payload = encode_ico(img)
+        else:
+            payload = encode_ico(img, as_png=True)
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_bmp_ico_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic BMP/ICO corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_bmp_ico_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_gif_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Distributed deterministic GIF corpus."""
     rng = spark.range(0, n, 1, partitions)
@@ -564,6 +614,57 @@ def gen_flac_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFra
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
+def gen_audio_probe_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic compressed-audio corpus with CLOSED-FORM metadata
+    for the header-only probe — cycling container per id (i%4):
+
+    0. MP3 CBR (MPEG-1 L3): rate [44100,48000,32000][i%3], 128 kbps,
+       50+(i%20) frames, stereo -> duration 1152*frames*1000//rate.
+    1. MP3 VBR + Xing: frames alternate 128/192 kbps over an even
+       count 40+(i%10)*2, mono -> mean bitrate exactly 160.
+    2. Ogg Vorbis: rate 8000+(i%5)*4000, 1+(i%2) channels, closing
+       granule 10000+i*37 -> duration granule*1000//rate.
+    3. Ogg Opus: 48 kHz decode rate, pre-skip 312, granule
+       48000+i*480 -> duration (granule-312)*1000//48000.
+
+    The entropy payloads are zero bytes — structurally valid streams;
+    the probe never reads them, so the oracle recomputes everything
+    from these formulas alone."""
+    from finetoo_sp_spark.codecs.probe import make_mp3, make_ogg
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        kind = i % 4
+        if kind == 0:
+            b = make_mp3(50 + (i % 20), rate_idx=i % 3,
+                         bitrate_indices=[9], channels=2)
+        elif kind == 1:
+            b = make_mp3(40 + (i % 10) * 2, rate_idx=i % 3,
+                         bitrate_indices=[9, 11], channels=1, xing=True)
+        elif kind == 2:
+            b = make_ogg("vorbis", 8000 + (i % 5) * 4000,
+                         1 + (i % 2), 10000 + i * 37)
+        else:
+            b = make_ogg("opus", 48000, 1 + (i % 2), 48000 + i * 480)
+        rows.append((i, "audio", b))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_audio_probe_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic compressed-audio corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_audio_probe_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_dhash_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Textured synthetic PNGs for perceptual-hash tests: pixel(r,c,ch) =
     (13*id + 3r^2 + 5c^2 + (1 + id%4)*rc + 11ch) % 256. The quadratic +
@@ -649,20 +750,24 @@ def gen_mp4_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFram
 
 def gen_mixed_image_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Deterministic mixed-format image corpus for the header probe:
-    i%4 routes to a REAL PNG (encode_png), REAL baseline JPEG
-    (encode_jpeg_baseline), minimal GIF89a, or minimal WebP/VP8L, each
-    with closed-form dimensions an SQL oracle recomputes from i."""
+    i%7 routes to a REAL PNG (encode_png), REAL baseline JPEG
+    (encode_jpeg_baseline), minimal GIF89a, minimal WebP/VP8L, minimal
+    TIFF IFD (alternating byte order), REAL BMP (negative-height
+    top-down on odd ids), or REAL single-entry ICO — each with
+    closed-form dimensions an SQL oracle recomputes from i."""
+    from finetoo_sp_spark.codecs.bmp import encode_bmp, encode_ico
     from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
     from finetoo_sp_spark.codecs.png import encode_png
     from finetoo_sp_spark.codecs.probe import (
         encode_gif_header,
+        encode_tiff_header,
         encode_webp_vp8l_header,
     )
 
     rows = []
     for i in ids:
         i = int(i)
-        kind = i % 4
+        kind = i % 7
         if kind == 0:
             w, h = 16 + i % 8, 12 + i % 5
             r = np.arange(h)[:, None, None]
@@ -676,8 +781,19 @@ def gen_mixed_image_pandas(ids: np.ndarray) -> pd.DataFrame:
             payload = encode_jpeg_baseline(np.repeat(np.repeat(vals, 8, 0), 8, 1))
         elif kind == 2:
             payload = encode_gif_header(100 + i, 50 + i % 7)
-        else:
+        elif kind == 3:
             payload = encode_webp_vp8l_header(1 + i % 200, 1 + (i * 3) % 150)
+        elif kind == 4:
+            payload = encode_tiff_header(
+                200 + i % 31, 100 + i % 17, big_endian=bool(i % 2)
+            )
+        elif kind == 5:
+            img = np.zeros((20 + i % 9, 30 + i % 11, 3), dtype=np.uint8)
+            payload = encode_bmp(img, top_down=bool(i % 2))
+        else:
+            side = [16, 32, 48, 64, 256][i % 5]
+            img = np.zeros((side, side, 3), dtype=np.uint8)
+            payload = encode_ico(img, as_png=bool(i % 2))
         rows.append((i, "image", payload))
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -64,10 +65,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
     Huffman, 4:4:4/4:2:0, restart markers); WebP-lossless via
     codecs/vp8l.py (full VP8L: transforms, color cache, LZ77,
     meta-prefix groups); GIF via codecs/gif.py (LZW, interlace,
-    transparency; animated files decode the first frame). Lossy-VP8
-    WebP and arithmetic-coded JPEG raise NotImplementedError — corpus
-    kernels catch and skip, and ``fake_features`` remains the
-    deterministic plumbing fallback.
+    transparency; animated files decode the first frame); BMP and ICO
+    (favicons — largest entry, PNG or DIB payload) via codecs/bmp.py.
+    Lossy-VP8 WebP and arithmetic-coded JPEG raise
+    NotImplementedError — corpus kernels catch and skip, and
+    ``fake_features`` remains the deterministic plumbing fallback.
     """
     b = bytes(payload)
     if b.startswith(b"\x89PNG\r\n\x1a\n"):
@@ -86,6 +88,14 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from finetoo_sp_spark.codecs.gif import decode_gif
 
         return decode_gif(b)
+    if b[:2] == b"BM":
+        from finetoo_sp_spark.codecs.bmp import decode_bmp
+
+        return decode_bmp(b)
+    if b[:4] == b"\x00\x00\x01\x00":
+        from finetoo_sp_spark.codecs.bmp import decode_ico
+
+        return decode_ico(b)
     raise NotImplementedError(
         "unsupported image format (PNG, JPEG, and lossless WebP decode "
         "without a codec library); use fake_features (deterministic) "
@@ -263,6 +273,55 @@ AUDIO_STATS_SCHEMA = StructType(
         StructField("peak", LongType(), False),
     ]
 )
+
+
+AUDIO_PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("container", StringType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("channels", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("bitrate_kbps", LongType(), False),
+        StructField("vbr", BooleanType(), False),
+    ]
+)
+
+
+def audio_probe(assets: DataFrame) -> DataFrame:
+    """Header-only audio metadata over the binary column: codec
+    container, sample rate, channels, exact duration and mean bitrate
+    WITHOUT decoding any entropy data (codecs/probe.probe_audio_meta —
+    MP3 frame-header walk incl. Xing/VBRI VBR detection, Ogg
+    Vorbis/Opus id-header + closing granule position, WAV/FLAC header
+    math). This is the curation fast path for crawled audio: bucket by
+    codec/rate/length and drop sub-second clips BEFORE routing the
+    survivors to the sample-exact decode kernels. One Arrow pass,
+    O(headers) per asset; unrecognized/truncated payloads SKIP."""
+    from finetoo_sp_spark.codecs.probe import ProbeError, probe_audio_meta
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    fmt, rate, ch, dur, kbps, vbr = probe_audio_meta(
+                        bytes(payload)
+                    )
+                except (ProbeError, ValueError):
+                    continue
+                recs.append((asset_id, fmt, rate, ch, dur, kbps, vbr))
+            yield pd.DataFrame(
+                recs,
+                columns=["asset_id", "container", "sample_rate",
+                         "channels", "duration_ms", "bitrate_kbps", "vbr"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=AUDIO_PROBE_SCHEMA
+    )
 
 
 def audio_stats(assets: DataFrame) -> DataFrame:

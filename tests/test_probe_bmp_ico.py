@@ -1,0 +1,190 @@
+"""Audio/image header probes (MP3/Ogg/TIFF) + BMP/ICO codec."""
+
+import numpy as np
+import pytest
+
+from finetoo_sp_spark.codecs.bmp import (
+    BmpError,
+    decode_bmp,
+    decode_ico,
+    encode_bmp,
+    encode_ico,
+)
+from finetoo_sp_spark.codecs.probe import (
+    ProbeError,
+    encode_tiff_header,
+    make_mp3,
+    make_ogg,
+    probe_audio_meta,
+    probe_image_dims,
+)
+
+
+# ----------------------------------------------------------- audio probe
+def test_mp3_cbr_walk():
+    b = make_mp3(60, rate_idx=0, bitrate_indices=[9], channels=2)
+    assert probe_audio_meta(b) == (
+        "mp3", 44100, 2, 60 * 1152 * 1000 // 44100, 128, False)
+
+
+def test_mp3_vbr_mean_and_flag():
+    b = make_mp3(40, rate_idx=1, bitrate_indices=[9, 11], channels=1)
+    fmt, rate, ch, dur, kbps, vbr = probe_audio_meta(b)
+    assert (rate, ch, kbps, vbr) == (48000, 1, (128 + 192) // 2, True)
+
+
+def test_mp3_xing_flags_vbr_even_when_cbr():
+    b = make_mp3(30, bitrate_indices=[9], xing=True)
+    assert probe_audio_meta(b)[5] is True
+
+
+def test_mp3_id3v2_skip_and_id3v1_tail():
+    id3v2 = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 30]) + b"\x00" * 30
+    core = make_mp3(12)
+    tail = b"TAG" + b"\x00" * 125
+    assert probe_audio_meta(id3v2 + core + tail)[3] == \
+        probe_audio_meta(core)[3]
+
+
+def test_mp3_truncated_final_frame_dropped():
+    b = make_mp3(10)
+    full = probe_audio_meta(b)
+    cut = probe_audio_meta(b[:-50])
+    assert cut[3] < full[3]  # one fewer frame counted
+
+
+def test_mp3_mid_stream_garbage_raises():
+    b = bytearray(make_mp3(10))
+    b[500] = 0x00  # kill a frame sync deep in the stream
+    # desync lands at a non-sync byte -> ProbeError (kernel skips)
+    with pytest.raises(ProbeError):
+        probe_audio_meta(bytes(b[:499] + b"\x12\x34" + b[499:]))
+
+
+def test_ogg_vorbis_and_opus():
+    v = make_ogg("vorbis", 16000, 2, 32000)
+    assert probe_audio_meta(v) == ("ogg-vorbis", 16000, 2, 2000, 0, True)
+    o = make_ogg("opus", 48000, 1, 48312)
+    assert probe_audio_meta(o) == ("ogg-opus", 48000, 1, 1000, 0, True)
+
+
+def test_wav_flac_delegation():
+    from finetoo_sp_spark.codecs.flac import encode_flac
+    from finetoo_sp_spark.codecs.wav import encode_wav
+
+    s = np.full(800, 1000, dtype=np.int16)
+    assert probe_audio_meta(encode_wav(s, 8000))[:4] == ("wav", 8000, 1, 100)
+    f = encode_flac(s[:, None].astype(int), 8000)
+    assert probe_audio_meta(f)[:4] == ("flac", 8000, 1, 100)
+
+
+def test_audio_probe_gates():
+    for bad in (b"", b"\x00" * 40, b"OggS" + b"\x00" * 10):
+        with pytest.raises(ProbeError):
+            probe_audio_meta(bad)
+
+
+# ----------------------------------------------------- image dim probes
+def test_tiff_dims_both_orders():
+    assert probe_image_dims(encode_tiff_header(640, 480)) == ("tiff", 640, 480)
+    assert probe_image_dims(
+        encode_tiff_header(31, 17, big_endian=True)) == ("tiff", 31, 17)
+
+
+def test_bmp_ico_dims():
+    img = np.zeros((20, 30, 3), dtype=np.uint8)
+    assert probe_image_dims(encode_bmp(img)) == ("bmp", 30, 20)
+    assert probe_image_dims(
+        encode_bmp(img, top_down=True)) == ("bmp", 30, 20)
+    big = np.zeros((256, 256, 3), dtype=np.uint8)
+    assert probe_image_dims(encode_ico(big, as_png=True)) == ("ico", 256, 256)
+
+
+# ------------------------------------------------------------ BMP codec
+@pytest.mark.parametrize("bits,top_down", [(24, False), (24, True),
+                                           (32, False), (32, True)])
+def test_bmp_roundtrip(bits, top_down):
+    rng = np.random.default_rng(bits + top_down)
+    img = rng.integers(0, 256, size=(21, 13, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_bmp(encode_bmp(img, bits=bits, top_down=top_down)), img)
+
+
+def test_bmp_palette_roundtrip():
+    rng = np.random.default_rng(9)
+    colors = rng.integers(0, 256, size=(5, 3)).astype(np.uint8)
+    img = colors[rng.integers(0, 5, size=(19, 23))]
+    assert np.array_equal(decode_bmp(encode_bmp(img, bits=8)), img)
+
+
+def test_bmp_row_padding_edge():
+    # widths 1..4 hit every 4-byte padding remainder
+    for w in range(1, 5):
+        img = np.arange(w * 3 * 3).reshape(3, w, 3).astype(np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_bmp_gates():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    enc = encode_bmp(img)
+    with pytest.raises(BmpError):
+        decode_bmp(enc[:40])
+    with pytest.raises(BmpError):
+        decode_bmp(b"PK" + enc[2:])
+    rle = bytearray(enc)
+    rle[30] = 1  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError):
+        decode_bmp(bytes(rle))
+
+
+# ------------------------------------------------------------ ICO codec
+def test_ico_dib_mask_rule():
+    rng = np.random.default_rng(4)
+    img = rng.integers(1, 256, size=(16, 16, 3)).astype(np.uint8)
+    mask = np.zeros((16, 16), dtype=bool)
+    mask[0, :8] = True
+    dec = decode_ico(encode_ico(img, masked=mask))
+    assert np.array_equal(dec, np.where(mask[:, :, None], 0, img))
+
+
+def test_ico_png_payload_and_largest_entry():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(48, 48, 3)).astype(np.uint8)
+    assert np.array_equal(decode_ico(encode_ico(img, as_png=True)), img)
+
+
+def test_ico_gates():
+    with pytest.raises(BmpError):
+        decode_ico(b"\x00\x00\x01\x00\x00\x00")
+    with pytest.raises(BmpError):
+        decode_ico(b"\x00\x00\x02\x00\x01\x00" + b"\x00" * 16)
+
+
+# ------------------------------------------------------- Spark kernels
+def test_image_stats_decodes_bmp_and_ico(spark):
+    from finetoo_sp_spark.multimodal import image_stats
+
+    img = (np.arange(8 * 8 * 3) % 256).reshape(8, 8, 3).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(encode_bmp(img))),
+         (1, "image", bytearray(encode_ico(img))),
+         (2, "image", bytearray(b"BM truncated"))],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = {r["asset_id"]: r for r in image_stats(df).collect()}
+    assert set(rows) == {0, 1}
+    for aid in (0, 1):
+        assert rows[aid]["sum_r"] == int(img[:, :, 0].astype(int).sum())
+
+
+def test_audio_probe_kernel_skips_garbage(spark):
+    from finetoo_sp_spark.multimodal import audio_probe
+
+    df = spark.createDataFrame(
+        [(0, "audio", bytearray(make_mp3(20))),
+         (1, "audio", bytearray(b"not audio at all"))],
+        "asset_id long, modality string, payload binary",
+    )
+    rows = audio_probe(df).collect()
+    assert [r["asset_id"] for r in rows] == [0]
+    assert rows[0]["container"] == "mp3"

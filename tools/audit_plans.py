@@ -311,6 +311,14 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "multimodal_image_stats_bmp_ico": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "audio_probe_meta": [
+        ("header walk in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
     "dxf_entities_by_type": [
         ("group-code kernel in one Arrow pass", r"MapInPandas"),
         ("partial agg before the count shuffle", r"partial_count"),
