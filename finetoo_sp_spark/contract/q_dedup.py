@@ -668,3 +668,103 @@ def q_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return nfc_normalize_text(corpus, "doc_id", "text")
+
+
+# ---------------------------------------------------------------- CDC
+# Content-defined chunking twins (operators/cdc.py): boundary after
+# token p (1-based end, p in [4, n)) when sha60 of the 4-token window
+# ending at p is 0 mod 16; bounds = [0] + cuts + [n]; DuckDB lists are
+# 1-based so bounds[c]/bounds[c+1] bracket chunk c.
+_CDC_CHUNKS_SQL = f"""w AS (
+  SELECT doc_id, {_WORDS_SQL} AS ws FROM corpus
+  WHERE length(trim(text)) > 0
+), bounds AS (
+  SELECT doc_id, len(ws) AS n, ws,
+    list_concat(list_concat([CAST(0 AS BIGINT)],
+      CASE WHEN len(ws) - 1 >= 4 THEN
+        list_filter(generate_series(4, len(ws) - 1), p ->
+          {_H60.format(x="array_to_string(list_slice(ws, p - 3, p), ' ')")} % 16 = 0)
+      ELSE CAST([] AS BIGINT[]) END),
+      [CAST(len(ws) AS BIGINT)]) AS b
+  FROM w
+), chunks AS (
+  SELECT doc_id, n, c AS chunk_idx,
+    b[CAST(c AS BIGINT)] AS start,
+    b[CAST(c + 1 AS BIGINT)] - b[CAST(c AS BIGINT)] AS chunk_tokens,
+    {_H60.format(x="array_to_string(list_slice(ws, b[CAST(c AS BIGINT)] + 1, b[CAST(c + 1 AS BIGINT)]), ' ')")} AS chunk_hash
+  FROM bounds, UNNEST(generate_series(1, len(b) - 1)) AS t(c)
+)"""
+
+
+@_q(
+    "cdc_chunk_stats",
+    f"""
+WITH {_WIN_CORPUS_SQL}, {_CDC_CHUNKS_SQL}
+SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens,
+  CAST(count(*) AS BIGINT) AS n_chunks,
+  CAST(max(chunk_tokens) AS BIGINT) AS max_chunk_tokens,
+  bit_xor(chunk_hash) AS chunk_hash_xor
+FROM chunks GROUP BY doc_id, n""",
+)
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (LBFS/FastCDC-style local window-hash
+    predicate at token granularity, operators/cdc.py) under a full
+    value oracle: per doc the chunk count, max chunk length and the
+    bit_xor fold of EVERY chunk hash — the xor pins each chunk's exact
+    token span, so any boundary slip anywhere breaks the row. Narrow
+    JVM array pipeline (split -> window hashes -> filter -> slice),
+    zero shuffle before the per-doc aggregate."""
+    from finetoo_sp_spark.operators.cdc import cdc_chunks
+
+    chunks = cdc_chunks(
+        _win_corpus(spark, sf_dir), "doc_id", "text",
+        window=4, divisor=16, hash_mode="sha",
+    )
+    return chunks.groupBy("id", "n_tokens").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_tokens").alias("max_chunk_tokens"),
+        F.expr("bit_xor(chunk_hash)").alias("chunk_hash_xor"),
+    ).select(
+        "id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_chunks", F.col("max_chunk_tokens").cast("long").alias("max_chunk_tokens"),
+        "chunk_hash_xor",
+    )
+
+
+@_q(
+    "cdc_dedup",
+    f"""
+WITH {_WIN_CORPUS_SQL}, {_CDC_CHUNKS_SQL},
+occ AS (
+  SELECT chunks.*, COUNT(*) OVER (PARTITION BY chunk_hash) AS n_occ
+  FROM chunks
+), per_doc AS (
+  SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens,
+    CAST(count(*) AS BIGINT) AS n_chunks,
+    CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+    CAST(sum(CASE WHEN n_occ >= 2 THEN chunk_tokens ELSE 0 END) AS BIGINT) AS dup_tokens
+  FROM occ GROUP BY doc_id
+)
+SELECT c.doc_id AS id,
+  COALESCE(n_tokens, 0) AS n_tokens,
+  COALESCE(n_chunks, 0) AS n_chunks,
+  COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+  COALESCE(dup_tokens, 0) AS dup_tokens
+FROM (SELECT DISTINCT doc_id FROM corpus) c
+LEFT JOIN per_doc USING (doc_id)""",
+)
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over content-defined chunks: a chunk is dup
+    when its hash occurs >= 2 times corpus-wide; dup_tokens is the
+    shareable token mass. The 20 planted template copies guarantee
+    cross-doc chunk sharing, and CDC's defining property — a local
+    edit ('copy marker N' suffixes) leaves all NON-overlapping chunks
+    identical — is what the per-doc dup counts exercise. Wide ops:
+    one count() window over the uniform chunk-hash partition + one
+    groupBy(id); both skew-free at 10^12 docs."""
+    from finetoo_sp_spark.operators.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _win_corpus(spark, sf_dir), "doc_id", "text",
+        window=4, divisor=16, hash_mode="sha",
+    )

@@ -319,6 +319,14 @@ CHECKS = {
         ("header walk in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "cdc_chunk_stats": [
+        ("no cartesian anywhere", r"!CartesianProduct"),
+        ("partial agg before the per-doc shuffle", r"partial_count"),
+    ],
+    "cdc_dedup": [
+        ("no cartesian anywhere", r"!CartesianProduct"),
+        ("chunk-hash window then doc rollup, equi-join back", r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"),
+    ],
     "dxf_entities_by_type": [
         ("group-code kernel in one Arrow pass", r"MapInPandas"),
         ("partial agg before the count shuffle", r"partial_count"),
