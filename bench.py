@@ -238,6 +238,12 @@ def main() -> None:
         "recrawl_plan",
         "resolved_links",
         "domain_quality_report",
+        # round-5 session-3 additions
+        "multimodal_audio_stats_flac",
+        "audio_probe_meta",
+        "multimodal_image_stats_bmp_ico",
+        "cdc_chunk_stats",
+        "cdc_dedup",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this
