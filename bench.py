@@ -242,6 +242,7 @@ def main() -> None:
         "multimodal_audio_stats_flac",
         "audio_probe_meta",
         "multimodal_image_stats_bmp_ico",
+        "multimodal_image_stats_tiff",
         "cdc_chunk_stats",
         "cdc_dedup",
     ]

@@ -327,6 +327,34 @@ def q_image_stats_bmp_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_stats_tiff",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-TIFF decode under the same per-pixel-exact formula
+    oracle as the GIF/BMP queries: the corpus cycles both byte orders,
+    uncompressed vs PackBits strips, grayscale vs RGB samples, and
+    RowsPerStrip 1/5/8/whole-image per id — any slip in IFD tag
+    typing, strip reassembly, RLE runs, or photometric expansion
+    breaks its share of the rows. TIFF is the scanned-document staple
+    a crawl's PDF-adjacent corpora still carry."""
+    from finetoo_sp_spark.datagen import gen_tiff_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_tiff_assets(spark, 48))
+
+
+@_q(
     "frame_sample_plan",
     """
 SELECT doc_id AS asset_id, CAST(f AS BIGINT) AS frame_idx

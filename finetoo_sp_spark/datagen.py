@@ -479,6 +479,48 @@ def gen_bmp_ico_assets(
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
+def gen_tiff_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """The block-flat formula images through the TIFF encoder — both
+    byte orders x {uncompressed, PackBits} x grayscale/RGB input x
+    varying RowsPerStrip, cycling per id (i%4 shape, strip height
+    1/5/8/full by i%4), all lossless so the per-pixel formula oracle
+    transfers unchanged."""
+    from finetoo_sp_spark.codecs.tiff import encode_tiff
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        kind = i % 4
+        img = gray if kind < 2 else gray[:, :, None].repeat(3, axis=2)
+        rows.append(
+            (i, "image",
+             encode_tiff(
+                 img,
+                 big_endian=bool(i % 2),
+                 packbits=kind in (1, 3),
+                 rows_per_strip=[1, 5, 8, 0][i % 4],
+             ))
+        )
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_tiff_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic TIFF corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_tiff_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_gif_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Distributed deterministic GIF corpus."""
     rng = spark.range(0, n, 1, partitions)

@@ -96,6 +96,10 @@ def decode_image(payload: bytes) -> "np.ndarray":
         from finetoo_sp_spark.codecs.bmp import decode_ico
 
         return decode_ico(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from finetoo_sp_spark.codecs.tiff import decode_tiff
+
+        return decode_tiff(b)
     raise NotImplementedError(
         "unsupported image format (PNG, JPEG, and lossless WebP decode "
         "without a codec library); use fake_features (deterministic) "
