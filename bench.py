@@ -245,6 +245,7 @@ def main() -> None:
         "multimodal_image_stats_tiff",
         "cdc_chunk_stats",
         "cdc_dedup",
+        "asset_curation_report",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -436,9 +436,8 @@ def q_audio_stats_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_stats(gen_flac_assets(spark, 96))
 
 
-@_q(
-    "audio_probe_meta",
-    """
+# shared with asset_curation_report below
+_AUDIO_PROBE_SQL = """
 SELECT i AS asset_id,
   CASE i%4 WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp3'
            WHEN 2 THEN 'ogg-vorbis' ELSE 'ogg-opus' END AS container,
@@ -459,8 +458,10 @@ SELECT i AS asset_id,
   CAST(CASE i%4 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 0 END
        AS BIGINT) AS bitrate_kbps,
   i%4 <> 0 AS vbr
-FROM range(0, 120) t(i)""",
-)
+FROM range(0, 120) t(i)"""
+
+
+@_q("audio_probe_meta", _AUDIO_PROBE_SQL)
 def q_audio_probe_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only compressed-audio metadata under a full value oracle:
     the corpus (datagen.gen_audio_probe_pandas) writes structurally
@@ -632,9 +633,8 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_metadata(gen_mp4_assets(spark, 96))
 
 
-@_q(
-    "image_dimensions",
-    """
+# shared with asset_curation_report below
+_IMAGE_DIMS_SQL = """
 SELECT i AS asset_id,
   CASE CAST(i % 7 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
        WHEN 2 THEN 'gif' WHEN 3 THEN 'webp' WHEN 4 THEN 'tiff'
@@ -659,8 +659,10 @@ SELECT i AS asset_id,
     ELSE CASE CAST(i % 5 AS INTEGER) WHEN 0 THEN 16 WHEN 1 THEN 32
          WHEN 2 THEN 48 WHEN 3 THEN 64 ELSE 256 END
     END AS BIGINT) AS height
-FROM range(0, 140) t(i)""",
-)
+FROM range(0, 140) t(i)"""
+
+
+@_q("image_dimensions", _IMAGE_DIMS_SQL)
 def q_image_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-decode image gate: header-only format/dimension probe over a
     mixed PNG / JPEG / GIF / WebP / TIFF (both byte orders) / BMP
@@ -729,3 +731,63 @@ def q_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import gif_animation_stats
 
     return gif_animation_stats(gen_gif_anim_assets(spark, 48))
+
+
+@_q(
+    "asset_curation_report",
+    f"""
+WITH img AS ({_IMAGE_DIMS_SQL}),
+aud AS ({_AUDIO_PROBE_SQL}),
+u AS (
+  SELECT 'image' AS modality, format AS fmt,
+    width * height AS metric,
+    CASE WHEN least(width, height) >= 32 THEN 1 ELSE 0 END AS keep
+  FROM img
+  UNION ALL
+  SELECT 'audio', container, duration_ms,
+    CASE WHEN duration_ms >= 1500 THEN 1 ELSE 0 END
+  FROM aud
+)
+SELECT modality, fmt, CAST(count(*) AS BIGINT) AS n_assets,
+  CAST(sum(keep) AS BIGINT) AS n_keep,
+  CAST(sum(metric) AS BIGINT) AS metric_sum
+FROM u GROUP BY modality, fmt""",
+)
+def q_asset_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone over the header-probe layer: the pre-decode curation
+    gate a multimodal crawl actually runs — probe EVERY asset's format
+    + geometry/duration WITHOUT decoding entropy data (7 image
+    containers via probe_image_dims, 4 compressed-audio shapes via
+    probe_audio_meta), apply the drop rules (icons/trackers under
+    32px, clips under 1.5s), and roll up per (modality, format) the
+    asset count, keep count, and total pixel/millisecond mass. Two
+    Arrow header kernels + one union + one small-key groupBy — at
+    10^12 assets nothing but the 11-format rollup ever shuffles.
+    Oracle recomputes every cell from the two corpus formulas."""
+    from finetoo_sp_spark.datagen import (
+        gen_audio_probe_assets,
+        gen_mixed_image_assets,
+    )
+    from finetoo_sp_spark.multimodal import audio_probe, image_dimensions
+
+    imgs = image_dimensions(gen_mixed_image_assets(spark, 140)).select(
+        F.lit("image").alias("modality"),
+        F.col("format").alias("fmt"),
+        (F.col("width") * F.col("height")).alias("metric"),
+        (F.least("width", "height") >= 32).alias("keep"),
+    )
+    auds = audio_probe(gen_audio_probe_assets(spark, 120)).select(
+        F.lit("audio").alias("modality"),
+        F.col("container").alias("fmt"),
+        F.col("duration_ms").alias("metric"),
+        (F.col("duration_ms") >= 1500).alias("keep"),
+    )
+    return (
+        imgs.unionByName(auds)
+        .groupBy("modality", "fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+            F.sum("metric").alias("metric_sum"),
+        )
+    )

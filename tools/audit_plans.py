@@ -319,6 +319,11 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "asset_curation_report": [
+        ("probe kernels present", r"MapInPandas"),
+        ("no cartesian anywhere", r"!CartesianProduct"),
+        ("partial agg before the rollup shuffle", r"partial_count"),
+    ],
     "audio_probe_meta": [
         ("header walk in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
