@@ -292,14 +292,16 @@ def test_decode_image_dispatch():
 
     img = (np.arange(4 * 5 * 3) % 256).astype(np.uint8).reshape(4, 5, 3)
     assert (decode_image(encode_png(img, filter_type=4)) == img).all()
-    # JPEG and GIF magics now route to real decoders: malformed data is
-    # a ValueError; genuinely unsupported formats still NotImplementedError
+    # JPEG / GIF / BMP magics now route to real decoders: malformed data
+    # is a ValueError; formats with no decoder stay NotImplementedError
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish")
     with _pytest.raises(ValueError):
         decode_image(b"GIF87a" + b"\x00" * 16)
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         decode_image(b"BM bitmap not supported")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"no known image magic at all")
 
 
 def test_png_codec_property_roundtrip():
