@@ -12,8 +12,15 @@ Format per the public Windows BMP spec / MS ICO documentation:
 - BMP: 14-byte BITMAPFILEHEADER ('BM', file size, pixel-data offset),
   then BITMAPINFOHEADER (biSize >= 40): width, signed height (negative
   = top-down row order), bit count, compression. Supported here:
-  BI_RGB (uncompressed) at 8 bpp (palette), 24 bpp (BGR), 32 bpp
-  (BGRX); rows padded to 4-byte boundaries; bottom-up by default.
+  BI_RGB (uncompressed) at 1/4/8 bpp (palette, MSB-first bit packing,
+  high nibble first), 24 bpp (BGR), 32 bpp (BGRX); BI_RLE8 / BI_RLE4
+  run-length streams (encoded + absolute + delta + EOL/EOB escapes,
+  bottom-up only per spec; pixels skipped by deltas decode to palette
+  index 0 — a fixed, documented rule so stats stay oracle-exact); and
+  BI_BITFIELDS at 16/32 bpp (masks from the 3 DWORDs after a 40-byte
+  header, or in-header for BITMAPV4+; channels scale to 8 bits with
+  round(v * 255 / mask_max) in exact integer form). Rows pad to
+  4-byte boundaries; bottom-up by default.
 - ICO: ICONDIR (reserved 0, type 1, count), 16-byte ICONDIRENTRYs
   (width/height bytes where 0 encodes 256, payload size + offset).
   Each payload is either a full PNG stream (modern favicons) or a DIB:
@@ -22,8 +29,9 @@ Format per the public Windows BMP spec / MS ICO documentation:
   bottom-up with 4-byte row padding. Masked-out pixels decode to
   black (0,0,0) — a fixed, documented rule so stats stay oracle-exact.
 
-Malformed input raises :class:`BmpError`; RLE and bitfield
-compressions raise NotImplementedError — corpus kernels skip, not die.
+Malformed input raises :class:`BmpError`; the remaining exotic modes
+(BI_JPEG/BI_PNG embedded streams, 2-bpp CE variants) raise
+NotImplementedError — corpus kernels skip, not die.
 """
 
 from __future__ import annotations
@@ -37,6 +45,72 @@ class BmpError(ValueError):
     pass
 
 
+def _decode_rle(data: bytes, w: int, h: int, *, rle4: bool) -> np.ndarray:
+    """BI_RLE8/BI_RLE4 stream -> (h, w) palette indices in STORED
+    (bottom-up) row order. Escapes: (0,0) end-of-line, (0,1)
+    end-of-bitmap, (0,2) delta (dx, dy follow; skipped pixels stay
+    index 0), (0,n>=3) absolute mode (n raw indices, nibble-packed
+    high-first for RLE4, padded to a 16-bit boundary). Encoded runs
+    of RLE4 alternate the byte's high/low nibbles."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    while True:
+        if i + 2 > len(data):
+            raise BmpError("unterminated RLE stream")
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= h or x + n > w:
+                raise BmpError("RLE run outside the bitmap")
+            if rle4:
+                pair = (v >> 4, v & 0xF)
+                out[y, x : x + n] = [pair[k & 1] for k in range(n)]
+            else:
+                out[y, x : x + n] = v
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+            if y > h:
+                raise BmpError("RLE rows past bitmap height")
+        elif v == 1:  # end of bitmap
+            return out
+        elif v == 2:  # delta
+            if i + 2 > len(data):
+                raise BmpError("truncated RLE delta")
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > h:
+                raise BmpError("RLE delta outside the bitmap")
+        else:  # absolute mode: v raw pixels
+            if y >= h or x + v > w:
+                raise BmpError("RLE absolute run outside the bitmap")
+            nbytes = (v + 1) // 2 if rle4 else v
+            nbytes += nbytes & 1  # pad to word boundary
+            raw = data[i : i + nbytes]
+            if len(raw) < nbytes:
+                raise BmpError("truncated RLE absolute run")
+            i += nbytes
+            if rle4:
+                nib = np.repeat(np.frombuffer(raw, dtype=np.uint8), 2)
+                nib[0::2] >>= 4
+                nib[1::2] &= 0xF
+                out[y, x : x + v] = nib[:v]
+            else:
+                out[y, x : x + v] = np.frombuffer(raw, dtype=np.uint8)[:v]
+            x += v
+
+
+def _mask_channel(words: np.ndarray, mask: int) -> np.ndarray:
+    """Extract one BI_BITFIELDS channel and rescale to 8 bits with the
+    exact integer form of round(v * 255 / mask_max)."""
+    if mask == 0:
+        return np.zeros(words.shape, dtype=np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    mx = mask >> shift
+    v = ((words >> shift) & mx).astype(np.uint32)
+    return ((v * 255 + mx // 2) // mx).astype(np.uint8)
+
+
 def _decode_dib(
     b: bytes, off: int, *, ico_mask: bool = False
 ) -> np.ndarray:
@@ -48,12 +122,20 @@ def _decode_dib(
     (size, w, h, planes, bits, comp) = struct.unpack_from("<IiihHI", b, off)
     if size < 40:
         raise BmpError(f"unsupported DIB header size {size}")
-    if comp == 1 or comp == 2:
-        raise NotImplementedError("RLE-compressed BMP")
-    if comp == 3:
-        raise NotImplementedError("BI_BITFIELDS BMP")
-    if comp != 0:
+    if comp in (4, 5):
+        raise NotImplementedError("BI_JPEG/BI_PNG embedded BMP stream")
+    if comp > 5:
         raise BmpError(f"unknown BMP compression {comp}")
+    if comp == 1 and bits != 8:
+        raise BmpError("BI_RLE8 requires 8 bpp")
+    if comp == 2 and bits != 4:
+        raise BmpError("BI_RLE4 requires 4 bpp")
+    if comp == 3 and bits not in (16, 32):
+        raise BmpError("BI_BITFIELDS requires 16/32 bpp")
+    if comp in (1, 2) and h < 0:
+        raise BmpError("RLE BMPs must be bottom-up")
+    if comp in (1, 2) and ico_mask:
+        raise BmpError("RLE payloads are not valid inside ICO entries")
     top_down = h < 0
     h = abs(h)
     if ico_mask:
@@ -64,21 +146,70 @@ def _decode_dib(
         raise BmpError("bad BMP dimensions")
     (n_colors,) = struct.unpack_from("<I", b, off + 32)
     pos = off + size
-    if bits == 8:
-        n_pal = n_colors or 256
+    masks = None
+    if comp == 3:
+        if size == 40:  # masks follow the header as 3 DWORDs
+            if pos + 12 > len(b):
+                raise BmpError("truncated BI_BITFIELDS masks")
+            masks = struct.unpack_from("<III", b, pos)
+            pos += 12
+        else:  # BITMAPV4+ carries the masks inside the header
+            if off + 52 > len(b):
+                raise BmpError("truncated V4 header masks")
+            masks = struct.unpack_from("<III", b, off + 40)
+    if bits in (1, 4, 8):
+        n_pal = n_colors or (1 << bits)
         pal_raw = b[pos : pos + 4 * n_pal]
         if len(pal_raw) < 4 * n_pal:
             raise BmpError("truncated BMP palette")
         palette = np.frombuffer(pal_raw, dtype=np.uint8).reshape(-1, 4)
         pos += 4 * n_pal
-        stride = (w + 3) & ~3
-        raw = b[pos : pos + stride * h]
-        if len(raw) < stride * h:
-            raise BmpError("truncated BMP pixel data")
-        idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :w]
+        if comp in (1, 2):
+            idx = _decode_rle(b[pos:], w, h, rle4=comp == 2)[::-1]
+            # _decode_rle returns stored (bottom-up) order; flip here
+            # and skip the shared bottom-up flip below via top_down.
+            top_down = True
+            pos = len(b)
+        else:
+            stride = ((w * bits + 31) // 32) * 4
+            raw = b[pos : pos + stride * h]
+            if len(raw) < stride * h:
+                raise BmpError("truncated BMP pixel data")
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+            if bits == 8:
+                idx = rows[:, :w]
+            elif bits == 4:
+                nib = np.repeat(rows, 2, axis=1).copy()
+                nib[:, 0::2] >>= 4
+                nib[:, 1::2] &= 0xF
+                idx = nib[:, :w]
+            else:  # 1 bpp, MSB first
+                idx = np.unpackbits(rows, axis=1)[:, :w]
+            pos += stride * h
         if int(idx.max(initial=0)) >= n_pal:
             raise BmpError("palette index out of range")
         img = palette[idx][:, :, [2, 1, 0]]  # BGRX -> RGB
+    elif comp == 3 or bits == 16:
+        if masks is None:  # BI_RGB at 16 bpp = X1R5G5B5 per spec
+            masks = (0x7C00, 0x03E0, 0x001F)
+        bpp = bits // 8
+        stride = (w * bpp + 3) & ~3
+        raw = b[pos : pos + stride * h]
+        if len(raw) < stride * h:
+            raise BmpError("truncated BMP pixel data")
+        dt = np.uint16 if bits == 16 else np.uint32
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        words = (
+            rows[:, : w * bpp]
+            .reshape(h * w, bpp)
+            .copy()
+            .view(np.dtype(dt).newbyteorder("<"))
+            .reshape(h, w)
+            .astype(np.uint32)
+        )
+        img = np.stack(
+            [_mask_channel(words, m) for m in masks], axis=2
+        )
         pos += stride * h
     elif bits in (24, 32):
         bpp = bits // 8
@@ -114,34 +245,92 @@ def decode_bmp(b: bytes) -> np.ndarray:
     return _decode_dib(b, 14)
 
 
+def _palette_indices(rows: np.ndarray, bits: int):
+    """(idx, palette_block, n_colors) for a paletted encode: unique
+    colors in lexicographic RGB order (deterministic)."""
+    h, w, _ = rows.shape
+    flat = rows.reshape(-1, 3)
+    colors = np.unique(flat, axis=0)  # lexicographic: deterministic
+    if len(colors) > (1 << bits):
+        raise ValueError(f"more than {1 << bits} colors for {bits}-bpp BMP")
+    lut = {tuple(c): k for k, c in enumerate(colors)}
+    idx = np.array(
+        [lut[tuple(p)] for p in flat], dtype=np.uint8
+    ).reshape(h, w)
+    pal = np.zeros((len(colors), 4), dtype=np.uint8)
+    pal[:, :3] = colors[:, [2, 1, 0]]  # RGB -> BGRX
+    return idx, pal.tobytes(), len(colors)
+
+
+def _encode_rle(idx: np.ndarray, *, rle4: bool) -> bytes:
+    """Deterministic RLE8/RLE4 stream over STORED-order (bottom-up)
+    indices: maximal encoded runs per row (RLE4 runs repeat one index
+    in both nibbles), EOL after every row, EOB last. Absolute mode and
+    deltas are decode-only (hand fixtures cover them)."""
+    h, w = idx.shape
+    out = bytearray()
+    for y in range(h):
+        row = idx[y]
+        x = 0
+        while x < w:
+            v = int(row[x])
+            run = 1
+            while x + run < w and row[x + run] == v and run < 255:
+                run += 1
+            out += bytes([run, (v << 4) | v if rle4 else v])
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
 def encode_bmp(
-    img: np.ndarray, *, bits: int = 24, top_down: bool = False
+    img: np.ndarray,
+    *,
+    bits: int = 24,
+    top_down: bool = False,
+    compression: str | None = None,
 ) -> bytes:
-    """Deterministic BMP encoder twin: 24/32 bpp BI_RGB, or 8 bpp with
-    a palette built from the image's unique colors in lexicographic
-    RGB order (<= 256 required)."""
+    """Deterministic BMP encoder twin: 24/32 bpp BI_RGB; 1/4/8 bpp
+    with a palette built from the image's unique colors in
+    lexicographic RGB order; or ``compression='rle8'``/``'rle4'``
+    run-length streams (bottom-up only, like the spec demands)."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     h, w, _ = img.shape
+    if compression is not None:
+        if top_down:
+            raise ValueError("RLE BMPs must be bottom-up")
+        bits = {"rle8": 8, "rle4": 4}[compression]
     rows = img if top_down else img[::-1]
     pal_block = b""
-    if bits == 8:
-        flat = rows.reshape(-1, 3)
-        colors = np.unique(flat, axis=0)  # lexicographic: deterministic
-        if len(colors) > 256:
-            raise ValueError("more than 256 colors for 8-bpp BMP")
-        lut = {tuple(c): k for k, c in enumerate(colors)}
-        idx = np.array(
-            [lut[tuple(p)] for p in flat], dtype=np.uint8
-        ).reshape(h, w)
-        stride = (w + 3) & ~3
-        body = np.zeros((h, stride), dtype=np.uint8)
-        body[:, :w] = idx
-        pal = np.zeros((len(colors), 4), dtype=np.uint8)
-        pal[:, :3] = colors[:, [2, 1, 0]]  # RGB -> BGRX
-        pal_block = pal.tobytes()
-        n_colors = len(colors)
+    comp = 0
+    if compression is not None:
+        idx, pal_block, n_colors = _palette_indices(rows, bits)
+        stream = _encode_rle(idx, rle4=compression == "rle4")
+        body_bytes, body_size = stream, len(stream)
+        comp = 1 if compression == "rle8" else 2
+    elif bits in (1, 4, 8):
+        idx, pal_block, n_colors = _palette_indices(rows, bits)
+        if bits == 8:
+            stride = (w + 3) & ~3
+            body = np.zeros((h, stride), dtype=np.uint8)
+            body[:, :w] = idx
+        elif bits == 4:
+            wpad = (w + 1) & ~1
+            nib = np.zeros((h, wpad), dtype=np.uint8)
+            nib[:, :w] = idx
+            packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
+            stride = ((w * 4 + 31) // 32) * 4
+            body = np.zeros((h, stride), dtype=np.uint8)
+            body[:, : packed.shape[1]] = packed
+        else:  # 1 bpp, MSB first
+            packed = np.packbits(idx, axis=1)
+            stride = ((w + 31) // 32) * 4
+            body = np.zeros((h, stride), dtype=np.uint8)
+            body[:, : packed.shape[1]] = packed
+        body_bytes, body_size = body.tobytes(), body.size
     elif bits in (24, 32):
         bpp = bits // 8
         stride = (w * bpp + 3) & ~3
@@ -152,18 +341,63 @@ def encode_bmp(
                 [px, np.zeros((h, w, 1), dtype=np.uint8)], axis=2
             )
         body[:, : w * bpp] = px.reshape(h, w * bpp)
+        body_bytes, body_size = body.tobytes(), body.size
         n_colors = 0
     else:
         raise ValueError(f"unsupported encode depth {bits}")
     info = struct.pack(
         "<IiihHIIiiII",
-        40, w, -h if top_down else h, 1, bits, 0,
-        body.size, 2835, 2835, n_colors, 0,
+        40, w, -h if top_down else h, 1, bits, comp,
+        body_size, 2835, 2835, n_colors, 0,
     )
     offset = 14 + 40 + len(pal_block)
+    total = offset + body_size
+    hdr = b"BM" + struct.pack("<IHHI", total, 0, 0, offset)
+    return hdr + info + pal_block + body_bytes
+
+
+def encode_bmp_bitfields(
+    img: np.ndarray,
+    *,
+    bits: int = 32,
+    masks: tuple[int, int, int] = (0x000000FF, 0x0000FF00, 0x00FF0000),
+    top_down: bool = False,
+) -> bytes:
+    """Deterministic BI_BITFIELDS encoder twin (40-byte header + the
+    3 mask DWORDs). Channel values quantize to the mask width with the
+    exact integer form of round(c8 * mask_max / 255) — lossless iff
+    every mask is 8 bits wide (the default 32-bpp RGBA-order masks),
+    which is what the formula oracle uses; 16-bpp 565/555 variants are
+    decode-checked against the documented rescale rule in pytest."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, _ = img.shape
+    if bits not in (16, 32):
+        raise ValueError("BI_BITFIELDS encodes 16 or 32 bpp")
+    rows = img if top_down else img[::-1]
+    words = np.zeros((h, w), dtype=np.uint32)
+    for ch, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        mx = mask >> shift
+        c = rows[:, :, ch].astype(np.uint32)
+        words |= ((c * mx + 127) // 255) << shift
+    bpp = bits // 8
+    stride = (w * bpp + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    dt = np.dtype(np.uint16 if bits == 16 else np.uint32).newbyteorder("<")
+    body[:, : w * bpp] = (
+        words.astype(dt).view(np.uint8).reshape(h, w * bpp)
+    )
+    info = struct.pack(
+        "<IiihHIIiiII",
+        40, w, -h if top_down else h, 1, bits, 3,
+        body.size, 2835, 2835, 0, 0,
+    ) + struct.pack("<III", *masks)
+    offset = 14 + 40 + 12
     total = offset + body.size
     hdr = b"BM" + struct.pack("<IHHI", total, 0, 0, offset)
-    return hdr + info + pal_block + body.tobytes()
+    return hdr + info + body.tobytes()
 
 
 def decode_ico(b: bytes) -> np.ndarray:

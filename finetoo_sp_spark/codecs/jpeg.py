@@ -361,6 +361,16 @@ def _dht_payload(cls: int, tid: int, table) -> bytes:
     return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
 
 
+def _dqt_payload(tid: int, table: np.ndarray, force_16bit: bool = False) -> bytes:
+    """DQT segment body: Pq=0 (8-bit entries) unless any step exceeds
+    255 or ``force_16bit`` asks for Pq=1 (big-endian 16-bit entries,
+    ISO 10918-1 B.2.4.1)."""
+    z = table.reshape(64)[ZIGZAG].astype(np.int64)
+    if force_16bit or int(z.max()) > 255:
+        return bytes([0x10 | tid]) + z.astype(">u2").tobytes()
+    return bytes([tid]) + bytes(z.astype(np.uint8))
+
+
 def _quantized_components(arr, subsampling, quant_luma, quant_chroma):
     """Shared front half of both encoders: color transform, subsample,
     MCU-pad (edge replicate), FDCT, quantize. Returns (gray, h, w,
@@ -425,6 +435,7 @@ def encode_jpeg_baseline(
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
     restart_interval: int = 0,
+    quant_16bit: bool = False,
 ) -> bytes:
     """Deterministic baseline JFIF encoder for (H, W) / (H, W, 1)
     grayscale or (H, W, 3) RGB uint8 arrays. ``subsampling`` is '444'
@@ -465,9 +476,9 @@ def encode_jpeg_baseline(
     # assemble segments
     head = bytearray(b"\xff\xd8")  # SOI
     head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    head += _seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    head += _seg(0xDB, _dqt_payload(0, ql, quant_16bit))
     if not gray:
-        head += _seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+        head += _seg(0xDB, _dqt_payload(1, qc, quant_16bit))
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, hs << 4 | vs, tq])
@@ -777,6 +788,7 @@ def encode_jpeg_progressive(
     quant_chroma: np.ndarray | None = None,
     scans: list[tuple] | None = None,
     restart_interval: int = 0,
+    quant_16bit: bool = False,
 ) -> bytes:
     """Deterministic progressive (SOF2) JFIF encoder: same color /
     subsample / FDCT / quantization front end as the baseline encoder,
@@ -798,9 +810,9 @@ def encode_jpeg_progressive(
 
     head = bytearray(b"\xff\xd8")
     head += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    head += _seg(0xDB, bytes([0x00]) + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    head += _seg(0xDB, _dqt_payload(0, ql, quant_16bit))
     if not gray:
-        head += _seg(0xDB, bytes([0x01]) + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+        head += _seg(0xDB, _dqt_payload(1, qc, quant_16bit))
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
     for cid, hs, vs, tq in comps:
         sof += bytes([cid, hs << 4 | vs, tq])
@@ -1060,13 +1072,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             p = 0
             while p < len(body):
                 pq, tq = body[p] >> 4, body[p] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                z = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                if pq > 1:
+                    raise ValueError(f"bad DQT precision {pq}")
+                if pq:  # Pq=1: big-endian 16-bit entries (B.2.4.1)
+                    if p + 129 > len(body):
+                        raise ValueError("truncated 16-bit DQT")
+                    z = np.frombuffer(
+                        body[p + 1 : p + 129], dtype=">u2"
+                    ).astype(np.int32)
+                else:
+                    if p + 65 > len(body):
+                        raise ValueError("truncated DQT")
+                    z = np.frombuffer(
+                        body[p + 1 : p + 65], dtype=np.uint8
+                    ).astype(np.int32)
                 nat = np.zeros(64, dtype=np.int32)
                 nat[ZIGZAG] = z
                 qtabs[tq] = nat.reshape(8, 8)
-                p += 65
+                p += 129 if pq else 65
         elif marker == 0xC4:
             p = 0
             while p < len(body):

@@ -327,6 +327,35 @@ def q_image_stats_bmp_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_image_stats_bmp_rle",
+    """
+SELECT i AS asset_id,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_r,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_g,
+  CAST(sum(64 * (128 + 2*(((i + 7*br + 13*bc) % 50) - 25))) AS BIGINT) AS sum_b
+FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+WHERE br < (2 + i%2) AND bc < (2 + i%3)
+GROUP BY i""",
+)
+def q_image_stats_bmp_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed/exotic BMP modes under the same per-pixel-exact
+    formula oracle as the other image queries: the corpus cycles
+    BI_RLE8 and BI_RLE4 run-length streams, 32-bpp BI_BITFIELDS with
+    RGBA-order masks, and raw 4-bpp nibble-packed BI_RGB — any slip in
+    RLE escape handling (EOL/EOB/absolute/delta), nibble alternation,
+    mask extraction/rescale, or sub-byte row padding breaks exactly
+    its quarter of the rows. RLE BMPs are the dominant form of legacy
+    clip-art/scanned-diagram assets in old web corpora."""
+    from finetoo_sp_spark.datagen import gen_bmp_rle_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_bmp_rle_assets(spark, 48))
+
+
+@_q(
     "multimodal_image_stats_tiff",
     """
 SELECT i AS asset_id,

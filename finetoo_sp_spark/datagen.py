@@ -299,7 +299,10 @@ def gen_jpeg_pandas(ids: np.ndarray) -> pd.DataFrame:
     the whole encode->decode pipeline round-trips each block bit-exactly
     and a SQL oracle can recompute every pixel. Geometry varies per id
     (w = 8*(2+i%3), h = 8*(2+i%2)) and the inter-block DC deltas drive
-    the differential-DC Huffman path across multiple MCUs."""
+    the differential-DC Huffman path across multiple MCUs. Odd ids
+    store the same tables in Pq=1 (16-bit big-endian) DQT form — the
+    decoded pixels are identical, so the oracle is unchanged while the
+    16-bit DQT parse path executes on half the corpus."""
     from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
 
     rows = []
@@ -310,7 +313,9 @@ def gen_jpeg_pandas(ids: np.ndarray) -> pd.DataFrame:
         bc = np.arange(bw)[None, :]
         vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
         img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-        rows.append((i, "image", encode_jpeg_baseline(img)))
+        rows.append(
+            (i, "image", encode_jpeg_baseline(img, quant_16bit=bool(i % 2)))
+        )
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
 
 
@@ -463,6 +468,53 @@ def gen_bmp_ico_pandas(ids: np.ndarray) -> pd.DataFrame:
             payload = encode_ico(img, as_png=True)
         rows.append((i, "image", payload))
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_bmp_rle_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """The block-flat formula images through the compressed/exotic BMP
+    encoder modes — all lossless for these images, so the per-pixel
+    formula oracle transfers unchanged: per id (i%4) BI_RLE8 stream,
+    BI_RLE4 stream (block-flat images have <= 12 distinct values, so
+    the 16-entry palette always fits), 32-bpp BI_BITFIELDS with
+    RGBA-order 8-bit masks (mask machinery executes, losslessly), and
+    raw 4-bpp BI_RGB (nibble packing + padding)."""
+    from finetoo_sp_spark.codecs.bmp import encode_bmp, encode_bmp_bitfields
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(
+            np.repeat(vals, 8, axis=0), 8, axis=1
+        )[:, :, None].repeat(3, axis=2)
+        kind = i % 4
+        if kind == 0:
+            payload = encode_bmp(img, compression="rle8")
+        elif kind == 1:
+            payload = encode_bmp(img, compression="rle4")
+        elif kind == 2:
+            payload = encode_bmp_bitfields(img)
+        else:
+            payload = encode_bmp(img, bits=4)
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_bmp_rle_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic compressed-BMP corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_bmp_rle_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
 
 
 def gen_bmp_ico_assets(

@@ -172,6 +172,37 @@ def test_quant_tables_written_in_zigzag():
     assert (nat.reshape(8, 8) == QUANT_LUMA).all()
 
 
+def test_16bit_quant_tables_roundtrip():
+    """Pq=1 DQT (big-endian 16-bit entries, T.81 B.2.4.1): forced via
+    the encoder knob AND auto-escalated when a step exceeds 255; the
+    DC-exact flat-block construction stays lossless either way, for
+    both baseline and progressive streams."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_progressive
+
+    ql = QUANT_LUMA.copy()
+    ql[0, 0] = 8       # DC step divides 8*(v-128) for even v
+    ql[7, 7] = 300     # needs 16-bit storage
+    vals = (128 + 2 * (((np.arange(2)[:, None] * 7
+                         + np.arange(3)[None, :] * 13) % 50) - 25))
+    img = np.repeat(np.repeat(vals.astype(np.uint8), 8, 0), 8, 1)
+    for enc_fn in (encode_jpeg_baseline, encode_jpeg_progressive):
+        enc = enc_fn(img, quant_luma=ql, quant_16bit=True)
+        i = enc.find(b"\xff\xdb")
+        assert enc[i + 4] >> 4 == 1  # Pq=1 on the wire
+        out = decode_jpeg(enc)
+        out = out[:, :, 0] if out.ndim == 3 else out
+        assert np.array_equal(out, img)
+    # auto-escalation without the knob: any entry > 255 forces Pq=1
+    enc = encode_jpeg_baseline(img, quant_luma=ql)
+    i = enc.find(b"\xff\xdb")
+    assert enc[i + 4] >> 4 == 1
+    # forced 16-bit storage of an all-small table is also legal
+    enc = encode_jpeg_baseline(img, quant_16bit=True)
+    out = decode_jpeg(enc)
+    out = out[:, :, 0] if out.ndim == 3 else out
+    assert out.shape == img.shape
+
+
 def test_decode_image_routes_jpeg_and_kernel_skips(spark):
     """Magic routing + corpus-kernel resilience: a mixed asset frame of
     PNGs, baseline JPEGs, one progressive JPEG, and one corrupt payload

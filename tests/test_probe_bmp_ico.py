@@ -131,10 +131,108 @@ def test_bmp_gates():
         decode_bmp(enc[:40])
     with pytest.raises(BmpError):
         decode_bmp(b"PK" + enc[2:])
-    rle = bytearray(enc)
-    rle[30] = 1  # biCompression = BI_RLE8
+    bad = bytearray(enc)
+    bad[30] = 1  # biCompression = BI_RLE8 but 24 bpp: malformed
+    with pytest.raises(BmpError):
+        decode_bmp(bytes(bad))
+    bad[30] = 4  # BI_JPEG embedded stream: honest skip gate
     with pytest.raises(NotImplementedError):
-        decode_bmp(bytes(rle))
+        decode_bmp(bytes(bad))
+
+
+_PAL16 = np.array(
+    [10, 40, 90, 130, 200, 250, 17, 33, 77, 99, 111, 123, 140, 160,
+     180, 220], dtype=np.uint8)
+
+
+def _pal_img(seed: int, shape=(11, 13), n=16) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = _PAL16[:n][rng.integers(0, n, size=shape)]
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+@pytest.mark.parametrize("compression", ["rle8", "rle4"])
+def test_bmp_rle_roundtrip(compression):
+    img = _pal_img(3)
+    assert np.array_equal(
+        decode_bmp(encode_bmp(img, compression=compression)), img)
+
+
+@pytest.mark.parametrize("bits,n", [(1, 2), (4, 16)])
+def test_bmp_low_bpp_roundtrip(bits, n):
+    # widths 1..5 sweep the sub-byte packing + 4-byte padding edges
+    for w in range(1, 6):
+        img = _pal_img(bits * 7 + w, shape=(5, w), n=n)
+        assert np.array_equal(decode_bmp(encode_bmp(img, bits=bits)), img)
+
+
+def test_bmp_rle_absolute_and_delta_hand_fixture():
+    """Hand-assembled RLE8 stream: absolute mode (0,3,...) with word
+    padding, a delta (0,2,dx,dy) whose skipped pixels decode to
+    palette index 0, encoded runs, EOL, EOB."""
+    import struct
+
+    # palette: index0=black, 1=red, 2=green, 3=blue (BGRX order on disk)
+    pal = bytes([0, 0, 0, 0, 0, 0, 255, 0, 0, 255, 0, 0, 255, 0, 0, 0])
+    stream = bytes([
+        2, 1,             # run: 2x index1 at (0,0)  [stored row 0 = bottom]
+        0, 3, 2, 3, 2, 0,  # absolute: indices 2,3,2 (+1 pad byte)
+        0, 0,             # EOL
+        0, 2, 1, 1,       # delta: skip to x=1 on stored row 2
+        1, 3,             # run: 1x index3
+        0, 0,             # EOL (ends stored row 2)
+        0, 1,             # EOB (stored row 3 left all index0)
+    ])
+    w, h = 5, 4
+    info = struct.pack("<IiihHIIiiII", 40, w, h, 1, 8, 1,
+                       len(stream), 0, 0, 4, 0)
+    off = 14 + 40 + len(pal)
+    blob = (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+            + info + pal + stream)
+    out = decode_bmp(blob)
+    rgb = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    exp_idx = np.zeros((h, w), dtype=int)   # visual (top-down) order
+    exp_idx[h - 1] = [1, 1, 2, 3, 2]        # stored row 0 = bottom
+    # stored row 1 skipped entirely by the delta -> all index 0
+    exp_idx[h - 3, 1] = 3                   # stored row 2, x=1
+    assert np.array_equal(out, rgb[exp_idx])
+
+
+def test_bmp_bitfields_roundtrip_and_16bpp_rescale():
+    from finetoo_sp_spark.codecs.bmp import encode_bmp_bitfields
+
+    img = _pal_img(11)
+    # 32-bpp 8-bit masks in RGBA byte order: lossless
+    assert np.array_equal(decode_bmp(encode_bmp_bitfields(img)), img)
+    # 16-bpp 565: decode equals the documented integer rescale of the
+    # quantized channel values
+    masks = (0xF800, 0x07E0, 0x001F)
+    out = decode_bmp(encode_bmp_bitfields(img, bits=16, masks=masks))
+    exp = np.zeros_like(img)
+    for ch, mask in enumerate(masks):
+        shift = (mask & -mask).bit_length() - 1
+        mx = mask >> shift
+        q = (img[:, :, ch].astype(np.uint32) * mx + 127) // 255
+        exp[:, :, ch] = ((q * 255 + mx // 2) // mx).astype(np.uint8)
+    assert np.array_equal(out, exp)
+
+
+def test_bmp_16bpp_bi_rgb_defaults_to_555():
+    import struct
+
+    from finetoo_sp_spark.codecs.bmp import encode_bmp_bitfields
+
+    masks = (0x7C00, 0x03E0, 0x001F)
+    img = _pal_img(13)
+    enc = encode_bmp_bitfields(img, bits=16, masks=masks)
+    expected = decode_bmp(enc)
+    # strip the mask DWORDs + flip biCompression to BI_RGB
+    raw = bytearray(enc[: 14 + 40] + enc[14 + 40 + 12:])
+    struct.pack_into("<I", raw, 14 + 16, 0)
+    struct.pack_into("<I", raw, 10, 14 + 40)
+    struct.pack_into("<I", raw, 2, len(raw))
+    assert np.array_equal(decode_bmp(bytes(raw)), expected)
 
 
 # ------------------------------------------------------------ ICO codec
