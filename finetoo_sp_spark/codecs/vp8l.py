@@ -16,8 +16,11 @@ lossless bitstream section) — is LSB-first bit-packed and built from:
   neighbors, and an optional hash-addressed color cache;
 - an optional meta-prefix image selecting per-tile code groups.
 
-The decoder implements the full feature set above; lossy VP8 and
-animation stay behind NotImplementedError (corpus kernels skip). The
+The decoder implements the full feature set above, plus the animation
+layer of the container spec (VP8X + ANIM/ANMF chunks: frame rects at
+even offsets, per-frame duration, alpha-blend vs overwrite, dispose-
+to-background) with VP8L frame payloads; lossy VP8 stays behind
+NotImplementedError (corpus kernels skip). The
 encoder is deterministic and emits a spec-valid SUBSET chosen to
 exercise every decoder path with per-pixel-exact fixtures: flat
 complete prefix codes (or simple codes for <=2 symbols), optional
@@ -566,7 +569,12 @@ def decode_webp(data: bytes) -> np.ndarray:
         if fourcc == b"VP8 ":
             raise NotImplementedError("lossy VP8 decode")
         if fourcc == b"ANIM":
-            raise NotImplementedError("animated WebP decode")
+            # animated container: the still-image contract is the
+            # first COMPOSITED frame (what a thumbnailer shows)
+            rgba = decode_webp_frames(data)[0][0]
+            if (rgba[:, :, 3] == 255).all():
+                return rgba[:, :, :3]
+            return rgba
         # VP8X and metadata chunks: keep scanning for VP8L
     raise ValueError("no VP8L chunk in WebP container")
 
@@ -973,3 +981,186 @@ def encode_webp_lossless(
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# --------------------------------------------------------------- animation
+
+
+def _blend_over(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Alpha-blend RGBA ``src`` over ``dst`` with exact integer
+    arithmetic (the container spec's fractional formula made
+    deterministic): with outA255 = srcA*255 + dstA*(255-srcA),
+    out.RGB = floor((src.RGB*srcA*255 + dst.RGB*dstA*(255-srcA)) /
+    outA255) and out.A = round(outA255 / 255). Binary alpha (0/255)
+    reduces to exact select-src / select-dst, which is what the SQL
+    oracle corpus uses; fractional alpha pins THIS documented rounding
+    in pytest."""
+    sa = src[:, :, 3].astype(np.int64)
+    da = dst[:, :, 3].astype(np.int64)
+    outa255 = sa * 255 + da * (255 - sa)
+    out = np.zeros_like(src)
+    num = (
+        src[:, :, :3].astype(np.int64) * (sa * 255)[:, :, None]
+        + dst[:, :, :3].astype(np.int64) * (da * (255 - sa))[:, :, None]
+    )
+    nz = outa255 > 0
+    out[:, :, :3][nz] = (num[nz] // outa255[nz][:, None]).astype(np.uint8)
+    out[:, :, 3] = ((outa255 + 127) // 255).astype(np.uint8)
+    return out
+
+
+def decode_webp_frames(data: bytes):
+    """Decode ALL frames of a (possibly animated) WebP container.
+
+    Returns (frames, durations_ms, loop_count): frames are the
+    COMPOSITED (canvas_h, canvas_w, 4) RGBA uint8 canvases a viewer
+    would show — each ANMF sub-frame is placed at its (2*x, 2*y) rect
+    and either alpha-blended (B=0) or overwritten (B=1) onto the
+    canvas, then optionally disposed to the ANIM background color
+    (D=1). The initial canvas is the ANIM background color — the
+    deterministic choice the encoder twin also makes (the spec leaves
+    renderers latitude here). loop_count is the ANIM loop field
+    (0 = forever), or -1 for a still image (returned as one frame of
+    duration 0). Lossy VP8 frames raise NotImplementedError; malformed
+    containers raise ValueError — same contract as decode_webp."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    canvas = None
+    bg = np.zeros(4, dtype=np.uint8)
+    loop = -1
+    frames: list[np.ndarray] = []
+    durations: list[int] = []
+    saw_anim = False
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated WebP chunk")
+        pos += 8 + size + (size & 1)
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("truncated VP8X chunk")
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch = 1 + int.from_bytes(body[7:10], "little")
+            canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise ValueError("truncated ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]  # BGRA
+            bg = np.array([r_, g_, b_, a_], dtype=np.uint8)
+            (loop,) = struct.unpack("<H", body[4:6])
+            saw_anim = True
+            if canvas is None:
+                raise ValueError("ANIM before VP8X")
+            canvas[:, :] = bg
+        elif fourcc == b"ANMF":
+            if not saw_anim or canvas is None:
+                raise ValueError("ANMF before ANIM/VP8X")
+            if size < 16:
+                raise ValueError("truncated ANMF header")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            dispose = bool(flags & 0x01)
+            no_blend = bool(flags & 0x02)
+            # frame image data: sub-chunks; we decode the VP8L one
+            fpos, rgba = 16, None
+            while fpos + 8 <= len(body):
+                sub4 = body[fpos : fpos + 4]
+                (ssz,) = struct.unpack("<I", body[fpos + 4 : fpos + 8])
+                sbody = body[fpos + 8 : fpos + 8 + ssz]
+                fpos += 8 + ssz + (ssz & 1)
+                if sub4 == b"VP8L":
+                    rgba = decode_vp8l(sbody)
+                elif sub4 == b"VP8 ":
+                    raise NotImplementedError("lossy VP8 frame decode")
+            if rgba is None:
+                raise ValueError("ANMF frame without VP8L data")
+            if rgba.shape[:2] != (fh, fw):
+                raise ValueError("ANMF rect does not match frame dims")
+            if fy + fh > canvas.shape[0] or fx + fw > canvas.shape[1]:
+                raise ValueError("ANMF rect outside the canvas")
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if no_blend:
+                region[:, :] = rgba
+            else:
+                region[:, :] = _blend_over(rgba, region)
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if dispose:
+                canvas[fy : fy + fh, fx : fx + fw] = bg
+        elif fourcc == b"VP8L" and not saw_anim:
+            rgba = decode_vp8l(body)
+            return [rgba], [0], -1
+        elif fourcc == b"VP8 " and not saw_anim:
+            raise NotImplementedError("lossy VP8 decode")
+    if not frames:
+        raise ValueError("no frames in WebP container")
+    return frames, durations, loop
+
+
+def encode_webp_anim(
+    cw: int,
+    ch: int,
+    frames: list[dict],
+    *,
+    bg: tuple[int, int, int, int] = (0, 0, 0, 255),
+    loop: int = 0,
+) -> bytes:
+    """Deterministic animated-WebP writer — the fixture twin of
+    decode_webp_frames. Each frame dict carries x, y (even canvas
+    offsets), ``rgba`` ((h, w, 4), (h, w, 3) or (h, w) uint8),
+    duration_ms, blend (default True = alpha blend) and dispose
+    (default False; True = dispose to background). Frames are VP8L
+    (lossless) chunks from encode_webp_lossless, so composited pixels
+    are exactly reproducible. ``bg`` is RGBA."""
+    chunks = bytearray()
+    any_alpha = False
+    body_frames = []
+    for fr in frames:
+        a = np.asarray(fr["rgba"], dtype=np.uint8)
+        if a.ndim == 2:
+            a = np.stack([a, a, a], axis=2)
+        if a.shape[2] == 3:
+            a = np.concatenate(
+                [a, np.full((*a.shape[:2], 1), 255, np.uint8)], axis=2
+            )
+        if (a[:, :, 3] != 255).any():
+            any_alpha = True
+        body_frames.append((fr, a))
+    vp8x_flags = 0x02 | (0x10 if any_alpha else 0)
+    chunks += b"VP8X" + struct.pack("<I", 10)
+    chunks += bytes([vp8x_flags, 0, 0, 0])
+    chunks += (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    r, g, b, al = bg
+    anim = bytes([b, g, r, al]) + struct.pack("<H", loop)  # BGRA + loop
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for fr, a in body_frames:
+        x, y = fr.get("x", 0), fr.get("y", 0)
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        h, w = a.shape[:2]
+        if y + h > ch or x + w > cw:
+            raise ValueError("frame rect outside the canvas")
+        vp8l_chunk = encode_webp_lossless(a)[12:]  # strip RIFF/WEBP
+        hdr = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(fr.get("duration_ms", 0)).to_bytes(3, "little")
+            + bytes([
+                (0 if fr.get("blend", True) else 0x02)
+                | (0x01 if fr.get("dispose", False) else 0)
+            ])
+        )
+        payload = hdr + vp8l_chunk
+        chunks += b"ANMF" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + bytes(chunks)

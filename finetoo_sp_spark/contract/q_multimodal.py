@@ -763,6 +763,39 @@ def q_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "webp_animation_stats",
+    """
+SELECT i AS asset_id,
+  CAST(3 AS BIGINT) AS n_frames,
+  CAST(i % 4 AS BIGINT) AS loop_count,
+  CAST(9 + 3*(i % 7) AS BIGINT) AS duration_ms,
+  CAST(8*(2 + i%3) AS BIGINT) AS width,
+  CAST(8*(2 + i%2) AS BIGINT) AS height,
+  CAST(
+      (8*(2 + i%3)) * (8*(2 + i%2)) * (40 + i%40)
+    + (4*(2 + i%3)) * (8*(2 + i%2)) * ((90 + i%40) + (40 + i%40))
+    + (4*(2 + i%3)) * (8*(2 + i%2))
+      * ((CASE i%2 WHEN 1 THEN 0 ELSE 90 + i%40 END) + (140 + i%40))
+  AS BIGINT) AS sum_gray
+FROM range(0, 48) t(i)""",
+)
+def q_webp_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-WebP decode under a closed-form composited-pixel
+    oracle — the container-spec twin of gif_animation_stats: 3-frame
+    VP8X/ANIM/ANMF animations whose middle frame overwrites the left
+    half (disposing to background on odd ids) and whose last frame
+    alpha-blends a half-transparent full-canvas image, so sub-frame
+    rect placement, blend-vs-overwrite, dispose-to-background, ANIM
+    loop parsing and ANMF duration accounting all break the sums if
+    they slip. WebP is the modern web's second image format; animated
+    WebP is its GIF replacement, so a curation pipeline sees both."""
+    from finetoo_sp_spark.datagen import gen_webp_anim_assets
+    from finetoo_sp_spark.multimodal import webp_animation_stats
+
+    return webp_animation_stats(gen_webp_anim_assets(spark, 48))
+
+
+@_q(
     "asset_curation_report",
     f"""
 WITH img AS ({_IMAGE_DIMS_SQL}),

@@ -1004,6 +1004,58 @@ def gen_gif_anim_pandas(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
 
 
+def gen_webp_anim_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic ANIMATED WebP corpus with closed-form composited
+    sums — the VP8X/ANIM/ANMF twin of gen_gif_anim_pandas: per id a
+    3-frame animation over an 8*(2+i%3) x 8*(2+i%2) canvas. Frame 0
+    overwrites the full canvas with gray a=40+i%40; frame 1 overwrites
+    the LEFT HALF with gray b=90+i%40 and disposes-to-background on
+    odd ids; frame 2 alpha-BLENDS a full-canvas image whose left half
+    is fully transparent and right half opaque gray c=140+i%40 — so
+    composited frame 2's left half shows b (no dispose) or background
+    0 (disposed), pinning sub-frame placement, both blend modes and
+    disposal under the SQL oracle. Durations 2/3/4+i%7 ms, loop i%4."""
+    from finetoo_sp_spark.codecs.vp8l import encode_webp_anim
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 8 * (2 + i % 3), 8 * (2 + i % 2)
+        a, b, c = 40 + i % 40, 90 + i % 40, 140 + i % 40
+        f0 = {
+            "rgba": np.full((h, w), a, np.uint8),
+            "duration_ms": 2 + i % 7,
+            "blend": False,
+        }
+        f1 = {
+            "rgba": np.full((h, w // 2), b, np.uint8),
+            "duration_ms": 3 + i % 7,
+            "blend": False,
+            "dispose": bool(i % 2),
+        }
+        i2 = np.zeros((h, w, 4), np.uint8)
+        i2[:, w // 2:, :3] = c
+        i2[:, w // 2:, 3] = 255
+        f2 = {"rgba": i2, "duration_ms": 4 + i % 7, "blend": True}
+        payload = encode_webp_anim(w, h, [f0, f1, f2], loop=i % 4)
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_webp_anim_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic animated-WebP corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_webp_anim_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_gif_anim_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
     """Distributed deterministic animated-GIF corpus."""
     rng = spark.range(0, n, 1, partitions)

@@ -227,3 +227,91 @@ def test_decode_image_routes_webp(spark):
     got = image_stats(assets).collect()[0]
     assert (got["width"], got["height"], got["channels"]) == (16, 16, 3)
     assert got["sum_r"] == 140 * 16 * 16
+
+
+# --------------------------------------------------------------- animation
+def test_webp_anim_composite_and_dispose():
+    from finetoo_sp_spark.codecs.vp8l import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    cw, ch, a, b, c = 24, 16, 40, 90, 140
+    f0 = {"rgba": np.full((ch, cw), a, np.uint8), "duration_ms": 20,
+          "blend": False}
+    f1 = {"rgba": np.full((ch, cw // 2), b, np.uint8), "duration_ms": 30,
+          "blend": False, "dispose": True}
+    i2 = np.zeros((ch, cw, 4), np.uint8)
+    i2[:, cw // 2:, :3] = c
+    i2[:, cw // 2:, 3] = 255
+    f2 = {"rgba": i2, "duration_ms": 40, "blend": True}
+    frames, durs, loop = decode_webp_frames(
+        encode_webp_anim(cw, ch, [f0, f1, f2], loop=3))
+    assert (loop, durs) == (3, [20, 30, 40])
+    assert (frames[0][:, :, 0] == a).all()
+    assert (frames[1][:, :cw // 2, 0] == b).all()
+    assert (frames[1][:, cw // 2:, 0] == a).all()
+    # left half: disposed to background 0, then blended transparent
+    assert (frames[2][:, :cw // 2, 0] == 0).all()
+    assert (frames[2][:, cw // 2:, 0] == c).all()
+
+
+def test_webp_anim_fractional_alpha_pins_integer_blend():
+    from finetoo_sp_spark.codecs.vp8l import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    cw = ch = 8
+    base = {"rgba": np.full((ch, cw), 40, np.uint8), "blend": False}
+    half = np.full((ch, cw, 4), 100, np.uint8)
+    half[:, :, 3] = 128
+    fr = decode_webp_frames(
+        encode_webp_anim(cw, ch, [base, {"rgba": half, "blend": True}]))[0][1]
+    sa, da = 128, 255
+    outa255 = sa * 255 + da * (255 - sa)
+    assert (fr[:, :, 0] == (100 * sa * 255 + 40 * da * (255 - sa))
+            // outa255).all()
+    assert (fr[:, :, 3] == (outa255 + 127) // 255).all()
+
+
+def test_webp_anim_still_image_contract_and_gates():
+    from finetoo_sp_spark.codecs.vp8l import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    still = encode_webp_lossless(np.full((4, 6), 77, np.uint8))
+    frames, durs, loop = decode_webp_frames(still)
+    assert (loop, durs) == (-1, [0])
+    assert (frames[0][:, :, 0] == 77).all()
+    img = np.full((4, 4), 9, np.uint8)
+    with pytest.raises(ValueError, match="even"):
+        encode_webp_anim(16, 16, [{"rgba": img, "x": 1}])
+    with pytest.raises(ValueError, match="canvas"):
+        encode_webp_anim(2, 2, [{"rgba": img}])
+    with pytest.raises(ValueError):
+        decode_webp_frames(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_webp_animation_stats_kernel(spark):
+    from finetoo_sp_spark.codecs.vp8l import encode_webp_anim
+    from finetoo_sp_spark.multimodal import webp_animation_stats
+
+    anim = encode_webp_anim(
+        16, 8,
+        [{"rgba": np.full((8, 16), 50, np.uint8), "duration_ms": 5,
+          "blend": False},
+         {"rgba": np.full((8, 8), 70, np.uint8), "duration_ms": 7,
+          "blend": False}],
+        loop=2)
+    df = spark.createDataFrame(
+        [(0, "image", bytearray(anim)),
+         (1, "image", bytearray(b"RIFF garbage"))],
+        "asset_id long, modality string, payload binary")
+    rows = webp_animation_stats(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_frames"], r["loop_count"], r["duration_ms"]) == (2, 2, 12)
+    assert (r["width"], r["height"]) == (16, 8)
+    assert r["sum_gray"] == 16 * 8 * 50 + 8 * 8 * (70 + 50)
