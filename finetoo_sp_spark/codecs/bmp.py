@@ -29,9 +29,10 @@ Format per the public Windows BMP spec / MS ICO documentation:
   bottom-up with 4-byte row padding. Masked-out pixels decode to
   black (0,0,0) — a fixed, documented rule so stats stay oracle-exact.
 
-Malformed input raises :class:`BmpError`; the remaining exotic modes
-(BI_JPEG/BI_PNG embedded streams, 2-bpp CE variants) raise
-NotImplementedError — corpus kernels skip, not die.
+BI_JPEG/BI_PNG "compressions" (a whole embedded stream as the pixel
+data) delegate to codecs/jpeg.py / codecs/png.py. Malformed input
+raises :class:`BmpError`; unknown compression values and the 2-bpp CE
+variant raise too — corpus kernels skip, not die.
 """
 
 from __future__ import annotations
@@ -123,7 +124,30 @@ def _decode_dib(
     if size < 40:
         raise BmpError(f"unsupported DIB header size {size}")
     if comp in (4, 5):
-        raise NotImplementedError("BI_JPEG/BI_PNG embedded BMP stream")
+        # BI_JPEG / BI_PNG: the "pixel data" is a whole embedded
+        # stream (biSizeImage bytes after header + palette); delegate
+        # to the matching codec. Not valid inside ICO entries.
+        if ico_mask:
+            raise BmpError("embedded streams are not valid in ICO")
+        (size_image,) = struct.unpack_from("<I", b, off + 20)
+        (n_colors,) = struct.unpack_from("<I", b, off + 32)
+        spos = off + size + 4 * n_colors
+        stream = b[spos : spos + size_image] if size_image else b[spos:]
+        if comp == 4:
+            from finetoo_sp_spark.codecs.jpeg import decode_jpeg
+
+            out = decode_jpeg(bytes(stream))
+            if out.ndim == 2:
+                out = out[:, :, None]
+            if out.shape[2] < 3:  # grayscale: expand to RGB
+                out = np.repeat(out[:, :, :1], 3, axis=2)
+            return np.ascontiguousarray(out[:, :, :3])
+        from finetoo_sp_spark.codecs.png import decode_png
+
+        out = decode_png(bytes(stream))
+        if out.shape[2] < 3:  # grayscale (+alpha): expand to RGB
+            out = np.repeat(out[:, :, :1], 3, axis=2)
+        return np.ascontiguousarray(out[:, :, :3])
     if comp > 5:
         raise BmpError(f"unknown BMP compression {comp}")
     if comp == 1 and bits != 8:

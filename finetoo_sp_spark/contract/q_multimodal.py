@@ -763,6 +763,57 @@ def q_gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_audio_stats_g711",
+    """
+WITH s AS (
+  SELECT i, (i*31 + 7*k) % 256 AS c
+  FROM range(0, 48) t(i),
+       UNNEST(generate_series(0, 159 + (i%5)*40)) u(k)
+),
+v AS (
+  SELECT i,
+    CASE WHEN i % 2 = 0 THEN
+      -- mu-law: complement, t = ((mant<<3)+132) << seg, sign by bit 7
+      CASE WHEN (255 - c) >= 128
+           THEN 132 - (((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8))
+           ELSE (((255 - c) % 16) * 8 + 132) * (1 << (((255 - c) // 16) % 8)) - 132
+      END
+    ELSE
+      -- A-law: xor 0x55, segment-offset mantissa, sign bit = positive
+      CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+      CASE WHEN (xor(c, 85) // 16) % 8 = 0 THEN (xor(c, 85) % 16) * 16 + 8
+           WHEN (xor(c, 85) // 16) % 8 = 1 THEN (xor(c, 85) % 16) * 16 + 264
+           ELSE ((xor(c, 85) % 16) * 16 + 264)
+                * (1 << ((xor(c, 85) // 16) % 8 - 1))
+      END
+    END AS val
+  FROM s
+)
+SELECT i AS asset_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(8 AS BIGINT) AS bits,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(count(*) * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(sum(val * val) AS BIGINT) AS sumsq,
+  CAST(max(abs(val)) AS BIGINT) AS peak
+FROM v GROUP BY i""",
+)
+def q_audio_stats_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 (mu-law / A-law) WAV decode under a sample-exact oracle:
+    the corpus stores RAW companded codes from a closed form, and the
+    DuckDB twin re-derives every decoded sample from the ITU-T G.711
+    segment formulas (complement / XOR-0x55, mantissa shift, segment
+    scaling, sign) — agreement proves the 256-entry decode tables are
+    built exactly to spec, byte for byte. Telephony recordings and
+    voicemail archives on the web are overwhelmingly G.711 WAVs."""
+    from finetoo_sp_spark.datagen import gen_g711_assets
+    from finetoo_sp_spark.multimodal import audio_stats
+
+    return audio_stats(gen_g711_assets(spark, 48))
+
+
+@_q(
     "webp_animation_stats",
     """
 SELECT i AS asset_id,

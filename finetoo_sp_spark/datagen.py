@@ -1004,6 +1004,39 @@ def gen_gif_anim_pandas(ids: np.ndarray) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
 
 
+def gen_g711_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic G.711 telephony-WAV corpus: per id a mono 8 kHz
+    file of N = 160 + (i%5)*40 RAW codes c(k) = (i*31 + 7k) % 256,
+    mu-law on even ids and A-law on odd — the decoded samples are then
+    exactly the spec-table values of those codes, so the SQL oracle
+    recomputes energy/peak from the G.711 segment formulas alone
+    without seeing a WAV byte."""
+    from finetoo_sp_spark.codecs.wav import make_wav_g711_codes
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        n = 160 + (i % 5) * 40
+        codes = ((i * 31 + 7 * np.arange(n)) % 256).astype(np.uint8)
+        law = "ulaw" if i % 2 == 0 else "alaw"
+        rows.append((i, "audio", make_wav_g711_codes(codes, 8000, law=law)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_g711_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic G.711 WAV corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_g711_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
 def gen_webp_anim_pandas(ids: np.ndarray) -> pd.DataFrame:
     """Deterministic ANIMATED WebP corpus with closed-form composited
     sums — the VP8X/ANIM/ANMF twin of gen_gif_anim_pandas: per id a

@@ -135,9 +135,37 @@ def test_bmp_gates():
     bad[30] = 1  # biCompression = BI_RLE8 but 24 bpp: malformed
     with pytest.raises(BmpError):
         decode_bmp(bytes(bad))
-    bad[30] = 4  # BI_JPEG embedded stream: honest skip gate
-    with pytest.raises(NotImplementedError):
+    bad[30] = 4  # BI_JPEG whose "stream" is raw pixels: malformed
+    with pytest.raises(ValueError):
         decode_bmp(bytes(bad))
+    bad[30] = 6  # unknown compression id
+    with pytest.raises(BmpError):
+        decode_bmp(bytes(bad))
+
+
+def test_bmp_embedded_jpeg_and_png_streams():
+    """BI_PNG / BI_JPEG: the pixel data is a whole embedded stream."""
+    import struct
+
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+    from finetoo_sp_spark.codecs.png import encode_png
+
+    def wrap(stream, w, h, comp):
+        info = struct.pack("<IiihHIIiiII", 40, w, h, 1, 0, comp,
+                           len(stream), 0, 0, 0, 0)
+        off = 14 + 40
+        return (b"BM" + struct.pack("<IHHI", off + len(stream), 0, 0, off)
+                + info + stream)
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(12, 10, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(wrap(encode_png(img), 10, 12, 5)), img)
+    # DC-exact flat-block grayscale JPEG: lossless by construction
+    vals = (128 + 2 * (((np.arange(2)[:, None] * 7
+                         + np.arange(2)[None, :] * 13) % 50) - 25))
+    g = np.repeat(np.repeat(vals.astype(np.uint8), 8, 0), 8, 1)
+    out = decode_bmp(wrap(encode_jpeg_baseline(g), 16, 16, 4))
+    assert np.array_equal(out, np.repeat(g[:, :, None], 3, axis=2))
 
 
 _PAL16 = np.array(

@@ -120,3 +120,99 @@ def test_audio_stats_skips_bad_payloads(spark):
     rows = audio_stats(df).collect()
     assert len(rows) == 1 and rows[0]["asset_id"] == 0
     assert rows[0]["sumsq"] == 8 * 25 and rows[0]["peak"] == 5
+
+
+# ------------------------------------------------------- G.711 / ADPCM
+def test_g711_table_anchors_and_properties():
+    from finetoo_sp_spark.codecs.wav import ALAW_DECODE, ULAW_DECODE
+
+    # published anchor values from the G.711 segment formulas
+    assert ULAW_DECODE[0x80] == 32124   # positive full scale
+    assert ULAW_DECODE[0x00] == -32124  # negative full scale
+    assert ULAW_DECODE[0xFF] == 0
+    assert ALAW_DECODE[0xD5] == 8       # smallest positive
+    assert ALAW_DECODE[0x55] == -8
+    assert ALAW_DECODE[0xAA] == 32256   # positive full scale
+    assert ALAW_DECODE[0x2A] == -32256
+    # odd symmetry: flipping the sign bit negates the value
+    c = np.arange(256)
+    assert (ULAW_DECODE[c] == -ULAW_DECODE[c ^ 0x80]).all()
+    assert (ALAW_DECODE[c] == -ALAW_DECODE[c ^ 0x80]).all()
+
+
+def test_g711_wav_decode_and_encode_fixed_point():
+    from finetoo_sp_spark.codecs.wav import (
+        ALAW_DECODE,
+        ULAW_DECODE,
+        encode_wav_g711,
+        make_wav_g711_codes,
+    )
+
+    codes = ((np.arange(200) * 31 + 7) % 256).astype(np.uint8)
+    for law, tab in (("ulaw", ULAW_DECODE), ("alaw", ALAW_DECODE)):
+        rate, ch, bits, s = decode_wav(
+            make_wav_g711_codes(codes, 8000, law=law))
+        assert (rate, ch, bits) == (8000, 1, 8)
+        assert (s[:, 0] == tab[codes]).all()
+        # decode -> encode -> decode is a fixed point (values that ARE
+        # table outputs re-encode to a code with the same value)
+        _, _, _, s2 = decode_wav(encode_wav_g711(s[:, 0], 8000, law=law))
+        assert (s2 == s).all()
+    # stereo interleave
+    _, ch2, _, st = decode_wav(
+        make_wav_g711_codes(codes[:120], 16000, law="ulaw", channels=2))
+    assert ch2 == 2 and st.shape == (60, 2)
+    assert (st.reshape(-1) == ULAW_DECODE[codes[:120]]).all()
+
+
+def test_ima_adpcm_hand_walked_fixture():
+    """One mono block hand-walked through the IMA recurrence: header
+    predictor 100 / index 0 (step 7), nibbles 0,1,2,4,8,15,...  The
+    expected values below were computed by hand from the spec tables."""
+    import struct
+
+    from finetoo_sp_spark.codecs.wav import _IMA_STEPS
+
+    nibbles = [0, 1, 2, 4, 8, 15, 0, 0]  # one data word = 4 bytes
+    packed = bytes([nibbles[0] | (nibbles[1] << 4),
+                    nibbles[2] | (nibbles[3] << 4),
+                    nibbles[4] | (nibbles[5] << 4),
+                    nibbles[6] | (nibbles[7] << 4)])
+    block = struct.pack("<hBB", 100, 0, 0) + packed
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, 8000, 4000, len(block), 4, 2, 9)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(block)) + block
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, bits, out = decode_wav(wav)
+    assert (rate, ch, bits) == (8000, 1, 4)
+    # hand walk: step(0)=7
+    # n=0: diff=0, pred=100+0=100, idx 0-1->0
+    # n=1: diff=0+7>>2=1, pred=101, idx->0
+    # n=2: diff=0+3=3, pred=104, idx->0
+    # n=4: diff=0+7=7, pred=111, idx 0+2=2 (step 9)
+    # n=8: diff=9>>3=1 sign -, pred=110, idx 2-1=1 (step 8)
+    # n=15: diff=1+2+4+8=15 sign -, pred=95, idx 1+8=9 (step 17)
+    # n=0: diff=17>>3=2, pred=97, idx 9-1=8 (step 16)
+    # n=0: diff=2, pred=99
+    assert out[:, 0].tolist() == [100, 100, 101, 104, 111, 110, 95, 97, 99]
+    assert _IMA_STEPS[0] == 7 and _IMA_STEPS[88] == 32767
+
+
+def test_ima_adpcm_encode_decode_roundtrip_tracks_signal():
+    from finetoo_sp_spark.codecs.wav import encode_wav_ima_adpcm
+
+    t = np.arange(1013)
+    x = (3000 * np.sin(t / 20) + 500 * np.sin(t / 3)).astype(np.int64)
+    rate, ch, bits, dec = decode_wav(encode_wav_ima_adpcm(x, 8000))
+    assert (rate, ch, bits) == (8000, 1, 4)
+    assert np.abs(dec[: len(x), 0] - x).max() < 2000  # adaptation bound
+    # stereo channels decode independently, each tracking its signal
+    # (NOT mirror images: code 0 still adds step>>3 in both channels,
+    # so ADPCM is not odd-symmetric)
+    x2 = np.stack([x, -x], axis=1)
+    _, ch2, _, dec2 = decode_wav(encode_wav_ima_adpcm(x2, 8000))
+    assert ch2 == 2
+    assert np.abs(dec2[: len(x), 0] - x).max() < 2000
+    assert np.abs(dec2[: len(x), 1] + x).max() < 2000
+    # byte-determinism
+    assert encode_wav_ima_adpcm(x2, 8000) == encode_wav_ima_adpcm(x2, 8000)
