@@ -784,6 +784,78 @@ def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "table_schema_evolution",
+    """
+WITH d AS (SELECT doc_id, length(text) AS n FROM documents),
+v0 AS (SELECT doc_id, n FROM d WHERE doc_id < 300),
+latest AS (
+  SELECT doc_id, n AS n_chars, NULL AS flag FROM v0
+  UNION ALL
+  SELECT doc_id, n, doc_id % 3 FROM d WHERE doc_id >= 300
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(n) AS BIGINT) AS chars_sum,
+       CAST(-1 AS BIGINT) AS flag_sum,
+       CAST(-1 AS BIGINT) AS null_flags
+FROM v0
+UNION ALL
+SELECT 2, count(*), CAST(sum(n_chars) AS BIGINT),
+       CAST(coalesce(sum(flag), 0) AS BIGINT),
+       CAST(sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM latest""",
+)
+def q_table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style schema evolution on the versioned table
+    (sources/table.evolve_schema): v0 commits (doc_id, n), v1 is a
+    METADATA-ONLY evolution renaming n -> n_chars and adding a flag
+    column (no data file touched), v2 appends rows under the new
+    shape. Reading the latest version must map v0's files through
+    their write-time schema BY FIELD ID — renamed columns keep their
+    data, the added column reads as NULL from pre-evolution files —
+    while v0 itself still time-travels under its original schema. The
+    oracle recomputes both states from the evolution semantics alone;
+    at 10^12 rows this is the only affordable way to change a table's
+    shape (O(manifest), never O(data))."""
+    from finetoo_sp_spark.sources.table import (
+        commit_version,
+        evolve_schema,
+        read_version,
+    )
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    path = _tmp_out("table_evolve")
+    commit_version(d.filter(F.col("doc_id") < 300), path, mode="overwrite")
+    evolve_schema(path, rename={"n": "n_chars"}, add=[("flag", "bigint")])
+    commit_version(
+        d.filter(F.col("doc_id") >= 300).select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            (F.col("doc_id") % 3).alias("flag"),
+        ),
+        path,
+    )
+    v0 = read_version(spark, path, 0).agg(
+        F.lit(0).alias("version"),
+        F.count("*").alias("n_rows"),
+        F.sum("n").alias("chars_sum"),
+        F.lit(-1).cast("long").alias("flag_sum"),
+        F.lit(-1).cast("long").alias("null_flags"),
+    )
+    latest = read_version(spark, path).agg(
+        F.lit(2).alias("version"),
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("chars_sum"),
+        F.coalesce(F.sum("flag"), F.lit(0)).alias("flag_sum"),
+        F.sum(F.when(F.col("flag").isNull(), 1).otherwise(0)).alias(
+            "null_flags"
+        ),
+    )
+    return v0.unionByName(latest)
+
+
+@_q(
     "table_upsert_mor",
     """
 WITH d AS (SELECT doc_id, length(text) AS n FROM documents),

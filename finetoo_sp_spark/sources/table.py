@@ -21,6 +21,16 @@ mechanics the north rule's sink story needs, built from scratch:
 - **Rollback**: ``rollback`` publishes a NEW version whose file list is
   a past version's — history stays immutable, like Iceberg's
   ``rollback_to_snapshot``.
+- **Schema evolution**: manifests carry a field-ID schema (Iceberg's
+  column-ID model); :func:`evolve_schema` publishes a METADATA-ONLY
+  version that adds, renames, or drops columns without touching a data
+  file. Readers project every file through its write-time schema BY
+  FIELD ID — renamed columns keep their data, added columns read as
+  NULL from pre-evolution files, dropped columns vanish — so a 100 TB
+  table evolves in O(manifest), never O(data). Per-file [min, max]
+  stats recorded under a column's old name simply stop pruning after a
+  rename (a file without usable stats is always read — never lost
+  rows, only lost skipping, until files are rewritten by compaction).
 
 Not wire-compatible with Iceberg (no Avro manifests) — it is the
 discipline, not the format, and swaps out for the real thing through
@@ -106,6 +116,189 @@ def _footer_stats(path: str, rel_files: list[str], cols: list[str]) -> dict:
     return stats
 
 
+_TYPE_ALIASES = {"long": "bigint", "integer": "int", "short": "smallint",
+                 "byte": "tinyint"}
+
+
+def _norm_type(t: str) -> str:
+    """Normalize a Spark type string to simpleString form (DDL accepts
+    aliases like 'long' that simpleString renders as 'bigint')."""
+    t = t.strip().lower()
+    return _TYPE_ALIASES.get(t, t)
+
+
+def _df_fields(df: DataFrame) -> list[dict]:
+    """(name, type) pairs of ``df`` in Spark simpleString form — the
+    shape stored in manifests (ids are assigned by the table)."""
+    return [
+        {"name": f.name, "type": f.dataType.simpleString()}
+        for f in df.schema.fields
+    ]
+
+
+def _schema_of(m: dict) -> list[dict] | None:
+    """The manifest's current schema fields, or None for tables
+    created before schema tracking (legacy plain-read mode)."""
+    schemas = m.get("schemas")
+    if not schemas:
+        return None
+    return schemas[str(m["schema_id"])]["fields"]
+
+
+def _project_to(df: DataFrame, from_fields: list[dict], to_fields: list[dict]) -> DataFrame:
+    """Project ``df`` (physical columns named per ``from_fields``) into
+    ``to_fields`` BY FIELD ID: matching ids select-and-rename (rename
+    safety), ids absent from the file read as typed NULLs (added
+    columns), ids absent from the target are dropped."""
+    by_id = {f["id"]: f["name"] for f in from_fields}
+    cols = []
+    for f in to_fields:
+        src = by_id.get(f["id"])
+        if src is not None:
+            cols.append(F.col(src).alias(f["name"]))
+        else:
+            cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+    return df.select(*cols)
+
+
+def _read_projected(
+    spark: SparkSession,
+    path: str,
+    m: dict,
+    files: list[str],
+    cur: list[dict] | None,
+) -> DataFrame:
+    """Read ``files`` of manifest ``m``, projecting each file through
+    its write-time schema into ``cur`` by field id. Files sharing a
+    write-time schema read as ONE parquet scan, and a group whose
+    schema already equals ``cur`` skips projection entirely (the
+    no-evolution case collapses to a single plain read)."""
+    if cur is None or not m.get("schemas"):
+        return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    file_sids = m.get("file_schemas") or {}
+    default_sid = m["schema_id"]
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        groups.setdefault(file_sids.get(f, default_sid), []).append(f)
+    out = None
+    for sid in sorted(groups):
+        part = spark.read.parquet(
+            *[os.path.join(path, f) for f in groups[sid]]
+        )
+        from_fields = m["schemas"][str(sid)]["fields"]
+        if from_fields != cur:
+            part = _project_to(part, from_fields, cur)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def evolve_schema(
+    path: str,
+    *,
+    add: list[tuple[str, str]] | None = None,
+    rename: dict[str, str] | None = None,
+    drop: list[str] | None = None,
+) -> int:
+    """Publish a METADATA-ONLY version with an evolved schema (Iceberg
+    ``ALTER TABLE`` semantics): ``add`` appends (name, sparkTypeString)
+    columns with fresh field ids (NULL in all pre-evolution files),
+    ``rename`` re-labels columns keeping their field ids (data follows
+    the id, not the name), ``drop`` removes columns (files keep the
+    bytes; readers stop projecting them). No data file is touched —
+    O(manifest) at any table size. Raises on unknown/duplicate names;
+    CommitConflict under concurrent writers like any commit."""
+    v = current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    m = _load_manifest(path, v)
+    if _schema_of(m) is None:
+        raise ValueError(
+            "table predates schema tracking; rewrite it with "
+            "commit_version to enable evolution"
+        )
+    schemas = dict(m["schemas"])
+    entry = schemas[str(m["schema_id"])]
+    fields = [dict(f) for f in entry["fields"]]
+    next_id = entry["next_id"]
+    names = {f["name"] for f in fields}
+    for old, new in (rename or {}).items():
+        if old not in names:
+            raise ValueError(f"rename of unknown column {old!r}")
+        if new in names:
+            raise ValueError(f"rename target {new!r} already exists")
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        names.discard(old)
+        names.add(new)
+    for name in drop or []:
+        if name not in names:
+            raise ValueError(f"drop of unknown column {name!r}")
+        fields = [f for f in fields if f["name"] != name]
+        names.discard(name)
+    for name, typ in add or []:
+        if name in names:
+            raise ValueError(f"added column {name!r} already exists")
+        fields.append({"id": next_id, "name": name, "type": _norm_type(typ)})
+        next_id += 1
+        names.add(name)
+    if not fields:
+        raise ValueError("schema evolution would drop every column")
+    new_sid = m["schema_id"] + 1
+    schemas[str(new_sid)] = {"fields": fields, "next_id": next_id}
+    extra = {
+        "schema_id": new_sid,
+        "schemas": schemas,
+        "file_schemas": m.get("file_schemas") or {},
+    }
+    if m.get("stats"):
+        extra["stats"] = m["stats"]
+    if m.get("resolve_as") is not None:
+        extra["resolve_as"] = m["resolve_as"]
+    elif m.get("delete_files"):
+        # evolving on top of a merge-on-read version: delegate row
+        # resolution to it (the MOR chain applies under the new schema
+        # via the target_schema threading in _resolve)
+        extra["resolve_as"] = v
+    return _publish(path, m["files"], "evolve_schema", v, extra=extra)
+
+
+def _schema_extra(
+    df: DataFrame, pm: dict | None, new_files: list[str], *, fresh: bool
+) -> dict:
+    """Manifest schema keys for a data commit: first commit assigns
+    field ids 1..n; later commits validate the dataframe against the
+    table's current schema ((name, type) sets — evolve_schema is the
+    only way to change shape) and tag the new files with the current
+    schema id. Legacy tables (parent without schema keys) stay legacy.
+    ``fresh``: overwrite drops the parent's file->schema map."""
+    fields_now = _df_fields(df)
+    if pm is None:
+        ids = [{"id": k + 1, **f} for k, f in enumerate(fields_now)]
+        return {
+            "schema_id": 0,
+            "schemas": {"0": {"fields": ids, "next_id": len(ids) + 1}},
+            "file_schemas": {f: 0 for f in new_files},
+        }
+    cur = _schema_of(pm)
+    if cur is None:
+        return {}
+    if {(f["name"], f["type"]) for f in cur} != {
+        (f["name"], f["type"]) for f in fields_now
+    }:
+        raise ValueError(
+            "dataframe schema does not match the table schema; call "
+            "evolve_schema first"
+        )
+    fs = {} if fresh else dict(pm.get("file_schemas") or {})
+    fs.update({f: pm["schema_id"] for f in new_files})
+    return {
+        "schema_id": pm["schema_id"],
+        "schemas": pm["schemas"],
+        "file_schemas": fs,
+    }
+
+
 def commit_version(
     df: DataFrame,
     path: str,
@@ -133,16 +326,17 @@ def commit_version(
         if f.endswith(".parquet")
     )
     parent = current_version(path)
+    pm = _load_manifest(path, parent) if parent is not None else None
     files = list(new_files)
     stats: dict = {}
-    if mode == "append" and parent is not None:
-        pm = _load_manifest(path, parent)
+    if mode == "append" and pm is not None:
         files = pm["files"] + new_files
         stats.update(pm.get("stats") or {})
     if stats_cols:
         stats.update(_footer_stats(path, new_files, stats_cols))
-    extra = {"stats": stats} if stats else None
-    return _publish(path, files, mode, parent, extra=extra)
+    extra: dict = {"stats": stats} if stats else {}
+    extra.update(_schema_extra(df, pm, new_files, fresh=mode == "overwrite"))
+    return _publish(path, files, mode, parent, extra=extra or None)
 
 
 def rollback(spark: SparkSession, path: str, to_version: int) -> int:
@@ -150,13 +344,22 @@ def rollback(spark: SparkSession, path: str, to_version: int) -> int:
     History is immutable — this never deletes manifests or data. The
     manifest delegates resolution to the target (``resolve_as``), so
     rolling back to a merge-on-read version keeps its delete chain."""
-    files = _load_manifest(path, to_version)["files"]
+    tm = _load_manifest(path, to_version)
+    extra: dict = {"resolve_as": to_version}
+    if tm.get("schemas"):
+        # schema follows the snapshot (Iceberg rollback semantics), and
+        # carrying the keys keeps later commits schema-tracked
+        extra.update(
+            schema_id=tm["schema_id"],
+            schemas=tm["schemas"],
+            file_schemas=tm.get("file_schemas") or {},
+        )
     return _publish(
         path,
-        files,
+        tm["files"],
         f"rollback:{to_version}",
         current_version(path),
-        extra={"resolve_as": to_version},
+        extra=extra,
     )
 
 
@@ -291,38 +494,61 @@ def upsert_version(df: DataFrame, path: str, key_col: str) -> int:
 
     parent = current_version(path)
     files = _rel(snap_dir)
-    if parent is not None:
-        files = _load_manifest(path, parent)["files"] + files
-    return _publish(
-        path,
-        files,
-        "upsert",
-        parent,
-        extra={
-            "new_files": _rel(snap_dir),
-            "delete_files": _rel(del_dir),
-            "delete_key": key_col,
-        },
-    )
+    pm = _load_manifest(path, parent) if parent is not None else None
+    if pm is not None:
+        files = pm["files"] + files
+    extra = {
+        "new_files": _rel(snap_dir),
+        "delete_files": _rel(del_dir),
+        "delete_key": key_col,
+    }
+    extra.update(_schema_extra(df, pm, _rel(snap_dir), fresh=False))
+    if extra.get("schemas"):
+        cur = extra["schemas"][str(extra["schema_id"])]["fields"]
+        extra["delete_key_id"] = next(
+            f["id"] for f in cur if f["name"] == key_col
+        )
+    return _publish(path, files, "upsert", parent, extra=extra)
 
 
-def _resolve(spark: SparkSession, path: str, version: int) -> DataFrame:
+def _resolve(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    target_schema: list[dict] | None = None,
+) -> DataFrame:
+    """Resolve ``version``'s rows, projected into ``target_schema``
+    (default: the version's own current schema; None throughout for
+    legacy tables). The projection happens at FILE-read granularity —
+    each data file maps through its write-time schema by field id —
+    so rollback delegation and merge-on-read chains compose with
+    schema evolution."""
     m = _load_manifest(path, version)
+    cur = _schema_of(m) if target_schema is None else target_schema
     if m.get("resolve_as") is not None:  # rollback: delegate to the target
-        return _resolve(spark, path, m["resolve_as"])
+        return _resolve(spark, path, m["resolve_as"], target_schema=cur)
     if not m.get("delete_files"):
-        files = [os.path.join(path, f) for f in m["files"]]
-        return spark.read.parquet(*files)
+        return _read_projected(spark, path, m, m["files"], cur)
     # MOR read: parent rows minus this commit's equality deletes,
     # unioned with this commit's new rows (new data wins per key).
-    parent = _resolve(spark, path, m["parent"])
+    parent = _resolve(spark, path, m["parent"], target_schema=cur)
     deletes = spark.read.parquet(
         *[os.path.join(path, f) for f in m["delete_files"]]
     )
-    new_rows = spark.read.parquet(
-        *[os.path.join(path, f) for f in m["new_files"]]
-    )
+    new_rows = _read_projected(spark, path, m, m["new_files"], cur)
     key = m["delete_key"]
+    if cur is not None and m.get("delete_key_id") is not None:
+        # the key column may have been RENAMED since this upsert: the
+        # delete file keeps the write-time name; map it by field id
+        by_id = {f["id"]: f["name"] for f in cur}
+        cur_key = by_id.get(m["delete_key_id"])
+        if cur_key is None:
+            raise ValueError(
+                "merge-on-read key column was dropped by schema evolution"
+            )
+        if cur_key != key:
+            deletes = deletes.withColumnRenamed(key, cur_key)
+            key = cur_key
     return parent.join(deletes, key, "left_anti").unionByName(new_rows)
 
 
@@ -436,7 +662,10 @@ def compact_table(
     if len(small) < 2:
         return None
     big = [f for f in m["files"] if f not in set(small)]
-    consolidated = spark.read.parquet(*[os.path.join(path, f) for f in small])
+    # project each small file through its write-time schema: compaction
+    # rewrites mixed-schema files under the CURRENT schema (how stats
+    # pruning recovers after a rename)
+    consolidated = _read_projected(spark, path, m, small, _schema_of(m))
     snap_dir = os.path.join(path, "data", uuid.uuid4().hex)
     consolidated.coalesce(1).write.mode("error").parquet(snap_dir)
     new_files = sorted(
@@ -444,4 +673,22 @@ def compact_table(
         for f in os.listdir(snap_dir)
         if f.endswith(".parquet")
     )
-    return _publish(path, big + new_files, "compact", latest)
+    extra: dict = {}
+    if m.get("schemas"):
+        fs = {
+            f: sid
+            for f, sid in (m.get("file_schemas") or {}).items()
+            if f in set(big)
+        }
+        fs.update({f: m["schema_id"] for f in new_files})
+        extra = {
+            "schema_id": m["schema_id"],
+            "schemas": m["schemas"],
+            "file_schemas": fs,
+        }
+    if m.get("stats"):
+        keep = set(big)
+        extra["stats"] = {
+            f: b for f, b in m["stats"].items() if f in keep
+        }
+    return _publish(path, big + new_files, "compact", latest, extra=extra or None)
