@@ -14,13 +14,20 @@ the public TIFF 6.0 specification:
   RowsPerStrip), Compression 1 (none) or 32773 (PackBits RLE),
   PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) /
   2 (RGB) / 3 (Palette), both byte orders.
-- Out-of-subset features raise: LZW/JPEG/deflate compression, tiles,
+- Compression 5 (LZW, TIFF 6.0 §13): MSB-first code packing, 9->12
+  bit widths with the interoperable "early change" convention (the
+  width bumps when the NEXT table entry would need it — libtiff's
+  default, what real writers emit), ClearCode/EOI handling, optional
+  Predictor 2 (horizontal differencing per sample, tag 317) undone
+  with a per-row cumulative sum mod 256.
+- Out-of-subset features raise: JPEG/deflate compression, tiles,
   planar configuration 2, >8-bit samples — :class:`TiffError` is a
   ValueError so corpus kernels SKIP, never die.
 
 The deterministic encoder twin writes grayscale/RGB, either byte
-order, optional PackBits, and a chosen RowsPerStrip — every decode
-branch is exercisable on purpose for the formula oracles.
+order, optional PackBits or LZW (+predictor), and a chosen
+RowsPerStrip — every decode branch is exercisable on purpose for the
+formula oracles.
 """
 
 from __future__ import annotations
@@ -85,6 +92,114 @@ def _unpackbits(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (6.0 §13): MSB-first bit packing, codes 9->12
+    bits wide with early change (width bumps when the next entry to be
+    ADDED would overflow the current width), 256=Clear / 257=EOI.
+    Stops after ``expected`` bytes (strips may pad)."""
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= len(data):
+                raise TiffError("truncated LZW strip")
+            acc = (acc << 8) | data[pos]
+            nbits += 8
+            pos += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise TiffError("LZW stream must start with a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffError("LZW code beyond table")
+        out += entry
+        prev = entry
+        # early change, with the classic one-entry decoder lag: the
+        # encoder has already assigned the entry this code will define
+        # on the NEXT read, so the width bumps one entry earlier here
+        if len(table) >= (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Deterministic TIFF-LZW encoder (the decoder's exact twin):
+    leading Clear, greedy longest-match, early width change, periodic
+    Clear when the table fills at 4094, trailing EOI."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {}
+    width = 9
+
+    def reset():
+        nonlocal table, width
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+
+    reset()
+    put(_LZW_CLEAR, width)
+    run = b""
+    next_code = 258
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code >= (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            put(_LZW_CLEAR, width)
+            reset()
+            next_code = 258
+        run = bytes([byte])
+    if run:
+        put(table[run], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(b: bytes) -> np.ndarray:
     """TIFF file -> (h, w, 3) uint8 RGB array (first IFD)."""
     if len(b) < 8 or b[:4] not in (b"II*\x00", b"MM\x00*"):
@@ -105,10 +220,15 @@ def decode_tiff(b: bytes) -> np.ndarray:
     bps = tags.get(258, [8])
     rows_per_strip = tags.get(278, [h])[0]
     planar = tags.get(284, [1])[0]
+    predictor = tags.get(317, [1])[0]
     if planar != 1:
         raise TiffError("planar configuration 2 unsupported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise TiffError(f"unsupported TIFF compression {comp}")
+    if predictor not in (1, 2):
+        raise TiffError(f"unsupported TIFF predictor {predictor}")
+    if predictor == 2 and comp != 5:
+        raise TiffError("predictor 2 outside LZW is out of subset")
     if any(x != 8 for x in bps):
         raise TiffError("only 8-bit samples supported")
     if len(offsets) != len(counts):
@@ -124,13 +244,22 @@ def decode_tiff(b: bytes) -> np.ndarray:
             raise TiffError("truncated strip")
         n_rows = min(rows_per_strip, remaining_rows)
         expected = n_rows * w * spp
-        raw += _unpackbits(strip, expected) if comp == 32773 else strip[:expected]
+        if comp == 32773:
+            raw += _unpackbits(strip, expected)
+        elif comp == 5:
+            raw += _lzw_decode_tiff(strip, expected)
+        else:
+            raw += strip[:expected]
         if comp == 1 and len(strip) < expected:
             raise TiffError("strip shorter than its rows")
         remaining_rows -= n_rows
     if len(raw) != h * w * spp:
         raise TiffError("pixel data length mismatch")
     arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+    if predictor == 2:
+        # undo horizontal differencing: cumulative sum per row, per
+        # sample channel, mod 256
+        arr = np.cumsum(arr.astype(np.uint64), axis=1).astype(np.uint8)
 
     if photo == 2:
         if spp != 3:
@@ -181,10 +310,13 @@ def encode_tiff(
     *,
     big_endian: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor: int = 1,
     rows_per_strip: int = 0,
 ) -> bytes:
     """Deterministic TIFF encoder twin: grayscale (2-D input) or RGB
-    (h, w, 3), striped, Compression 1 or PackBits, either byte order."""
+    (h, w, 3), striped, Compression 1 / PackBits / LZW (optionally
+    with Predictor 2 horizontal differencing), either byte order."""
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     if gray:
@@ -194,13 +326,26 @@ def encode_tiff(
         h, w, spp = img.shape
         if spp != 3:
             raise ValueError("RGB input must be (h, w, 3)")
+    if packbits and lzw:
+        raise ValueError("choose one compression")
+    if predictor == 2 and not lzw:
+        raise ValueError("predictor 2 is an LZW companion here")
     rps = rows_per_strip or h
     bo = ">" if big_endian else "<"
+    src = img.reshape(h, w, spp)
+    if predictor == 2:
+        diffed = src.astype(np.int16)
+        diffed[:, 1:] = diffed[:, 1:] - src.astype(np.int16)[:, :-1]
+        src = (diffed & 0xFF).astype(np.uint8)
     strips = []
     for top in range(0, h, rps):
-        rows = img[top : top + rps]
-        raw = rows.tobytes()
-        strips.append(_packbits(raw) if packbits else raw)
+        raw = src[top : top + rps].tobytes()
+        if packbits:
+            strips.append(_packbits(raw))
+        elif lzw:
+            strips.append(_lzw_encode_tiff(raw))
+        else:
+            strips.append(raw)
 
     # layout: header | strip data | tag-overflow arrays | IFD
     header = (b"MM\x00*" if big_endian else b"II*\x00")
@@ -219,13 +364,15 @@ def encode_tiff(
         tag(256, 4, [w]),
         tag(257, 4, [h]),
         tag(258, 3, [8] * spp),
-        tag(259, 3, [32773 if packbits else 1]),
+        tag(259, 3, [32773 if packbits else 5 if lzw else 1]),
         tag(262, 3, [2 if spp == 3 else 1]),
         tag(273, 4, strip_offsets),
         tag(277, 3, [spp]),
         tag(278, 4, [rps]),
         tag(279, 4, [len(s) for s in strips]),
     ]
+    if predictor == 2:
+        entries.append(tag(317, 3, [2]))
     overflow = bytearray()
     fixed = []
     for t, typ, vals in entries:

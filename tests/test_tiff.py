@@ -110,12 +110,35 @@ def test_gates():
         decode_tiff(enc[:30])
     with pytest.raises(TiffError):
         decode_tiff(b"ZZ" + enc[2:])
-    lzw = bytearray(enc)
-    # flip Compression (tag 259) to 5 = LZW -> unsupported must raise
-    pos = lzw.find(struct.pack("<HHI", 259, 3, 1))
-    lzw[pos + 8] = 5
+    jpg = bytearray(enc)
+    # flip Compression (tag 259) to 6 = old-style JPEG -> must raise
+    pos = jpg.find(struct.pack("<HHI", 259, 3, 1))
+    jpg[pos + 8] = 6
     with pytest.raises(TiffError):
-        decode_tiff(bytes(lzw))
+        decode_tiff(bytes(jpg))
+
+
+def test_lzw_roundtrip_width_changes_and_predictor():
+    """TIFF-LZW: early-change width bumps (9->10->11 bits on a
+    low-entropy image), Predictor 2 horizontal differencing, strips,
+    both byte orders, gray + RGB."""
+    rng = np.random.default_rng(11)
+    big = rng.integers(0, 4, size=(40, 60)).astype(np.uint8)  # deep table
+    exp = np.repeat(big[:, :, None], 3, axis=2)
+    for kw in (dict(lzw=True), dict(lzw=True, predictor=2),
+               dict(lzw=True, big_endian=True, rows_per_strip=7),
+               dict(lzw=True, predictor=2, rows_per_strip=3)):
+        assert np.array_equal(decode_tiff(encode_tiff(big, **kw)), exp)
+    rgb = rng.integers(0, 256, size=(9, 13, 3)).astype(np.uint8)
+    assert np.array_equal(
+        decode_tiff(encode_tiff(rgb, lzw=True, predictor=2)), rgb)
+
+
+def test_lzw_truncated_strip_raises():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = encode_tiff(img, lzw=True)
+    with pytest.raises(TiffError):
+        decode_tiff(enc[:40])  # strip bytes cut mid-stream
 
 
 def test_image_stats_dispatches_tiff(spark):
