@@ -14,18 +14,19 @@ the public TIFF 6.0 specification:
   RowsPerStrip), Compression 1 (none) or 32773 (PackBits RLE),
   PhotometricInterpretation 0 (WhiteIsZero) / 1 (BlackIsZero) /
   2 (RGB) / 3 (Palette), both byte orders.
-- Compression 5 (LZW, TIFF 6.0 §13): MSB-first code packing, 9->12
+- Compression 8/32946 (Deflate, zlib streams per strip) and
+  Compression 5 (LZW, TIFF 6.0 §13): MSB-first code packing, 9->12
   bit widths with the interoperable "early change" convention (the
   width bumps when the NEXT table entry would need it — libtiff's
   default, what real writers emit), ClearCode/EOI handling, optional
   Predictor 2 (horizontal differencing per sample, tag 317) undone
   with a per-row cumulative sum mod 256.
-- Out-of-subset features raise: JPEG/deflate compression, tiles,
+- Out-of-subset features raise: JPEG-in-TIFF compression, tiles,
   planar configuration 2, >8-bit samples — :class:`TiffError` is a
   ValueError so corpus kernels SKIP, never die.
 
 The deterministic encoder twin writes grayscale/RGB, either byte
-order, optional PackBits or LZW (+predictor), and a chosen
+order, optional PackBits / LZW / Deflate (+predictor), and a chosen
 RowsPerStrip — every decode branch is exercisable on purpose for the
 formula oracles.
 """
@@ -33,6 +34,7 @@ formula oracles.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -223,12 +225,12 @@ def decode_tiff(b: bytes) -> np.ndarray:
     predictor = tags.get(317, [1])[0]
     if planar != 1:
         raise TiffError("planar configuration 2 unsupported")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise TiffError(f"unsupported TIFF compression {comp}")
     if predictor not in (1, 2):
         raise TiffError(f"unsupported TIFF predictor {predictor}")
-    if predictor == 2 and comp != 5:
-        raise TiffError("predictor 2 outside LZW is out of subset")
+    if predictor == 2 and comp not in (5, 8, 32946):
+        raise TiffError("predictor 2 needs LZW/Deflate")
     if any(x != 8 for x in bps):
         raise TiffError("only 8-bit samples supported")
     if len(offsets) != len(counts):
@@ -248,6 +250,11 @@ def decode_tiff(b: bytes) -> np.ndarray:
             raw += _unpackbits(strip, expected)
         elif comp == 5:
             raw += _lzw_decode_tiff(strip, expected)
+        elif comp in (8, 32946):  # Adobe deflate / old deflate tag
+            try:
+                raw += zlib.decompress(strip)[:expected]
+            except zlib.error as e:
+                raise TiffError(f"bad deflate strip: {e}") from e
         else:
             raw += strip[:expected]
         if comp == 1 and len(strip) < expected:
@@ -311,6 +318,7 @@ def encode_tiff(
     big_endian: bool = False,
     packbits: bool = False,
     lzw: bool = False,
+    deflate: bool = False,
     predictor: int = 1,
     rows_per_strip: int = 0,
 ) -> bytes:
@@ -326,10 +334,10 @@ def encode_tiff(
         h, w, spp = img.shape
         if spp != 3:
             raise ValueError("RGB input must be (h, w, 3)")
-    if packbits and lzw:
+    if packbits + lzw + deflate > 1:
         raise ValueError("choose one compression")
-    if predictor == 2 and not lzw:
-        raise ValueError("predictor 2 is an LZW companion here")
+    if predictor == 2 and not (lzw or deflate):
+        raise ValueError("predictor 2 needs LZW/Deflate")
     rps = rows_per_strip or h
     bo = ">" if big_endian else "<"
     src = img.reshape(h, w, spp)
@@ -344,6 +352,8 @@ def encode_tiff(
             strips.append(_packbits(raw))
         elif lzw:
             strips.append(_lzw_encode_tiff(raw))
+        elif deflate:
+            strips.append(zlib.compress(raw, 6))
         else:
             strips.append(raw)
 
@@ -364,7 +374,7 @@ def encode_tiff(
         tag(256, 4, [w]),
         tag(257, 4, [h]),
         tag(258, 3, [8] * spp),
-        tag(259, 3, [32773 if packbits else 5 if lzw else 1]),
+        tag(259, 3, [32773 if packbits else 5 if lzw else 8 if deflate else 1]),
         tag(262, 3, [2 if spp == 3 else 1]),
         tag(273, 4, strip_offsets),
         tag(277, 3, [spp]),

@@ -533,10 +533,11 @@ def gen_bmp_ico_assets(
 
 def gen_tiff_pandas(ids: np.ndarray) -> pd.DataFrame:
     """The block-flat formula images through the TIFF encoder — both
-    byte orders x {uncompressed, PackBits, LZW, LZW+Predictor-2} x
-    grayscale/RGB input x varying RowsPerStrip, cycling per id (i%6
-    compression/shape kind, strip height 1/5/8/full by i%4), all
-    lossless so the per-pixel formula oracle transfers unchanged."""
+    byte orders x {uncompressed, PackBits, LZW, LZW+Predictor-2,
+    Deflate, Deflate+Predictor-2} x grayscale/RGB input x varying
+    RowsPerStrip, cycling per id (i%8 compression/shape kind, strip
+    height 1/5/8/full by i%4), all lossless so the per-pixel formula
+    oracle transfers unchanged."""
     from finetoo_sp_spark.codecs.tiff import encode_tiff
 
     rows = []
@@ -547,8 +548,11 @@ def gen_tiff_pandas(ids: np.ndarray) -> pd.DataFrame:
         bc = np.arange(bw)[None, :]
         vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
         gray = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-        kind = i % 6
-        img = gray if kind in (0, 1, 4) else gray[:, :, None].repeat(3, axis=2)
+        kind = i % 8
+        img = (
+            gray if kind in (0, 1, 4, 6)
+            else gray[:, :, None].repeat(3, axis=2)
+        )
         rows.append(
             (i, "image",
              encode_tiff(
@@ -556,7 +560,8 @@ def gen_tiff_pandas(ids: np.ndarray) -> pd.DataFrame:
                  big_endian=bool(i % 2),
                  packbits=kind in (1, 3),
                  lzw=kind in (4, 5),
-                 predictor=2 if kind == 4 else 1,
+                 deflate=kind in (6, 7),
+                 predictor=2 if kind in (4, 6) else 1,
                  rows_per_strip=[1, 5, 8, 0][i % 4],
              ))
         )

@@ -170,3 +170,20 @@ def test_corpus_matches_formula(spark):
         )
         assert (r["width"], r["height"]) == (8 * bw, 8 * bh)
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == total
+
+
+def test_deflate_roundtrip_and_bad_stream():
+    import zlib as _zlib
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(11, 17, 3)).astype(np.uint8)
+    for kw in (dict(deflate=True),
+               dict(deflate=True, predictor=2, rows_per_strip=4),
+               dict(deflate=True, big_endian=True)):
+        assert np.array_equal(decode_tiff(encode_tiff(img, **kw)), img)
+    enc = bytearray(encode_tiff(img, deflate=True))
+    # corrupt the zlib stream body -> clean TiffError, not zlib.error
+    enc[20] ^= 0xFF
+    with pytest.raises(TiffError):
+        decode_tiff(bytes(enc))
+    assert _zlib  # imported for clarity of what the corruption targets
