@@ -246,6 +246,11 @@ def main() -> None:
         "cdc_chunk_stats",
         "cdc_dedup",
         "asset_curation_report",
+        # round-5 session-4 additions
+        "multimodal_image_stats_bmp_rle",
+        "webp_animation_stats",
+        "multimodal_audio_stats_g711",
+        "table_schema_evolution",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -500,9 +500,9 @@ def video_metadata(assets: DataFrame) -> DataFrame:
     ticks * 1000 div timescale), track count, and the first video
     track's geometry + sample-entry codec fourcc. This is the metadata a
     curation pipeline filters on (drop sub-second clips, keep avc1/av01,
-    bucket by resolution) — frame PAYLOAD decode would need an entropy
-    codec and stays behind the NotImplementedError gate like non-PNG/JPEG
-    images. Malformed containers are SKIPPED, never task-fatal.
+    bucket by resolution) — frame PAYLOAD decode would need a video
+    entropy codec (H.264/AV1) and stays behind the NotImplementedError
+    gate. Malformed containers are SKIPPED, never task-fatal.
 
     Scale: one Arrow batch pass, header-only parse (struct over the
     first few hundred bytes; the mdat payload is never touched), no

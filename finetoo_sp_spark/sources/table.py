@@ -446,7 +446,14 @@ def read_version_pruned(
             raise FileNotFoundError(f"no committed versions under {path}")
     m = _load_manifest(path, version)
     rng = (F.col(col) >= lo) & (F.col(col) <= hi)
-    if m.get("resolve_as") is not None or m.get("delete_files"):
+    mixed_schemas = m.get("schemas") and any(
+        sid != m["schema_id"]
+        for sid in (m.get("file_schemas") or {}).values()
+    )
+    if m.get("resolve_as") is not None or m.get("delete_files") or mixed_schemas:
+        # MOR chain / rollback / schema-evolved files: stats are keyed
+        # by write-time column names, so prune conservatively by
+        # resolving fully and filtering (correctness first)
         df = _resolve(spark, path, version).filter(rng)
         n = len(m["files"])
         return df, {"files_total": n, "files_read": n, "files_skipped": 0}

@@ -137,3 +137,25 @@ def test_legacy_tables_stay_legacy(spark, tmp_path):
     assert read_version(spark, path).count() == 2
     with pytest.raises(ValueError, match="predates schema tracking"):
         evolve_schema(path, add=[("x", "long")])
+
+
+def test_pruned_read_after_rename_keeps_all_rows(spark, tmp_path):
+    """Stats recorded under a column's old name must never LOSE rows
+    after a rename: pruned reads fall back to a full projected resolve
+    when files span schemas."""
+    from finetoo_sp_spark.sources.table import read_version_pruned
+
+    path = str(tmp_path / "t")
+    commit_version(
+        _df(spark, [(i, i * 10) for i in range(8)], "id long, a long"),
+        path, "overwrite", stats_cols=["id"],
+    )
+    evolve_schema(path, rename={"a": "b"})
+    commit_version(
+        _df(spark, [(100, 1), (101, 2)], "id long, b long"),
+        path, stats_cols=["id"],
+    )
+    df, report = read_version_pruned(spark, path, "id", 2, 101)
+    rows = {r["id"] for r in df.collect()}
+    assert rows == {2, 3, 4, 5, 6, 7, 100, 101}
+    assert report["files_read"] == report["files_total"]  # conservative
