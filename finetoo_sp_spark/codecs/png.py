@@ -35,8 +35,11 @@ def _chunk(ctype: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, filter_type=0) -> bytes:
-    """Encode an (H, W) or (H, W, C) uint8 array as a PNG.
+def filter_stream(arr: np.ndarray, filter_type=0) -> bytes:
+    """Apply PNG scanline filtering to an (H, W, C) uint8 array and
+    return the raw (uncompressed) filtered byte stream — one filter-id
+    byte plus ``W*C`` data bytes per row. Shared by the still-image
+    encoder and the APNG frame encoder (fdAT carries the same stream).
 
     ``filter_type`` is either one filter id (0-4) applied to every
     scanline, or a length-H sequence of per-row filter ids (how adaptive
@@ -74,8 +77,18 @@ def encode_png(arr: np.ndarray, filter_type=0) -> bytes:
             out = raw - pred
         lines.append(bytes([ft]) + (out & 0xFF).astype(np.uint8).tobytes())
         prev = raw
+    return b"".join(lines)
+
+
+def encode_png(arr: np.ndarray, filter_type=0) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array as a PNG (see
+    ``filter_stream`` for the per-row filter_type contract)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
     ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_FOR_CHANNELS[ch], 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
+    idat = zlib.compress(filter_stream(a, filter_type), 6)
     return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
@@ -113,6 +126,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
+    return defilter_stream(raw, w, h, ch)
+
+
+def defilter_stream(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering on a decompressed byte stream and
+    return the (H, W, C) uint8 image. Shared by the still-image decoder
+    and the APNG frame decoder (fdAT regions carry the same stream)."""
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT size mismatch")

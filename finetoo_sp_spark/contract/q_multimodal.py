@@ -904,3 +904,38 @@ def q_asset_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("metric").alias("metric_sum"),
         )
     )
+
+
+@_q(
+    "apng_animation_stats",
+    """
+SELECT i AS asset_id,
+  CAST(3 AS BIGINT) AS n_frames,
+  CAST(i % 3 AS BIGINT) AS loop_count,
+  CAST(10*(9 + 3*(i % 5)) AS BIGINT) AS duration_ms,
+  CAST(8 + 4*(i % 3) AS BIGINT) AS width,
+  CAST(6 + 2*(i % 2) AS BIGINT) AS height,
+  CAST(
+      (8 + 4*(i%3)) * (6 + 2*(i%2)) * (30 + i%50)
+    + ((8 + 4*(i%3))//2) * (6 + 2*(i%2)) * ((100 + i%50) + (30 + i%50))
+    + ((8 + 4*(i%3))//2) * (6 + 2*(i%2))
+      * ((CASE i%3 WHEN 0 THEN 100 + i%50 WHEN 1 THEN 0
+          ELSE 30 + i%50 END) + (170 + i%50))
+  AS BIGINT) AS sum_gray
+FROM range(0, 48) t(i)""",
+)
+def q_apng_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-PNG decode under a closed-form composited-pixel oracle —
+    the acTL/fcTL/fdAT member of the animation trio (GIF, WebP, APNG):
+    3-frame animations whose middle frame cycles dispose_op none/
+    background/previous per id and whose last frame alpha-blends OVER
+    the disposed canvas with a half-transparent full-canvas image; ids
+    divisible by 4 carry a HIDDEN default image (IDAT with no fcTL).
+    The oracle states each composited frame's gray sum from area
+    arithmetic alone — it never sees a PNG byte — so zlib inflate,
+    scanline de-filtering, fdAT sequence numbering, dispose restore
+    and the integer OVER blend are all pinned externally."""
+    from finetoo_sp_spark.datagen import gen_apng_assets
+    from finetoo_sp_spark.multimodal import apng_animation_stats
+
+    return apng_animation_stats(gen_apng_assets(spark, 48))

@@ -1106,3 +1106,56 @@ def gen_gif_anim_assets(spark: SparkSession, n: int, partitions: int = 4) -> Dat
                 yield gen_gif_anim_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_apng_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic APNG corpus with closed-form composited sums: per
+    id, a 3-frame animation on a (8+4*(i%3)) x (6+2*(i%2)) canvas —
+    frame 0 paints the canvas gray a=30+i%50, frame 1 paints the LEFT
+    HALF gray b=100+i%50 with dispose_op cycling 0/1/2 by i%3, frame 2
+    blends OVER a full-canvas image whose left half is fully
+    transparent and right half gray c=170+i%50. The left half of
+    composited frame 2 therefore shows b (dispose none), transparent 0
+    (dispose background) or a (dispose previous) — every dispose branch
+    and both blend ops live under the SQL oracle. Ids divisible by 4
+    additionally ship a HIDDEN default image (IDAT with no fcTL ahead,
+    gray 7) so the hidden-IDAT parse path runs under the same oracle
+    (the composited sums are unchanged by construction). Delays
+    (2+i%5)/100, (3+i%5)/100, (4+i%5)/100 s; num_plays i%3."""
+    from finetoo_sp_spark.codecs.apng import encode_apng
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 8 + 4 * (i % 3), 6 + 2 * (i % 2)
+        a, b, c = 30 + i % 50, 100 + i % 50, 170 + i % 50
+        f0 = np.zeros((h, w, 4), np.uint8)
+        f0[..., :3] = a
+        f0[..., 3] = 255
+        f1 = np.zeros((h, w // 2, 4), np.uint8)
+        f1[..., :3] = b
+        f1[..., 3] = 255
+        f2 = np.zeros((h, w, 4), np.uint8)
+        f2[:, w // 2 :, :3] = c
+        f2[:, w // 2 :, 3] = 255
+        frames = [
+            {"rgba": f0, "dispose": 0, "blend": 0, "delay_num": 2 + i % 5, "delay_den": 100},
+            {"rgba": f1, "dispose": i % 3, "blend": 0, "delay_num": 3 + i % 5, "delay_den": 100},
+            {"rgba": f2, "dispose": 0, "blend": 1, "delay_num": 4 + i % 5, "delay_den": 100},
+        ]
+        default = np.full((h, w, 4), 7, np.uint8) if i % 4 == 0 else None
+        payload = encode_apng(w, h, frames, num_plays=i % 3, default_image=default)
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_apng_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic APNG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_apng_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 from struct import error as struct_error
+from zlib import error as zlib_error
 
 import numpy as np
 import pandas as pd
@@ -708,4 +709,65 @@ def webp_animation_stats(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=WEBP_ANIM_SCHEMA
+    )
+
+
+APNG_ANIM_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("loop_count", LongType(), False),
+        StructField("duration_ms", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("sum_gray", LongType(), False),
+    ]
+)
+
+
+def apng_animation_stats(assets: DataFrame) -> DataFrame:
+    """REAL APNG decode over the binary column — the acTL/fcTL/fdAT
+    twin of gif_animation_stats and webp_animation_stats: per asset the
+    frame count, acTL num_plays (-1 for plain PNGs, 0 = forever), total
+    declared duration in milliseconds (floor of delay_num*1000/
+    delay_den per frame, den 0 -> 100 per spec), canvas geometry and the
+    exact integer gray sum (R channel) over ALL composited frames — so
+    dispose none/background/previous, source-vs-over blending, hidden
+    default images and fdAT sequence numbering are pinned by an
+    external oracle. Arrow-batched mapInPandas; undecodable payloads
+    are SKIPPED, never task-fatal."""
+    from finetoo_sp_spark.codecs.apng import decode_apng_frames
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    frames, delays, plays = decode_apng_frames(bytes(payload))
+                except (ValueError, NotImplementedError, IndexError,
+                        struct_error, zlib_error):
+                    continue
+                ch, cw = frames[0].shape[:2]
+                dur = sum(
+                    (num * 1000) // (den if den else 100)
+                    for num, den in delays
+                )
+                total = sum(
+                    int(f[:, :, 0].sum(dtype=np.int64)) for f in frames
+                )
+                recs.append(
+                    (asset_id, len(frames), plays, dur, cw, ch, total)
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "n_frames", "loop_count", "duration_ms",
+                    "width", "height", "sum_gray",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=APNG_ANIM_SCHEMA
     )
