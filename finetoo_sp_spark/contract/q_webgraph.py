@@ -334,3 +334,65 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.select(i.alias("tid"), _url(i).alias("dst"))
     edges = a.join(b, a.tgt == b.tid).select("src", "dst")
     return resolve_redirects(edges, max_rounds=6)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label-propagation twin over the docpages
+    parent-link edge rule (symmetrized, self-loops dropped). Each round
+    is one join + a (node, label) count with the arg-max taken by
+    row_number ordered (cnt DESC, label ASC) — exactly the
+    min(struct(-cnt, label)) rule the Spark operator applies, so every
+    round is value-portable with no float anywhere. CTEs are
+    MATERIALIZED: each round references the previous one once but the
+    optimizer would otherwise inline the whole chain into 2^rounds edge
+    scans."""
+    ctes = [
+        """de AS (
+  SELECT DISTINCT s.url AS src, t.url AS dst
+  FROM u s JOIN u t
+    ON t.doc_id IN (CAST(floor(s.doc_id / 2) AS BIGINT), CAST(floor(s.doc_id / 3) AS BIGINT)))""",
+        """e AS MATERIALIZED (
+  SELECT src AS uu, dst AS v FROM de WHERE src <> dst
+  UNION
+  SELECT dst AS uu, src AS v FROM de WHERE src <> dst)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT uu, uu AS lab FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT uu, lab FROM (
+    SELECT e.uu, p.lab,
+      row_number() OVER (
+        PARTITION BY e.uu ORDER BY count(*) DESC, p.lab ASC) AS rn
+    FROM e JOIN l{i - 1} p ON p.uu = e.v
+    GROUP BY e.uu, p.lab) WHERE rn = 1)"""
+        )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+    'https://src' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+{",".join(ctes)}
+SELECT uu AS url, lab AS community FROM l{rounds}"""
+
+
+@_q("community_labels", _lpa_oracle(4))
+def q_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection for link-farm/neighborhood curation: 4
+    synchronous label-propagation rounds (Raghavan 2007, deterministic
+    majority-vote variant with a smallest-label tie-break) over the
+    REAL extracted LINKS_TO graph, symmetrized. The Spark side's
+    per-round plan is one equi-join + a two-level partial aggregate
+    (min over struct(-cnt, label) — no window); the oracle unrolls the
+    identical rounds as chained CTEs, so any slip in symmetrization,
+    vote counting or tie-breaking shifts labels and breaks the hash."""
+    from finetoo_sp_spark.extraction.graph import build_web_graph
+    from finetoo_sp_spark.operators.communities import label_propagation
+
+    pages = documents_to_pages(T(spark, sf_dir, "documents"))
+    g = build_web_graph(pages)
+    edges = g.edges.filter(F.col("edge_type") == "LINKS_TO")
+    return label_propagation(edges, rounds=4).select(
+        F.col("id").alias("url"), "community"
+    )
