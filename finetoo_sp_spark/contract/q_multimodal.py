@@ -939,3 +939,41 @@ def q_apng_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import apng_animation_stats
 
     return apng_animation_stats(gen_apng_assets(spark, 48))
+
+
+@_q(
+    "audio_fingerprint_dups",
+    """
+WITH f AS (
+  SELECT i, fnum, 4 + (i % 4) AS hp
+  FROM range(0, 96) t(i), range(0, 6) fr(fnum)
+),
+z AS (
+  SELECT i,
+    string_agg(to_hex(LEAST(15, length(bin(1000 + (i % 7) * 500)))), ''
+               ORDER BY fnum) AS energy_fp,
+    string_agg(to_hex(LEAST(15, (64 * fnum + 63) // hp - (64 * fnum) // hp)), ''
+               ORDER BY fnum) AS zcr_fp
+  FROM f GROUP BY i
+)
+SELECT i AS asset_id, energy_fp, zcr_fp,
+  CAST(i % 4 AS BIGINT) AS cluster_id,
+  CAST(24 AS BIGINT) AS n_cluster
+FROM z""",
+)
+def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection under a sample-exact oracle: the REAL
+    RIFF/PCM decode feeds integer frame fingerprints (energy nibble =
+    bit-length of mean |x|, pitch nibble = internal zero crossings) and
+    assets sharing a pitch contour cluster on the zcr_fp key
+    (loudness-invariant: amplitude variants of the same wave land in
+    one cluster, different periods never do). The DuckDB twin
+    recomputes BOTH hex fingerprints and the clusters from the square-
+    wave synthesis formula alone — crossings per frame have the closed
+    form (64f+63)//hp - (64f)//hp — so PCM decode, frame slicing,
+    nibble quantization and the min-id cluster rule are all pinned
+    without the oracle seeing a WAV byte."""
+    from finetoo_sp_spark.datagen import gen_wav_assets
+    from finetoo_sp_spark.operators.audiofp import audio_dup_clusters
+
+    return audio_dup_clusters(gen_wav_assets(spark, 96))
