@@ -1045,3 +1045,57 @@ def q_http_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_http_compliance(pages).select(
         "url", "noindex", "nofollow", "noai", "src_http", "src_meta"
     )
+
+
+@_q(
+    "pdf_encrypted_extract",
+    """
+SELECT 'https://pdfenc.example.com/' || doc_id AS url,
+  'locked heading ' || doc_id || chr(10) || 'locked body for ' || doc_id AS text,
+  CAST(2 AS BIGINT) AS n_blocks,
+  CAST(length('locked heading ' || doc_id || 'locked body for ' || doc_id) AS BIGINT)
+    AS content_chars
+FROM documents WHERE doc_id < 120""",
+)
+def q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC4-ENCRYPTED real PDFs through the layout path under the same
+    full value oracle as pdf_real_extract: make_real_pdf fixtures are
+    encrypted with the Standard Security Handler (empty user password —
+    the owner-restrictions-only shape that dominates encrypted PDFs in
+    a web crawl; revision 2/40-bit and 3/128-bit alternate by doc
+    parity), the kernel authenticates via Algorithm 3.2/3.5, derives
+    per-object RC4 keys and decrypts every stream before the normal
+    fragment parse. The oracle recomputes the expected text from the
+    fragment formula alone — agreement proves the whole
+    key-derivation + RC4 + parse chain."""
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def gen(batches):
+        from finetoo_sp_spark.extraction.pdfcrypt import encrypt_pdf
+        from finetoo_sp_spark.extraction.pdfmini import make_real_pdf
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                payload = encrypt_pdf(
+                    make_real_pdf(
+                        [
+                            (0, 72.0, 700.0, f"locked heading {i}"),
+                            (0, 72.0, 600.0, f"locked body for {i}"),
+                        ]
+                    ),
+                    rev=2 if i % 2 else 3,
+                )
+                rows.append((f"https://pdfenc.example.com/{i}", payload))
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, "url string, html binary")
+    out = extract_pages_any(pages)
+    return out.select("url", "text", "n_blocks", "content_chars")

@@ -114,6 +114,14 @@ def extract_pdf_batch(urls: pd.Series, payload: pd.Series) -> pd.DataFrame:
             # schema either way; malformed payloads emit empty rows,
             # never an exception (a bad payload must not kill the task)
             try:
+                if b"/Encrypt" in raw:
+                    # RC4 standard-security docs (commonly empty user
+                    # password) decrypt in place; AES or a real password
+                    # raises and the payload is skipped like any other
+                    # unparseable document (extraction/pdfcrypt.py)
+                    from finetoo_sp_spark.extraction.pdfcrypt import decrypt_pdf
+
+                    raw = decrypt_pdf(raw)
                 if use_real:
                     frags = _parse_pdfminer(raw)
                 else:
