@@ -1099,3 +1099,51 @@ def q_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.mapInPandas(gen, "url string, html binary")
     out = extract_pages_any(pages)
     return out.select("url", "text", "n_blocks", "content_chars")
+
+
+@_q(
+    "pdf_objstm_extract",
+    """
+SELECT 'https://pdf15.example.com/' || doc_id AS url,
+  'H' || chr(10) || 'Z' || chr(10) || 'packed body ' || doc_id AS text,
+  CAST(3 AS BIGINT) AS n_blocks,
+  CAST(length('HZpacked body ' || doc_id) AS BIGINT) AS content_chars
+FROM documents WHERE doc_id < 120""",
+)
+def q_pdf_objstm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5 COMPRESSED-OBJECT-STREAM documents through the layout
+    path: catalog/page/font dictionaries live inside a Flate ObjStm
+    indexed by a cross-reference stream (make_pdf_objstm), and the two
+    Type0 fonts map the SAME CID to different glyphs — so the oracle'd
+    'H'/'Z' lines are only extractable when the ObjStm expansion
+    (extraction/pdfmini.py expand_object_streams) actually surfaces the
+    packed font dicts for per-font ToUnicode routing; the merged-table
+    fallback would emit one glyph twice and break the hash. The modern
+    web-PDF layout, pinned by the same closed-form text oracle as
+    pdf_real_extract."""
+    import pandas as pd  # noqa: PLC0415
+
+    from finetoo_sp_spark.extraction.pdf import extract_pages_any
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 120).select("doc_id")
+
+    def gen(batches):
+        from finetoo_sp_spark.extraction.pdfmini import make_pdf_objstm
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                rows.append(
+                    (
+                        f"https://pdf15.example.com/{i}",
+                        make_pdf_objstm(f"packed body {i}"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["url", "html"])
+
+    pages = docs.mapInPandas(gen, "url string, html binary")
+    out = extract_pages_any(pages)
+    return out.select("url", "text", "n_blocks", "content_chars")

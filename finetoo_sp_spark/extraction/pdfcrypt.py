@@ -215,6 +215,8 @@ def decrypt_pdf(data: bytes, password: bytes = b"") -> bytes:
         sm = _STREAM_RE.search(body)
         if not sm:
             continue
+        if b"/XRef" in body[: sm.start()]:
+            continue  # cross-reference streams are never encrypted (spec)
         s_end = body.find(b"endstream", sm.end())
         if s_end < 0:
             continue
@@ -252,6 +254,8 @@ def encrypt_pdf(
         sm = _STREAM_RE.search(body)
         if not sm:
             continue
+        if b"/XRef" in body[: sm.start()]:
+            continue  # cross-reference streams are never encrypted (spec)
         s_end = body.find(b"endstream", sm.end())
         if s_end < 0:
             continue
@@ -271,11 +275,23 @@ def encrypt_pdf(
         f"/ID[<{id0.hex().upper()}><{id0.hex().upper()}>]"
     ).encode()
     t = out.rfind(b"trailer<<")
-    if t < 0:
-        raise ValueError("no trailer to extend")
-    out[t + len(b"trailer<<") : t + len(b"trailer<<")] = trailer_add
-    # insert the encrypt object before the xref section so object scans
-    # (which ignore the xref table) pick it up
-    x = out.rfind(b"xref\n")
-    out[x:x] = enc_obj
+    if t >= 0:
+        # classic layout: extend the trailer dict, put the encrypt
+        # object before the xref section so object scans pick it up
+        out[t + len(b"trailer<<") : t + len(b"trailer<<")] = trailer_add
+        x = out.rfind(b"xref\n")
+        out[x:x] = enc_obj
+        return bytes(out)
+    # PDF 1.5 xref-stream layout: the trailer entries live in the XRef
+    # stream dict. Patch /Encrypt + /ID into that dict and append the
+    # encrypt object after %%EOF (an incremental-update-like tail; the
+    # regex-framed decrypt path needs no xref entry for it).
+    xm = None
+    for xm in re.finditer(rb"(\d+)\s+\d+\s+obj\s*<</Type\s*/XRef", out):
+        pass
+    if xm is None:
+        raise ValueError("no trailer or XRef stream to extend")
+    insert_at = out.find(b"<<", xm.start()) + 2
+    out[insert_at:insert_at] = trailer_add
+    out += enc_obj
     return bytes(out)

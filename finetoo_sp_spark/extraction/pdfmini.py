@@ -184,10 +184,58 @@ def _mostly_printable(text: str, min_ratio: float = 0.8) -> bool:
     return ok / len(text) >= min_ratio
 
 
+_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm")
+_N_RE = re.compile(rb"/N\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def expand_object_streams(data: bytes) -> bytes:
+    """PDF 1.5 compressed object streams (ISO 32000 §7.5.7), expanded
+    back into ``N 0 obj … endobj`` text so the regex-framed object scan
+    sees them. Real crawled PDFs routinely pack font/resource/page
+    dicts into a Flate ObjStm (only non-stream objects are allowed
+    there) — without this, per-font ToUnicode routing silently falls
+    back to the merged table. Returns the expansion blob (empty when
+    the document has no object streams); callers append it to the
+    document before scanning. Malformed object streams contribute
+    nothing, never raise."""
+    out = []
+    for m in _OBJ_RE.finditer(data):
+        body = m.group(2)
+        sm = _STREAM_RE.search(body)
+        if not sm or not _OBJSTM_RE.search(body[: sm.start()]):
+            continue
+        n_m, first_m = _N_RE.search(body[: sm.start()]), _FIRST_RE.search(
+            body[: sm.start()]
+        )
+        if not n_m or not first_m:
+            continue
+        end = body.find(b"endstream", sm.end())
+        content = _inflate(body[sm.end() : end if end >= 0 else len(body)])
+        n, first = int(n_m.group(1)), int(first_m.group(1))
+        header = content[:first].split()
+        if len(header) < 2 * n:
+            continue
+        pairs = [
+            (int(header[2 * k]), int(header[2 * k + 1])) for k in range(n)
+        ]
+        for k, (num, off) in enumerate(pairs):
+            stop = pairs[k + 1][1] if k + 1 < n else len(content) - first
+            objbody = content[first + off : first + stop]
+            out.append(b"%d 0 obj" % num + objbody.strip() + b" endobj\n")
+    return b"".join(out)
+
+
 def parse_pdf_fragments(payload: bytes) -> pd.DataFrame:
     """(page, x, y, text) fragments from a real PDF payload — the same
     frame shape as the FAKEPDF parser and the pdfminer path, so the
     downstream reading-order/block logic is shared by all three."""
+    expansion = expand_object_streams(payload)
+    if expansion:
+        # appended, not inlined: offsets of every existing object hold,
+        # and the expansion carries no streams (ObjStm objects cannot),
+        # so the stream scan below is unaffected
+        payload = payload + b"\n" + expansion
     streams = _decoded_streams(payload)
     merged_cmap = _collect_cmap([payload, *streams])
     per_font = _font_cmaps(payload)
@@ -299,4 +347,92 @@ def make_real_pdf(fragments: list[tuple[int, float, float, str]]) -> bytes:
         b"trailer<</Size " + str(len(objs) + 1).encode() + b"/Root 1 0 R>>\n"
         b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     )
+    return bytes(out)
+
+
+def make_pdf_objstm(literal: str, glyph_a: str = "H", glyph_b: str = "Z") -> bytes:
+    """Write a REAL PDF 1.5 document whose catalog/pages/page/font
+    dictionaries live inside a Flate-compressed OBJECT STREAM, indexed
+    by a cross-reference STREAM (type-2 entries) — the modern layout
+    web-crawled PDFs actually use. Two Type0 fonts map the SAME CID
+    0x0001 to ``glyph_a`` / ``glyph_b`` through separate ToUnicode
+    CMaps, so correct extraction REQUIRES the object-stream expansion
+    (the merged-table fallback would show one glyph twice); a third
+    literal-string fragment carries ``literal``. Deterministic output.
+    """
+    import struct
+
+    def tounicode(ch: str) -> bytes:
+        return (
+            b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+            b"1 beginbfchar\n<0001> <%04X>\nendbfchar\nendcmap\n" % ord(ch)
+        )
+
+    def esc(t: str) -> str:
+        return t.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+    # objects 1-5 live in the ObjStm (non-stream objects only, per spec)
+    packed = [
+        (1, b"<</Type/Catalog/Pages 2 0 R>>"),
+        (2, b"<</Type/Pages/Kids[3 0 R]/Count 1>>"),
+        (3, b"<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+            b"/Resources<</Font<</F1 4 0 R/F2 5 0 R>>>>/Contents 8 0 R>>"),
+        (4, b"<</Type/Font/Subtype/Type0/BaseFont/FontA"
+            b"/Encoding/Identity-H/ToUnicode 6 0 R>>"),
+        (5, b"<</Type/Font/Subtype/Type0/BaseFont/FontB"
+            b"/Encoding/Identity-H/ToUnicode 7 0 R>>"),
+    ]
+    offsets_hdr = []
+    bodies = b""
+    for num, body in packed:
+        offsets_hdr.append(b"%d %d" % (num, len(bodies)))
+        bodies += body + b"\n"
+    header = b" ".join(offsets_hdr) + b"\n"
+    objstm_plain = header + bodies
+    objstm = zlib.compress(objstm_plain, 6)
+
+    content = (
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm <0001> Tj ET\n"
+        b"BT /F2 12 Tf 1 0 0 1 72 600 Tm <0001> Tj ET\n"
+        + f"BT /F1 12 Tf 1 0 0 1 72 500 Tm ({esc(literal)}) Tj ET".encode(
+            "latin-1", "replace"
+        )
+    )
+    cstream = zlib.compress(content, 6)
+
+    def stream_obj(num: int, extra: bytes, payload: bytes) -> bytes:
+        return (
+            b"%d 0 obj<</Length %d%s>>stream\n" % (num, len(payload), extra)
+            + payload
+            + b"\nendstream endobj\n"
+        )
+
+    out = bytearray(b"%PDF-1.5\n")
+    offs = {}
+    for num, extra, payload in [
+        (6, b"", tounicode(glyph_a)),
+        (7, b"", tounicode(glyph_b)),
+        (8, b"/Filter/FlateDecode", cstream),
+        (9, b"/Type/ObjStm/N %d/First %d/Filter/FlateDecode"
+            % (len(packed), len(header)), objstm),
+    ]:
+        offs[num] = len(out)
+        out += stream_obj(num, extra, payload)
+
+    # cross-reference stream (obj 10): /W [1 4 2] rows over objects 0-10
+    rows = [b"\x00" + struct.pack(">I", 0) + struct.pack(">H", 0xFFFF)]
+    for k in range(len(packed)):  # objects 1-5: type 2 (in ObjStm 9)
+        rows.append(b"\x02" + struct.pack(">I", 9) + struct.pack(">H", k))
+    for num in (6, 7, 8, 9):
+        rows.append(b"\x01" + struct.pack(">I", offs[num]) + struct.pack(">H", 0))
+    xref_at = len(out)
+    rows.append(b"\x01" + struct.pack(">I", xref_at) + struct.pack(">H", 0))
+    xref_payload = b"".join(rows)
+    out += (
+        b"10 0 obj<</Type/XRef/Size 11/Index[0 11]/W[1 4 2]/Root 1 0 R"
+        b"/Length %d>>stream\n" % len(xref_payload)
+        + xref_payload
+        + b"\nendstream endobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     return bytes(out)

@@ -221,3 +221,53 @@ def test_real_pdf_through_resumable_pipeline(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     joined = got.join(pages.select("url", "expected_text"), "url")
     assert joined.filter(F.col("text") != F.col("expected_text")).count() == 0
+
+
+def test_objstm_packed_fonts_resolve_per_font():
+    """PDF 1.5 layout: font dicts inside a compressed object stream must
+    still route per-font ToUnicode tables (the oracle-differentiating
+    case: same CID, different glyphs)."""
+    from finetoo_sp_spark.extraction.pdfmini import (
+        expand_object_streams,
+        make_pdf_objstm,
+        parse_pdf_fragments,
+    )
+
+    pdf = make_pdf_objstm("tail text", glyph_a="Q", glyph_b="W")
+    frags = parse_pdf_fragments(pdf)
+    assert list(frags["text"]) == ["Q", "W", "tail text"]
+    # the expansion is the load-bearing part: it must surface all five
+    # packed objects as scannable obj bodies
+    exp = expand_object_streams(pdf)
+    for marker in (b"1 0 obj", b"4 0 obj", b"5 0 obj", b"/FontA", b"/FontB"):
+        assert marker in exp
+    # a document with no ObjStm expands to nothing
+    from finetoo_sp_spark.extraction.pdfmini import make_real_pdf
+
+    assert expand_object_streams(make_real_pdf([(0, 72.0, 700.0, "x")])) == b""
+
+
+def test_objstm_malformed_header_degrades_gracefully():
+    from finetoo_sp_spark.extraction.pdfmini import (
+        expand_object_streams,
+        make_pdf_objstm,
+    )
+
+    pdf = make_pdf_objstm("y")
+    broken = pdf.replace(b"/Type/ObjStm/N 5", b"/Type/ObjStm/N 99")
+    assert expand_object_streams(broken) == b""  # short header -> skip
+
+
+def test_encrypted_objstm_composes():
+    """RC4 encryption over the PDF 1.5 layout: decrypt_pdf restores the
+    ObjStm plaintext and the expansion + per-font routing still work."""
+    from finetoo_sp_spark.extraction.pdfcrypt import decrypt_pdf, encrypt_pdf
+    from finetoo_sp_spark.extraction.pdfmini import (
+        make_pdf_objstm,
+        parse_pdf_fragments,
+    )
+
+    enc = encrypt_pdf(make_pdf_objstm("locked tail"), rev=3)
+    assert len(parse_pdf_fragments(enc)) == 0
+    frags = parse_pdf_fragments(decrypt_pdf(enc))
+    assert list(frags["text"]) == ["H", "Z", "locked tail"]
