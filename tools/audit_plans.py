@@ -516,6 +516,36 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "apng_animation_stats": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "audio_fingerprint_dups": [
+        ("fingerprinting is one Arrow pass", r"MapInPandas"),
+        ("cluster rollup partial-aggregates", r"HashAggregate"),
+        ("cluster join is a hash equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "community_labels": [
+        # every round ends in a localCheckpoint lineage cut (same
+        # situation as hits/pagerank), so the returned plan is the final
+        # label scan; the per-round join+aggregate shape is pinned by
+        # the operator's code and the value oracle
+        ("final labels come off the checkpointed round", r"ExistingRDD"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "pdf_encrypted_extract": [
+        ("decrypt+parse is one Arrow pass", r"MapInPandas"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "pdf_objstm_extract": [
+        ("expansion+parse is one Arrow pass", r"MapInPandas"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "multimodal_image_stats_bmp_rle": [
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
