@@ -251,6 +251,12 @@ def main() -> None:
         "webp_animation_stats",
         "multimodal_audio_stats_g711",
         "table_schema_evolution",
+        # round-5 session-5 additions
+        "apng_animation_stats",
+        "audio_fingerprint_dups",
+        "community_labels",
+        "pdf_encrypted_extract",
+        "pdf_objstm_extract",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -556,3 +556,122 @@ def q_resolved_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
     return resolved_links(pages).select("url", "href", "target")
+
+
+@_q(
+    "sitemap_media",
+    """
+SELECT * FROM (
+  SELECT source AS host,
+    'https://' || source || '.example.com/doc/' || doc_id AS loc,
+    'image' AS media_type,
+    'https://cdn.example.com/img/' || doc_id || '.jpg' AS media_loc,
+    CAST(NULL AS BIGINT) AS duration_s,
+    CASE WHEN doc_id % 4 <> 0 THEN 'img ' || doc_id END AS title,
+    CAST(NULL AS DATE) AS pub_date
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT source, 'https://' || source || '.example.com/doc/' || doc_id,
+    'image', 'https://cdn.example.com/img/' || doc_id || '.png',
+    CAST(NULL AS BIGINT), 'alt ' || doc_id, CAST(NULL AS DATE)
+  FROM documents WHERE doc_id % 6 = 0
+  UNION ALL
+  SELECT source, 'https://' || source || '.example.com/doc/' || doc_id,
+    'video', 'https://cdn.example.com/vid/' || doc_id || '.mp4',
+    CAST(30 + doc_id % 60 AS BIGINT), 'vid ' || doc_id, CAST(NULL AS DATE)
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT source, 'https://' || source || '.example.com/doc/' || doc_id,
+    'news', CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), 'news ' || doc_id,
+    CAST('2026-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS DATE)
+  FROM documents WHERE doc_id % 5 = 0
+)""",
+)
+def q_sitemap_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google sitemap media extensions (image/video/news namespaces):
+    per-host <urlset> bodies synthesized with 0-2 image blocks per url
+    (title absent on every 4th image — the NULL branch), video blocks
+    with integer durations, and news blocks with typed publication
+    dates, parsed back by the two-level regexp-explode pipeline into
+    one typed row per media item — the fetch frontier a MULTIMODAL
+    crawl plans image/video downloads from. Oracle relational from the
+    same synthesis parameters."""
+    from finetoo_sp_spark.sources.sitemap import media_entries
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    img = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit("<image:image><image:loc>https://cdn.example.com/img/"),
+            did.cast("string"),
+            F.lit(".jpg</image:loc>"),
+            F.when(
+                did % 4 != 0,
+                F.concat(
+                    F.lit("<image:title>img "), did.cast("string"),
+                    F.lit("</image:title>"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("</image:image>"),
+        ),
+    ).otherwise(F.lit(""))
+    img2 = F.when(
+        did % 6 == 0,
+        F.concat(
+            F.lit("<image:image><image:loc>https://cdn.example.com/img/"),
+            did.cast("string"),
+            F.lit(".png</image:loc><image:title>alt "),
+            did.cast("string"),
+            F.lit("</image:title></image:image>"),
+        ),
+    ).otherwise(F.lit(""))
+    vid = F.when(
+        did % 3 == 0,
+        F.concat(
+            F.lit("<video:video><video:content_loc>https://cdn.example.com/vid/"),
+            did.cast("string"),
+            F.lit(".mp4</video:content_loc><video:duration>"),
+            (30 + did % 60).cast("string"),
+            F.lit("</video:duration><video:title>vid "),
+            did.cast("string"),
+            F.lit("</video:title></video:video>"),
+        ),
+    ).otherwise(F.lit(""))
+    news = F.when(
+        did % 5 == 0,
+        F.concat(
+            F.lit("<news:news><news:publication_date>2026-02-"),
+            F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</news:publication_date><news:title>news "),
+            did.cast("string"),
+            F.lit("</news:title></news:news>"),
+        ),
+    ).otherwise(F.lit(""))
+    entry = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("source"),
+        F.lit(".example.com/doc/"),
+        did.cast("string"),
+        F.lit("</loc>"),
+        img, img2, vid, news,
+        F.lit("</url>"),
+    )
+    sitemaps = (
+        d.select(F.col("source").alias("host"), did.alias("doc_id"), entry.alias("_e"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "_e"))),
+                        lambda s: s["_e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("sitemap_xml")
+        )
+    )
+    return media_entries(sitemaps)

@@ -977,3 +977,42 @@ def q_audio_fingerprint_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.operators.audiofp import audio_dup_clusters
 
     return audio_dup_clusters(gen_wav_assets(spark, 96))
+
+
+@_q(
+    "mp4_sample_table",
+    """
+WITH s AS (
+  SELECT i, k,
+    (10 + (i % 6)) // 2 AS h,
+    100 + (i % 3) * 50 AS d1,
+    200 + (i % 4) * 25 AS d2,
+    50 + ((i + 7 * k) % 40) AS sz
+  FROM range(0, 64) t(i), range(0, 16) kk(k)
+  WHERE k < 10 + (i % 6)
+)
+SELECT i AS asset_id,
+  CAST(k AS BIGINT) AS sample_idx,
+  CAST(CASE WHEN k < h THEN k * d1
+       ELSE h * d1 + (k - h) * d2 END AS BIGINT) AS dts_ticks,
+  CAST(sz AS BIGINT) AS n_bytes,
+  CAST(COALESCE(sum(sz) OVER (PARTITION BY i ORDER BY k
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS mdat_offset,
+  (k % 5 = 0) AS is_sync
+FROM s""",
+)
+def q_mp4_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-extraction WORK LIST from real ISO-BMFF sample tables: per
+    video sample, the (timestamp, byte-range, keyframe) triple a
+    distributed frame sampler needs before any codec runs — stts runs
+    decode to timestamps, stsc runs expand to per-chunk sample counts,
+    stco/co64 anchor the byte offsets (co64 every 8th asset). The
+    oracle recomputes every row from the synthesis formula (two-run
+    timestamp CASE, running-sum offsets) without seeing a box — so run
+    expansion, chunk walking, 32/64-bit offsets and sync marking are
+    all pinned externally."""
+    from finetoo_sp_spark.datagen import gen_mp4_sample_assets
+    from finetoo_sp_spark.multimodal import video_sample_table
+
+    return video_sample_table(gen_mp4_sample_assets(spark, 64))

@@ -1159,3 +1159,44 @@ def gen_apng_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFra
                 yield gen_apng_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_mp4_sample_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic MP4s with FULL sample tables and closed-form rows:
+    asset i carries ns = 10 + i%6 video samples in two stts runs
+    (first half delta 100+(i%3)*50 ticks, rest 200+(i%4)*25), sizes
+    50 + ((i+7k)%40) bytes packed contiguously in mdat in 4-sample
+    chunks, keyframes every 5th sample; every 8th asset uses co64
+    offsets so the 64-bit chunk-offset path runs under the oracle."""
+    from finetoo_sp_spark.codecs.mp4 import encode_mp4_samples
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        ns = 10 + i % 6
+        h = ns // 2
+        sizes = [50 + ((i + 7 * k) % 40) for k in range(ns)]
+        payload = encode_mp4_samples(
+            600,
+            [(h, 100 + (i % 3) * 50), (ns - h, 200 + (i % 4) * 25)],
+            sizes,
+            samples_per_chunk=4,
+            sync_every=5,
+            co64=(i % 8 == 0),
+        )
+        rows.append((i, "video", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_mp4_sample_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic sample-table MP4 corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_mp4_sample_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

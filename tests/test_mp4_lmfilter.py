@@ -557,3 +557,66 @@ def test_feed_parse_hand_cases(spark):
     ra = rows[("atom", "https://h/a1")]
     # published wins over updated when both present
     assert ra.title == "Atom one" and str(ra.published) == "2026-03-04 12:00:00"
+
+
+def test_sample_table_roundtrip_and_byte_ranges():
+    """Absolute offsets must land on the actual packed sample bytes,
+    across stco and co64, two stts runs and a short last chunk."""
+    from finetoo_sp_spark.codecs.mp4 import (
+        decode_sample_table,
+        encode_mp4_samples,
+    )
+
+    sizes = [50 + 7 * k % 40 for k in range(11)]
+    for co64 in (False, True):
+        b = encode_mp4_samples(
+            600, [(5, 100), (6, 200)], sizes, 4, sync_every=5, co64=co64
+        )
+        rows = decode_sample_table(b)
+        assert [r["dts_ticks"] for r in rows][:7] == [0, 100, 200, 300, 400, 500, 700]
+        acc = 0
+        for k, r in enumerate(rows):
+            assert r["mdat_offset"] == acc and r["size"] == sizes[k]
+            assert b[r["offset"] : r["offset"] + r["size"]] == bytes([k % 251]) * sizes[k]
+            acc += sizes[k]
+        assert [r["is_sync"] for r in rows] == [k % 5 == 0 for k in range(11)]
+
+
+def test_sample_table_no_stss_means_all_sync():
+    from finetoo_sp_spark.codecs.mp4 import (
+        decode_sample_table,
+        encode_mp4_samples,
+    )
+
+    rows = decode_sample_table(
+        encode_mp4_samples(600, [(6, 100)], [10] * 6, 4, sync_every=0)
+    )
+    assert all(r["is_sync"] for r in rows)
+
+
+def test_sample_table_inconsistent_tables_raise():
+    import pytest
+
+    from finetoo_sp_spark.codecs.mp4 import (
+        Mp4Error,
+        decode_sample_table,
+        encode_mp4_samples,
+    )
+
+    # entry count overrunning the box must raise, never read neighbors
+    # (or allocate from a multi-GB bogus count)
+    b = bytearray(encode_mp4_samples(600, [(6, 100)], [10] * 6, 4, sync_every=0))
+    i = b.find(b"stts")
+    b[i + 11] = 9  # entry-count low byte: 1 -> 9 entries (box holds 1)
+    with pytest.raises(Mp4Error, match="overruns box"):
+        decode_sample_table(bytes(b))
+    # in-box run count disagreeing with stsz must raise before expanding
+    b = bytearray(encode_mp4_samples(600, [(6, 100)], [10] * 6, 4, sync_every=0))
+    i = b.find(b"stts")
+    b[i + 15] = 5  # first run count: 6 -> 5 samples (stsz says 6)
+    with pytest.raises(Mp4Error, match="stts covers"):
+        decode_sample_table(bytes(b))
+    with pytest.raises(Mp4Error, match="missing sample tables"):
+        from finetoo_sp_spark.codecs.mp4 import encode_mp4
+
+        decode_sample_table(encode_mp4("isom", 600, 600, [("vide", 16, 16, "avc1")]))
