@@ -1016,3 +1016,66 @@ def q_mp4_sample_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import video_sample_table
 
     return video_sample_table(gen_mp4_sample_assets(spark, 64))
+
+
+@_q(
+    "image_exif_meta",
+    """
+SELECT i AS asset_id,
+  CAST(1 + i % 8 AS BIGINT) AS orientation,
+  'Maker' || CAST(i % 5 AS VARCHAR) AS make,
+  'Cam ' || CAST(i % 7 AS VARCHAR) AS model,
+  '2026:03:' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0') || ' 10:00:00' AS dt,
+  '2026:02:' || lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0') || ' 09:00:00'
+    AS dt_original,
+  (i % 3 = 0) AS has_gps,
+  CAST(CASE WHEN i % 3 = 0 THEN
+    (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) *
+    ((i % 90) * 1000000 + ((i % 60) * 1000000) // 60
+      + (((i * 7) % 6000) * 1000000) // 360000)
+  END AS BIGINT) AS gps_lat_micro,
+  CAST(CASE WHEN i % 3 = 0 THEN
+    (CASE WHEN i % 4 < 2 THEN 1 ELSE -1 END) *
+    ((i % 180) * 1000000 + (((i * 3) % 60) * 1000000) // 60
+      + (((i * 11) % 6000) * 1000000) // 360000)
+  END AS BIGINT) AS gps_lon_micro
+FROM range(0, 60) t(i)""",
+)
+def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF extraction under a field-exact oracle: JPEG+APP1 fixtures
+    (both byte orders, GPS on every 3rd asset with explicit rational
+    triples) parsed by the pure-stdlib TIFF-IFD walker inside the
+    Arrow kernel; the DuckDB twin recomputes every field — including
+    the signed floor micro-degree coordinate resolution — from the
+    synthesis formula without seeing a byte, pinning IFD walking,
+    sub-IFD pointers, ASCII/SHORT/RATIONAL decode and both
+    endiannesses."""
+    from finetoo_sp_spark.datagen import gen_exif_jpeg_assets
+    from finetoo_sp_spark.multimodal import image_exif
+
+    return image_exif(gen_exif_jpeg_assets(spark, 60))
+
+
+@_q(
+    "image_gps_redact",
+    """
+SELECT i AS asset_id,
+  (i % 3 = 0) AS had_gps,
+  FALSE AS has_gps_after,
+  CAST(1 + i % 8 AS BIGINT) AS orientation,
+  'Maker' || CAST(i % 5 AS VARCHAR) AS make,
+  TRUE AS same_length
+FROM range(0, 60) t(i)""",
+)
+def q_image_gps_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side PII gate: the in-place GPS scrub (pointer tag retired,
+    GPS IFD + value blocks zeroed — payload length PROVABLY unchanged,
+    the streaming-safe rewrite shape) runs parse -> scrub -> re-parse
+    in one Arrow pass. The oracle pins that every asset that had GPS
+    has NONE afterward while orientation/make survive byte-identically
+    — the redaction contract a responsible photo corpus publishes
+    under."""
+    from finetoo_sp_spark.datagen import gen_exif_jpeg_assets
+    from finetoo_sp_spark.multimodal import gps_redaction_report
+
+    return gps_redaction_report(gen_exif_jpeg_assets(spark, 60))

@@ -1200,3 +1200,53 @@ def gen_mp4_sample_assets(
                 yield gen_mp4_sample_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_exif_jpeg_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic JPEG+EXIF corpus with closed-form metadata: asset
+    i carries orientation 1+i%8, make 'Maker'+i%5, model 'Cam '+i%7,
+    typed timestamps keyed on i%28, and — on every 3rd asset — GPS
+    rationals ((i%90) deg, (i%60) min, ((i*7)%6000)/100 sec; refs N/S
+    by i%2, E/W by i%4<2) so the signed floor micro-degree resolution
+    is SQL-recomputable. Every 5th asset is big-endian (MM) so both
+    byte orders run under the oracle."""
+    from finetoo_sp_spark.codecs.exif import insert_exif, make_exif_app1
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+
+    base = encode_jpeg_baseline(np.full((8, 8, 3), 100, np.uint8))
+    rows = []
+    for i in ids:
+        i = int(i)
+        gps = None
+        if i % 3 == 0:
+            gps = (
+                "N" if i % 2 == 0 else "S",
+                (i % 90, 1, i % 60, 1, (i * 7) % 6000, 100),
+                "E" if i % 4 < 2 else "W",
+                (i % 180, 1, (i * 3) % 60, 1, (i * 11) % 6000, 100),
+            )
+        app1 = make_exif_app1(
+            1 + i % 8,
+            f"Maker{i % 5}",
+            f"Cam {i % 7}",
+            "2026:03:%02d 10:00:00" % (i % 28 + 1),
+            "2026:02:%02d 09:00:00" % (i % 28 + 1),
+            gps=gps,
+            byte_order=">" if i % 5 == 0 else "<",
+        )
+        rows.append((i, "image", insert_exif(base, app1)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_exif_jpeg_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic JPEG+EXIF corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_exif_jpeg_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -828,3 +828,116 @@ def video_sample_table(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=SAMPLE_TABLE_SCHEMA
     )
+
+
+EXIF_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("orientation", LongType(), True),
+        StructField("make", StringType(), False),
+        StructField("model", StringType(), False),
+        StructField("dt", StringType(), False),
+        StructField("dt_original", StringType(), False),
+        StructField("has_gps", BooleanType(), False),
+        StructField("gps_lat_micro", LongType(), True),
+        StructField("gps_lon_micro", LongType(), True),
+    ]
+)
+
+
+def image_exif(assets: DataFrame) -> DataFrame:
+    """EXIF camera/orientation/timestamp/GPS metadata per JPEG asset
+    (codecs/exif.py): the curation signals real photo corpora filter
+    on, with GPS as signed integer micro-degrees. Arrow-batched
+    mapInPandas; assets without EXIF yield absent fields, corrupt APP1
+    segments are SKIPPED."""
+    from finetoo_sp_spark.codecs.exif import ExifError, parse_exif_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = parse_exif_jpeg(bytes(payload))
+                except (ExifError, struct_error):
+                    continue
+                recs.append(
+                    (
+                        asset_id, m["orientation"], m["make"], m["model"],
+                        m["datetime"], m["datetime_original"], m["has_gps"],
+                        m["gps_lat_micro"], m["gps_lon_micro"],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "orientation", "make", "model", "dt",
+                    "dt_original", "has_gps", "gps_lat_micro",
+                    "gps_lon_micro",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=EXIF_SCHEMA
+    )
+
+
+REDACT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("had_gps", BooleanType(), False),
+        StructField("has_gps_after", BooleanType(), False),
+        StructField("orientation", LongType(), True),
+        StructField("make", StringType(), False),
+        StructField("same_length", BooleanType(), False),
+    ]
+)
+
+
+def gps_redaction_report(assets: DataFrame) -> DataFrame:
+    """Parse -> scrub -> re-parse in ONE Arrow pass: per asset whether
+    GPS existed, whether any survives the in-place scrub (must never),
+    that non-GPS EXIF is intact and that the payload length is
+    unchanged (the streaming-safe property). The image-side PII gate."""
+    from finetoo_sp_spark.codecs.exif import (
+        ExifError,
+        parse_exif_jpeg,
+        strip_gps_jpeg,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    before = parse_exif_jpeg(raw)
+                    scrubbed = strip_gps_jpeg(raw)
+                    after = parse_exif_jpeg(scrubbed)
+                except (ExifError, struct_error):
+                    continue
+                recs.append(
+                    (
+                        asset_id,
+                        before["has_gps"],
+                        after["has_gps"],
+                        after["orientation"],
+                        after["make"],
+                        len(scrubbed) == len(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "had_gps", "has_gps_after", "orientation",
+                    "make", "same_length",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=REDACT_SCHEMA
+    )
