@@ -1147,3 +1147,64 @@ def q_pdf_objstm(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.mapInPandas(gen, "url string, html binary")
     out = extract_pages_any(pages)
     return out.select("url", "text", "n_blocks", "content_chars")
+
+
+@_q(
+    "meta_refresh_targets",
+    """
+WITH u AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS BIGINT) AS delay_s,
+  'https://moved.example/' || doc_id AS target
+FROM u WHERE doc_id % 4 = 0
+UNION ALL
+SELECT url, CAST(5 AS BIGINT),
+  'https://' || source || '.example/new/' || doc_id
+FROM u WHERE doc_id % 4 = 1
+UNION ALL
+SELECT url, CAST(30 AS BIGINT), CAST(NULL AS VARCHAR)
+FROM u WHERE doc_id % 4 = 2""",
+)
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Client-side redirect discovery: meta-refresh directives in all
+    three real shapes — instant absolute redirect, delayed
+    quoted-relative url= (resolved RFC 3986-absolute against the page),
+    and a bare self-reload (NULL target) — with a content-type pragma
+    decoy that must not lift. Pages without a directive emit nothing.
+    These (url, target) rows are the edge set HTTP-level redirect
+    resolution misses."""
+    from finetoo_sp_spark.extraction.meta import meta_refresh
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta http-equiv="content-type" content="text/html"/>'),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<meta http-equiv="refresh" content="0;url=https://moved.example/'),
+                did, F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("<meta http-equiv=refresh content=\"5; URL='/new/"),
+                did, F.lit("'\">"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.lit('<meta http-equiv="Refresh" content="30">'),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"), did).alias("url"),
+        html.alias("html"),
+    )
+    return meta_refresh(pages)

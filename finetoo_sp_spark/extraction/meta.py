@@ -153,3 +153,54 @@ def resolved_links(
     return resolve_refs(rows, "base", "href", "target").select(
         "url", "href", "target"
     )
+
+
+def meta_refresh(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, delay_s, target) from ``<meta http-equiv="refresh">``
+    elements — the CLIENT-SIDE redirect channel (WHATWG HTML
+    §pragma-directives) that HTTP-level redirect resolution never sees:
+    parked domains, interstitials and soft-moved pages overwhelmingly
+    use it, so a crawl that ignores it keeps dead URLs and loses their
+    targets. One row per page carrying a refresh directive: delay_s is
+    the leading integer, target the (quoted or bare) ``url=`` value
+    resolved RFC 3986-absolute against the page URL, or NULL for a
+    self-reload directive (delay only). First directive wins, matching
+    browser behavior. Same narrow JVM lift shape as og_meta; the
+    output's (url, target) rows feed resolve_redirects as extra edges.
+    """
+    from finetoo_sp_spark.operators.urlnorm import resolve_refs
+
+    hs = _html_str(pages, html_col)
+    tag = F.regexp_extract(
+        hs,
+        r"""(?i)<meta\s[^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*>""",
+        0,
+    )
+    # the content value may itself contain the OTHER quote style
+    # (content="5; URL='/x'"), so match each quote style to its closer
+    content = F.coalesce(
+        F.nullif(
+            F.regexp_extract(tag, r'(?i)content\s*=\s*"([^"]*)"', 1), F.lit("")
+        ),
+        F.regexp_extract(tag, r"(?i)content\s*=\s*'([^']*)'", 1),
+    )
+    delay = F.regexp_extract(content, r"^\s*(\d+)", 1).try_cast("long")
+    raw_target = F.nullif(
+        F.regexp_extract(
+            content, r"""(?i);\s*url\s*=\s*['"]?([^'"\s]+)""", 1
+        ),
+        F.lit(""),
+    )
+    rows = pages.select(
+        F.col(url_col).alias("url"),
+        delay.alias("delay_s"),
+        raw_target.alias("_t"),
+    ).filter(F.col("delay_s").isNotNull())
+    resolved = resolve_refs(rows, "url", "_t", "target")
+    return resolved.select(
+        "url",
+        "delay_s",
+        F.when(F.col("_t").isNotNull(), F.col("target")).alias("target"),
+    )

@@ -39,3 +39,27 @@ def test_binary_html_input(spark):
     assert [tuple(r) for r in extract_jsonld(df).collect()] == [
         ("u", 0, '{"k":"v"}')
     ]
+
+
+def test_meta_refresh_shapes(spark):
+    """All real-world refresh shapes: bare delay, absolute url,
+    relative url resolved against the page, mixed quoting, decoys."""
+    from finetoo_sp_spark.extraction.meta import meta_refresh
+
+    rows = [
+        ("https://a.example/p/1", '<meta http-equiv="refresh" content="0;url=https://b.example/x">'),
+        ("https://a.example/d/2", "<meta http-equiv=refresh content=\"5; URL='../up/y'\">"),
+        ("https://a.example/3", '<meta http-equiv="Refresh" content="30">'),
+        ("https://a.example/4", '<meta http-equiv="content-type" content="text/html">'),
+        ("https://a.example/5", "plain page, no meta at all"),
+    ]
+    out = {
+        r["url"]: (r["delay_s"], r["target"])
+        for r in meta_refresh(
+            spark.createDataFrame(rows, "url string, html string")
+        ).collect()
+    }
+    assert out["https://a.example/p/1"] == (0, "https://b.example/x")
+    assert out["https://a.example/d/2"] == (5, "https://a.example/up/y")
+    assert out["https://a.example/3"] == (30, None)
+    assert "https://a.example/4" not in out and "https://a.example/5" not in out
