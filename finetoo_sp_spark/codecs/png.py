@@ -1,11 +1,14 @@
 """Minimal pure-stdlib PNG codec (zlib + struct + numpy).
 
-Closes the image-decode stub without a codec library: supports the PNG
-subset a synthetic-asset pipeline needs — 8-bit depth, color types 0
-(grayscale), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace, all five
-scanline filters (None/Sub/Up/Average/Paeth, RFC 2083 §6). CRCs are
-verified on decode. The encoder can write any single filter type per
-image, which is how the roundtrip tests exercise every de-filter path.
+Closes the image-decode stub without a codec library: color types 0
+(grayscale, depths 1/2/4/8/16), 2 (RGB, 8/16), 3 (palette, depths
+1/2/4/8, with tRNS alpha), 4 (gray+alpha) and 6 (RGBA) at 8/16 bits,
+Adam7 interlace for all of them, and all five scanline filters
+(None/Sub/Up/Average/Paeth, RFC 2083 §6). 16-bit samples present their
+high byte; sub-byte gray scales exactly (255 // (2^d - 1)). CRCs are
+verified on decode. The encoders can write any single filter type per
+image (or per-row lists), which is how the roundtrip tests exercise
+every de-filter path.
 
 Scale note: this runs inside Arrow-batched ``mapInPandas`` kernels
 (multimodal.image_stats) — per-payload Python cost is the codec itself,
@@ -50,18 +53,28 @@ def filter_stream(arr: np.ndarray, filter_type=0) -> bytes:
     h, w, ch = a.shape
     if ch not in _COLOR_FOR_CHANNELS:
         raise ValueError(f"unsupported channel count {ch}")
+    return filter_raw(a.reshape(h, w * ch), ch, filter_type)
+
+
+def filter_raw(flat_rows: np.ndarray, bpp: int, filter_type=0) -> bytes:
+    """Filter an (H, rowbytes) uint8 byte matrix with per-pixel byte
+    distance ``bpp`` — the general form behind :func:`filter_stream`
+    that palette/sub-byte (bpp 1) and 16-bit (bpp up to 8) encoders
+    need, where the distance is not a legal still-image channel
+    count."""
+    h, stride = flat_rows.shape
     row_filters = [filter_type] * h if np.isscalar(filter_type) else list(filter_type)
     if len(row_filters) != h or any(not 0 <= f <= 4 for f in row_filters):
         raise ValueError(f"bad filter type {filter_type}")
-    flat = a.reshape(h, w * ch).astype(np.int16)  # int16: filter math needs signed
-    prev = np.zeros(w * ch, dtype=np.int16)
+    flat = flat_rows.astype(np.int16)  # int16: filter math needs signed
+    prev = np.zeros(stride, dtype=np.int16)
     lines = []
     for y in range(h):
         ft = row_filters[y]
         raw = flat[y]
-        left = np.concatenate([np.zeros(ch, dtype=np.int16), raw[:-ch]])
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), raw[:-bpp]])
         up = prev
-        up_left = np.concatenate([np.zeros(ch, dtype=np.int16), up[:-ch]])
+        up_left = np.concatenate([np.zeros(bpp, dtype=np.int16), up[:-bpp]])
         if ft == 0:
             out = raw
         elif ft == 1:
@@ -92,17 +105,32 @@ def encode_png(arr: np.ndarray, filter_type=0) -> bytes:
     return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG (the subset above) to an (H, W, C) uint8 array.
+# Adam7 pass grid: (x0, y0, dx, dy) per RFC 2083 §2.6
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Raises ValueError on a non-PNG payload, CRC mismatch, or an
-    unsupported feature (16-bit, palette, interlace).
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (H, W, C) uint8 array.
+
+    Supports depths 1/2/4/8 for grayscale (0) and palette (3), depths
+    8/16 for gray/RGB/gray+alpha/RGBA (0/2/4/6), tRNS palette alpha
+    (palette output is RGB, RGBA when tRNS is present), and Adam7
+    interlace for every supported combination. 16-bit samples return
+    their high byte (the standard 16->8 presentation downsample); gray
+    levels below 8 bits scale exactly (255 // (2^d - 1) is integer for
+    d in 1/2/4). Raises ValueError on a non-PNG payload, CRC mismatch,
+    or an unsupported IHDR combination.
     """
     if not data.startswith(_MAGIC):
         raise ValueError("not a PNG payload")
     pos = 8
     w = h = None
-    ch = 0
+    depth = color = interlace = 0
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -114,19 +142,82 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if ctype == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or color not in _CHANNELS or interlace != 0 or comp != 0 or filt != 0:
+            ok = (
+                comp == 0
+                and filt == 0
+                and interlace in (0, 1)
+                and (
+                    (color in (0, 3) and depth in (1, 2, 4, 8))
+                    or (color in _CHANNELS and depth in (8, 16))
+                )
+            )
+            if not ok:
                 raise ValueError(
                     f"unsupported PNG (depth={depth} color={color} interlace={interlace})"
                 )
-            ch = _CHANNELS[color]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += payload
         elif ctype == b"IEND":
             break
     if w is None:
         raise ValueError("missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG without PLTE")
+    samples = 1 if color == 3 else _CHANNELS[color]
     raw = zlib.decompress(bytes(idat))
-    return defilter_stream(raw, w, h, ch)
+
+    def one_pass(chunk: bytes, pw: int, ph: int) -> np.ndarray:
+        """Defilter + sample-expand one (sub)image -> (ph, pw, samples)
+        uint8 (palette passes return indices)."""
+        rowbytes = (pw * samples * depth + 7) // 8
+        bpp = max(1, samples * depth // 8)
+        flat = defilter_stream(chunk, rowbytes // bpp, ph, bpp).reshape(ph, rowbytes)
+        if depth < 8:
+            bits = np.unpackbits(flat, axis=1)
+            vals = (
+                bits[:, : (rowbytes * 8 // depth) * depth]
+                .reshape(ph, -1, depth)
+                * (1 << np.arange(depth - 1, -1, -1))
+            ).sum(axis=2)
+            return vals[:, :pw].astype(np.uint8)[:, :, None]
+        if depth == 16:
+            return flat.reshape(ph, pw, samples, 2)[:, :, :, 0]
+        return flat.reshape(ph, pw, samples)
+
+    if interlace == 0:
+        img = one_pass(raw, w, h)
+    else:
+        img = np.zeros((h, w, samples), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rowbytes = (pw * samples * depth + 7) // 8
+            need = ph * (1 + rowbytes)
+            img[y0::dy, x0::dx] = one_pass(raw[off : off + need], pw, ph)
+            off += need
+        if off != len(raw):
+            raise ValueError("interlaced data size mismatch")
+
+    if color == 3:
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
+        alpha[: trns.shape[0]] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    if color == 0 and depth < 8:
+        return (img * (255 // ((1 << depth) - 1))).astype(np.uint8)
+    return img
 
 
 def defilter_stream(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
@@ -217,3 +308,93 @@ def _defilter_wavefront(block: np.ndarray, prev_row: np.ndarray, w: int, ch: int
     for y in range(1, H + 1):
         out[y - 1] = S[y, y + 1 : y + w + 1].reshape(w * ch)
     return out
+
+
+def _pack_bits(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(H, W) sample values -> (H, rowbytes) packed big-endian rows."""
+    h, w = vals.shape
+    bits = (
+        (vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth).astype(np.uint8)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate([bits, np.zeros((h, pad), np.uint8)], axis=1)
+    return np.packbits(bits, axis=1)
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    trns: np.ndarray | None = None,
+    depth: int = 8,
+    filter_type=0,
+) -> bytes:
+    """Palette (color type 3) PNG at depth 1/2/4/8, with optional tRNS
+    alpha — the dominant small-web-image shape. Fixture twin of the
+    palette branch in :func:`decode_png`."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"bad palette depth {depth}")
+    if int(idx.max(initial=0)) >= (1 << depth):
+        raise ValueError("index exceeds depth")
+    rows = idx if depth == 8 else _pack_bits(idx, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    out = _MAGIC + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", np.asarray(trns, dtype=np.uint8).tobytes())
+    out += _chunk(b"IDAT", zlib.compress(filter_raw(rows, 1, filter_type), 6))
+    return out + _chunk(b"IEND", b"")
+
+
+def encode_png_16bit(arr16: np.ndarray, filter_type=0) -> bytes:
+    """16-bit gray/RGB/gray+alpha/RGBA PNG from an (H, W[, C]) uint16
+    array. Fixture twin of the depth-16 branch in :func:`decode_png`."""
+    a = np.asarray(arr16, dtype=np.uint16)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in _COLOR_FOR_CHANNELS:
+        raise ValueError(f"unsupported channel count {ch}")
+    rows = a.byteswap().view(np.uint8).reshape(h, w * ch * 2)  # big-endian
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, _COLOR_FOR_CHANNELS[ch], 0, 0, 0)
+    idat = zlib.compress(filter_raw(rows, ch * 2, filter_type), 6)
+    return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def encode_png_interlaced(arr: np.ndarray, filter_type=0) -> bytes:
+    """Adam7-interlaced 8-bit PNG from an (H, W[, C]) uint8 array —
+    each of the seven passes filtered independently, exactly the
+    stream layout :func:`decode_png`'s interlace branch consumes."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, ch = a.shape
+    if ch not in _COLOR_FOR_CHANNELS:
+        raise ValueError(f"unsupported channel count {ch}")
+    stream = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = a[y0::dy, x0::dx]
+        if sub.shape[0] and sub.shape[1]:
+            stream += filter_raw(
+                sub.reshape(sub.shape[0], -1), ch, filter_type
+            )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_FOR_CHANNELS[ch], 0, 0, 1)
+    idat = zlib.compress(stream, 6)
+    return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def encode_png_gray_sub8(vals: np.ndarray, depth: int, filter_type=0) -> bytes:
+    """1/2/4-bit grayscale PNG from (H, W) small-int values (level
+    k renders as k * (255 // (2^depth - 1)))."""
+    v = np.asarray(vals, dtype=np.uint8)
+    if depth not in (1, 2, 4):
+        raise ValueError(f"bad sub-byte depth {depth}")
+    if int(v.max(initial=0)) >= (1 << depth):
+        raise ValueError("value exceeds depth")
+    h, w = v.shape
+    rows = _pack_bits(v, depth)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+    idat = zlib.compress(filter_raw(rows, 1, filter_type), 6)
+    return _MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")

@@ -1079,3 +1079,67 @@ def q_image_gps_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import gps_redaction_report
 
     return gps_redaction_report(gen_exif_jpeg_assets(spark, 60))
+
+
+@_q(
+    "multimodal_image_stats_png_palette",
+    """
+WITH g AS (
+  SELECT i, r, c,
+    CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN 2 WHEN 1 THEN 4
+         WHEN 2 THEN 16 ELSE 256 END AS k,
+    8 + (i % 5) * 2 AS w, 6 + (i % 3) * 2 AS h
+  FROM range(0, 60) t(i), range(0, 10) rr(r), range(0, 16) cc(c)
+  WHERE r < 6 + (i % 3) * 2 AND c < 8 + (i % 5) * 2
+),
+px AS (SELECT i, w, h, (r * w + c + i) % k AS idx FROM g)
+SELECT i AS asset_id,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(CASE WHEN i % 5 = 0 THEN 4 ELSE 3 END AS BIGINT) AS channels,
+  CAST(sum((3 * idx + 5 * i) % 256) AS BIGINT) AS sum_r,
+  CAST(sum((7 * idx + i) % 256) AS BIGINT) AS sum_g,
+  CAST(sum((11 * idx + 2 * i) % 256) AS BIGINT) AS sum_b
+FROM px GROUP BY i, w, h""",
+)
+def q_image_stats_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE PNG decode (the dominant small-web-image shape) under a
+    per-pixel-exact oracle: depths 1/2/4/8 cycle by id (sub-byte bit
+    unpacking live), every 5th asset carries tRNS alpha (RGBA out),
+    every 3rd is Adam7-INTERLACED, and the scanline filter cycles 0-4
+    — one corpus covering the full IHDR matrix the still-image query
+    never touched. The oracle recomputes per-channel sums from the
+    index formula and palette polynomial alone."""
+    from finetoo_sp_spark.datagen import gen_png_variant_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_png_variant_assets(spark, 60))
+
+
+@_q(
+    "multimodal_image_stats_png16",
+    """
+WITH g AS (
+  SELECT i, r, c, 8 + (i % 4) * 2 AS w, 6 + (i % 3) * 2 AS h
+  FROM range(0, 48) t(i), range(0, 10) rr(r), range(0, 14) cc(c)
+  WHERE r < 6 + (i % 3) * 2 AND c < 8 + (i % 4) * 2
+)
+SELECT i AS asset_id,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(CASE WHEN i % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS channels,
+  CAST(sum((i + 3 * r + 5 * c) % 256) AS BIGINT) AS sum_r,
+  CAST(sum((i + 3 * r + 5 * c
+    + CASE WHEN i % 2 = 0 THEN 0 ELSE 1 END) % 256) AS BIGINT) AS sum_g,
+  CAST(sum((i + 3 * r + 5 * c
+    + CASE WHEN i % 2 = 0 THEN 0 ELSE 2 END) % 256) AS BIGINT) AS sum_b
+FROM g GROUP BY i, w, h""",
+)
+def q_image_stats_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT PNG decode under a byte-exact oracle: gray/RGB by parity,
+    samples (x*257) mod 65536 so the presented high byte equals x mod
+    256 — a low/high byte mixup cannot cancel — across all five
+    scanline filters at the doubled per-pixel byte distance. The
+    oracle recomputes the high-byte sums from the formula alone."""
+    from finetoo_sp_spark.datagen import gen_png16_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_png16_assets(spark, 48))

@@ -1250,3 +1250,112 @@ def gen_exif_jpeg_assets(
                 yield gen_exif_jpeg_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_png_variant_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic PNGs exercising the decoder's full IHDR matrix
+    with closed-form pixel sums: asset i is a PALETTE image at depth
+    2^(i%4) (1/2/4/8 bits) over a (6+(i%3)*2) x (8+(i%5)*2) grid with
+    idx(r,c) = (r*w+c+i) mod 2^depth and palette entry p = ((3p+5i)%256,
+    (7p+i)%256, (11p+2i)%256); every 5th asset adds tRNS alpha
+    (29p+i)%256 (output RGBA), every 3rd is Adam7-INTERLACED, and the
+    scanline filter cycles 0-4 by i%5 — so sub-byte unpacking, palette
+    lookup, transparency, interlace reassembly and every filter all sit
+    under one SQL oracle."""
+    from finetoo_sp_spark.codecs.png import encode_png_palette
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        depth = 1 << (i % 4)
+        k = 1 << depth
+        w, h = 8 + (i % 5) * 2, 6 + (i % 3) * 2
+        r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        idx = ((r * w + c + i) % k).astype(np.uint8)
+        p = np.arange(k)
+        pal = np.stack(
+            [(3 * p + 5 * i) % 256, (7 * p + i) % 256, (11 * p + 2 * i) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        trns = ((29 * p + i) % 256).astype(np.uint8) if i % 5 == 0 else None
+        if i % 3 == 0:
+            # interlaced palette: encode via the Adam7 writer by hand —
+            # filter each pass of the PACKED index rows independently
+            from finetoo_sp_spark.codecs.png import (
+                _ADAM7,
+                _MAGIC,
+                _chunk,
+                _pack_bits,
+                filter_raw,
+            )
+            import struct as _struct
+            import zlib as _zlib
+
+            stream = b""
+            for x0, y0, dx, dy in _ADAM7:
+                sub = idx[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    rows_p = sub if depth == 8 else _pack_bits(sub, depth)
+                    stream += filter_raw(np.ascontiguousarray(rows_p), 1, i % 5)
+            ihdr = _struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1)
+            payload = _MAGIC + _chunk(b"IHDR", ihdr)
+            payload += _chunk(b"PLTE", pal.tobytes())
+            if trns is not None:
+                payload += _chunk(b"tRNS", trns.tobytes())
+            payload += _chunk(b"IDAT", _zlib.compress(stream, 6))
+            payload += _chunk(b"IEND", b"")
+        else:
+            payload = encode_png_palette(
+                idx, pal, trns=trns, depth=depth, filter_type=i % 5
+            )
+        rows.append((i, "image", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_png_variant_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic palette/interlace/tRNS PNG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_png_variant_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_png16_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic 16-bit PNGs (gray or RGB by parity) whose HIGH
+    bytes have closed forms: sample16(r,c) = ((i + 3r + 5c + ch) * 257)
+    mod 65536 — the *257 spreads both bytes so a low/high byte mixup
+    cannot cancel; high byte = (i + 3r + 5c + ch) mod 256 exactly."""
+    from finetoo_sp_spark.codecs.png import encode_png_16bit
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        w, h = 8 + (i % 4) * 2, 6 + (i % 3) * 2
+        r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        if i % 2 == 0:
+            a = (((i + 3 * r + 5 * c) * 257) % 65536).astype(np.uint16)
+        else:
+            a = np.stack(
+                [(((i + 3 * r + 5 * c + ch) * 257) % 65536) for ch in range(3)],
+                axis=2,
+            ).astype(np.uint16)
+        rows.append((i, "image", encode_png_16bit(a, filter_type=i % 5)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_png16_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic 16-bit PNG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_png16_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

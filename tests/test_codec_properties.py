@@ -132,3 +132,97 @@ def test_webp_anim_matches_reference_compositor(seed, n_frames):
         assert durs[k] == fr["duration_ms"]
         if fr["dispose"]:
             canvas[y : y + fh, x : x + fw] = np.array(bg, np.uint8)
+
+
+def test_png_palette_depth_matrix_roundtrip():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png_palette
+
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (256, 3), np.uint8)
+    for d in (1, 2, 4, 8):
+        for ft in (0, 1, 2, 3, 4):
+            idx = rng.integers(0, 1 << d, (9, 14), np.uint8)
+            got = decode_png(
+                encode_png_palette(idx, pal[: 1 << d], depth=d, filter_type=ft)
+            )
+            assert (got == pal[: 1 << d][idx]).all(), (d, ft)
+
+
+def test_png_trns_alpha_and_short_trns():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png_palette
+
+    rng = np.random.default_rng(12)
+    pal = rng.integers(0, 256, (4, 3), np.uint8)
+    idx = rng.integers(0, 4, (6, 7), np.uint8)
+    # tRNS shorter than the palette: missing entries default opaque
+    got = decode_png(
+        encode_png_palette(idx, pal, trns=np.array([0, 128], np.uint8), depth=2)
+    )
+    alpha = np.array([0, 128, 255, 255], np.uint8)
+    assert got.shape == (6, 7, 4) and (got[..., 3] == alpha[idx]).all()
+
+
+def test_png_16bit_high_byte_exact():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png_16bit
+
+    rng = np.random.default_rng(13)
+    for shape in [(8, 9, 3), (5, 6), (4, 4, 4), (3, 7, 2)]:
+        a16 = rng.integers(0, 65536, shape, np.uint16)
+        for ft in (0, 2, 4):
+            got = decode_png(encode_png_16bit(a16, filter_type=ft))
+            want = (a16 >> 8).astype(np.uint8)
+            if want.ndim == 2:
+                want = want[:, :, None]
+            assert (got == want).all(), (shape, ft)
+
+
+def test_png_adam7_interlace_matrix():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png_interlaced
+
+    rng = np.random.default_rng(14)
+    # odd/tiny geometries hit every empty-pass branch
+    for shape in [(1, 1, 1), (2, 3, 2), (7, 7, 3), (8, 8, 4), (13, 5, 3), (16, 17, 1)]:
+        a = rng.integers(0, 256, shape, np.uint8)
+        for ft in (0, 3, 4):
+            assert (decode_png(encode_png_interlaced(a, ft)) == a).all(), (shape, ft)
+
+
+def test_png_sub8_gray_scaling():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png_gray_sub8
+
+    rng = np.random.default_rng(15)
+    for d in (1, 2, 4):
+        v = rng.integers(0, 1 << d, (7, 11), np.uint8)
+        got = decode_png(encode_png_gray_sub8(v, d))
+        assert (got[:, :, 0] == v * (255 // ((1 << d) - 1))).all(), d
+
+
+def test_png_palette_without_plte_rejected():
+    import numpy as np
+    import pytest
+
+    from finetoo_sp_spark.codecs.png import decode_png, encode_png_palette
+
+    data = bytearray(
+        encode_png_palette(np.zeros((4, 4), np.uint8), np.zeros((2, 3), np.uint8), depth=1)
+    )
+    i = data.find(b"PLTE")
+    data[i : i + 4] = b"pLTx"  # ancillary unknown chunk: palette now missing
+    import struct
+    import zlib
+
+    payload = bytes(data[i + 4 : i + 4 + 6])
+    crc = zlib.crc32(b"pLTx" + payload) & 0xFFFFFFFF
+    data[i + 10 : i + 14] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(data))
