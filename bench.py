@@ -257,6 +257,13 @@ def main() -> None:
         "community_labels",
         "pdf_encrypted_extract",
         "pdf_objstm_extract",
+        "mp4_sample_table",
+        "sitemap_media",
+        "image_exif_meta",
+        "image_gps_redact",
+        "meta_refresh_targets",
+        "multimodal_image_stats_png_palette",
+        "multimodal_image_stats_png16",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -546,6 +546,37 @@ CHECKS = {
         ("NO shuffle", r"!Exchange hashpartitioning"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "mp4_sample_table": [
+        ("sample-table walk is one Arrow pass", r"MapInPandas"),
+        ("NO shuffle (per-asset explode is local)", r"!Exchange hashpartitioning"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "sitemap_media": [
+        ("media blocks explode JVM-side", r"Generate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "image_exif_meta": [
+        ("EXIF walk is one Arrow pass", r"MapInPandas"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+    ],
+    "image_gps_redact": [
+        ("parse->scrub->reparse is ONE Arrow pass", r"MapInPandas"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+    ],
+    "meta_refresh_targets": [
+        ("directive lift + RFC3986 resolve stay JVM-side", r"!BatchEvalPython"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("NO join (resolution is column math)", r"!Join"),
+    ],
+    "multimodal_image_stats_png_palette": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "multimodal_image_stats_png16": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
     "multimodal_image_stats_bmp_rle": [
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
