@@ -301,3 +301,31 @@ def insert_exif(jpeg: bytes, app1: bytes) -> bytes:
     if jpeg[0:2] != b"\xff\xd8":
         raise ExifError("not a JPEG payload")
     return jpeg[:2] + app1 + jpeg[2:]
+
+
+def apply_orientation(img, orientation: int):
+    """Apply an EXIF orientation (1-8) to an (H, W, C) array — the
+    transform a presentation pipeline must bake in before dHash /
+    thumbnailing, since the same photo bytes can carry any of the 8
+    tags. Mappings per JEITA CP-3451 Table 4 (dest <- src):
+    1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose,
+    6 rotate 90 CW, 7 transverse, 8 rotate 270 CW."""
+    import numpy as np
+
+    if orientation in (None, 1):
+        return img
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:
+        return np.rot90(img, -1)
+    if orientation == 7:
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(img, 1)
+    raise ExifError(f"bad orientation {orientation}")

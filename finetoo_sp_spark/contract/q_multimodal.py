@@ -1143,3 +1143,51 @@ def q_image_stats_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import image_stats
 
     return image_stats(gen_png16_assets(spark, 48))
+
+
+@_q(
+    "image_autorotate_stats",
+    """
+WITH b AS (
+  SELECT i, br, bc,
+    2 + i % 3 AS bw, 2 + i % 2 AS bh,
+    128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25) AS v
+  FROM range(0, 64) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+  WHERE br < 2 + i % 2 AND bc < 2 + i % 3
+),
+m AS (
+  SELECT i, max(bw) AS bw, max(bh) AS bh,
+    8 * sum(CASE WHEN br = 0 THEN v END) AS row0,
+    8 * sum(CASE WHEN br = bh - 1 THEN v END) AS lastrow,
+    8 * sum(CASE WHEN bc = 0 THEN v END) AS col0,
+    8 * sum(CASE WHEN bc = bw - 1 THEN v END) AS lastcol,
+    64 * sum(v) AS total
+  FROM b GROUP BY i
+)
+SELECT i AS asset_id,
+  CAST(1 + i % 8 AS BIGINT) AS orientation,
+  CAST(CASE WHEN 1 + i % 8 >= 5 THEN 8 * bh ELSE 8 * bw END AS BIGINT) AS width,
+  CAST(CASE WHEN 1 + i % 8 >= 5 THEN 8 * bw ELSE 8 * bh END AS BIGINT) AS height,
+  CAST(CASE CAST(1 + i % 8 AS INTEGER)
+    WHEN 1 THEN row0 WHEN 2 THEN row0 WHEN 3 THEN lastrow WHEN 4 THEN lastrow
+    WHEN 5 THEN col0 WHEN 6 THEN col0 ELSE lastcol END AS BIGINT) AS row0_sum,
+  CAST(CASE CAST(1 + i % 8 AS INTEGER)
+    WHEN 1 THEN col0 WHEN 2 THEN lastcol WHEN 3 THEN lastcol WHEN 4 THEN col0
+    WHEN 5 THEN row0 WHEN 6 THEN lastrow WHEN 7 THEN lastrow
+    ELSE row0 END AS BIGINT) AS col0_sum,
+  CAST(total AS BIGINT) AS total_sum
+FROM m""",
+)
+def q_image_autorotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF AUTO-ORIENTATION applied to real decoded pixels: the
+    bit-exact block-flat JPEG corpus tagged with orientation 1+i%8
+    (both EXIF byte orders), decoded and transformed inside one Arrow
+    kernel. The oracle states the oriented first-row and first-column
+    sums per transform from the block formula's marginals — together
+    they DISTINGUISH all eight transforms (mirror-H vs identity, 90 CW
+    vs transpose, …) while the total stays invariant, so a wrong or
+    missing rotation/flip breaks the hash."""
+    from finetoo_sp_spark.datagen import gen_jpeg_exif_orient_assets
+    from finetoo_sp_spark.multimodal import image_oriented_stats
+
+    return image_oriented_stats(gen_jpeg_exif_orient_assets(spark, 64))

@@ -1359,3 +1359,43 @@ def gen_png16_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFr
                 yield gen_png16_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_jpeg_exif_orient_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """gen_jpeg_pandas's bit-exact block-flat JPEGs with an EXIF APP1
+    carrying orientation 1 + i%8 — the corpus for oriented-presentation
+    oracles (block value formula unchanged, so first-row/column sums
+    stay closed-form per orientation)."""
+    from finetoo_sp_spark.codecs.exif import insert_exif, make_exif_app1
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        app1 = make_exif_app1(
+            1 + i % 8, f"Maker{i % 3}", "OrientCam", "", "",
+            byte_order="<" if i % 2 == 0 else ">",
+        )
+        rows.append(
+            (i, "image", insert_exif(encode_jpeg_baseline(img), app1))
+        )
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_jpeg_exif_orient_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic orientation-tagged JPEG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_jpeg_exif_orient_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

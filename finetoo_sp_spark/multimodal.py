@@ -941,3 +941,66 @@ def gps_redaction_report(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=REDACT_SCHEMA
     )
+
+
+ORIENTED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("orientation", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("row0_sum", LongType(), False),
+        StructField("col0_sum", LongType(), False),
+        StructField("total_sum", LongType(), False),
+    ]
+)
+
+
+def image_oriented_stats(assets: DataFrame) -> DataFrame:
+    """Decode + EXIF AUTO-ORIENTATION in one Arrow pass: the same photo
+    bytes can carry any of the 8 orientation tags, and every
+    presentation-side op (dHash, thumbnails, crops) must bake the
+    rotation in first. Per asset: the oriented geometry, first-row /
+    first-column channel-0 sums (together they DISTINGUISH all 8
+    transforms — the total sum alone is rotation-invariant) and the
+    invariant total. Assets without EXIF orient as 1. Undecodable
+    payloads are SKIPPED, never task-fatal."""
+    from finetoo_sp_spark.codecs.exif import (
+        ExifError,
+        apply_orientation,
+        parse_exif_jpeg,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    img = decode_image(raw)
+                    o = parse_exif_jpeg(raw)["orientation"] or 1
+                    out = apply_orientation(img, o)
+                except (ValueError, NotImplementedError, ExifError):
+                    continue
+                h, w = out.shape[:2]
+                recs.append(
+                    (
+                        asset_id, o, w, h,
+                        int(out[0, :, 0].sum(dtype=np.int64)),
+                        int(out[:, 0, 0].sum(dtype=np.int64)),
+                        int(out[:, :, 0].sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "orientation", "width", "height",
+                    "row0_sum", "col0_sum", "total_sum",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=ORIENTED_SCHEMA
+    )

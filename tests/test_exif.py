@@ -85,3 +85,28 @@ def test_zero_denominator_rejected():
     bad = ("N", (37, 0, 46, 1, 3050, 100), "E", (122, 1, 25, 1, 990, 100))
     with pytest.raises(ExifError, match="denominator"):
         parse_exif_jpeg(_fixture(gps=bad))
+
+
+@pytest.mark.parametrize("o", list(range(1, 9)))
+def test_apply_orientation_mappings(o):
+    from finetoo_sp_spark.codecs.exif import apply_orientation
+
+    src = np.arange(12).reshape(3, 4)[:, :, None]
+    H, W = 3, 4
+    maps = {
+        1: lambda r, c: (r, c), 2: lambda r, c: (r, W - 1 - c),
+        3: lambda r, c: (H - 1 - r, W - 1 - c), 4: lambda r, c: (H - 1 - r, c),
+        5: lambda r, c: (c, r), 6: lambda r, c: (H - 1 - c, r),
+        7: lambda r, c: (H - 1 - c, W - 1 - r), 8: lambda r, c: (c, W - 1 - r),
+    }
+    out = apply_orientation(src, o)
+    for r in range(out.shape[0]):
+        for c in range(out.shape[1]):
+            assert out[r, c, 0] == src[maps[o](r, c)][0], (o, r, c)
+
+
+def test_apply_orientation_bad_value():
+    from finetoo_sp_spark.codecs.exif import apply_orientation
+
+    with pytest.raises(ExifError, match="orientation"):
+        apply_orientation(np.zeros((2, 2, 3), np.uint8), 9)
