@@ -2,7 +2,8 @@
 
 Closes the JPEG half of the image-decode seam without a codec library:
 a DCT decoder for baseline (SOF0/SOF1) AND progressive (SOF2) Huffman
-files — 8-bit, 1 or 3 components, arbitrary sampling factors up to
+files — 8-bit, 1/3/4 components (gray, YCbCr, Adobe CMYK/YCCK with
+the inverted-sample convention), arbitrary sampling factors up to
 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart markers, multi-scan streams with
 spectral selection and successive approximation (T.81 Annex G.2: DC
 first/refine, AC first with EOB-run coding, AC refinement with
@@ -1037,9 +1038,11 @@ def _decode_scan_ac_refine(rdr, units, coefs, tabs, huff, ri, ss, se, al, zig) -
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
-    (H, W, 1) grayscale or (H, W, 3) RGB uint8. Raises ValueError on
-    malformed input and NotImplementedError on arithmetic-coded /
-    hierarchical / >8-bit files (so kernels can skip)."""
+    (H, W, 1) grayscale or (H, W, 3) RGB uint8 (4-component Adobe
+    CMYK/YCCK composites to RGB via the floor rule s_c*s_k//255).
+    Raises ValueError on malformed input and NotImplementedError on
+    arithmetic-coded / hierarchical / >8-bit files (so kernels can
+    skip)."""
     if not data.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -1052,6 +1055,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     coefs: list[np.ndarray] | None = None
     hmax = vmax = mcux = mcuy = 0
     saw_scan = False
+    adobe_transform: int | None = None
     zig = ZIGZAG
 
     while pos + 2 <= len(data):
@@ -1167,7 +1171,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     )
             saw_scan = True
             pos = _next_marker(data, rdr.pos)
-        # APPn / COM / DNL / others: skipped
+        elif marker == 0xEE and body[:5] == b"Adobe" and len(body) >= 12:
+            adobe_transform = body[11]  # 0 CMYK, 1 YCbCr, 2 YCCK
+        # other APPn / COM / DNL: skipped
 
     if not saw_scan or coefs is None:
         raise ValueError("no scan in JPEG stream")
@@ -1189,8 +1195,99 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if len(full) == 1:
         out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         return out[:, :, None]
+    if len(full) == 4:
+        # Adobe CMYK / YCCK (print-origin images). Per the Adobe
+        # convention the stored samples are INVERTED (s = 255 - value);
+        # transform 2 (YCCK) additionally routes the inverted CMY
+        # through the YCbCr equations. RGB out via the standard naive
+        # composite R = s_c * s_k // 255 (floor — integer-exact, which
+        # is what the SQL oracle recomputes).
+        if adobe_transform == 2:
+            y, cb, cr, k = full
+            c = y + 1.402 * (cr - 128.0)
+            m = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            ye = y + 1.772 * (cb - 128.0)
+        else:
+            c, m, ye, k = full
+        s = [
+            np.clip(np.round(p), 0, 255).astype(np.int64) for p in (c, m, ye, k)
+        ]
+        rgb = np.stack(
+            [s[0] * s[3] // 255, s[1] * s[3] // 255, s[2] * s[3] // 255], axis=2
+        )
+        return rgb.astype(np.uint8)
+    if len(full) != 3:
+        raise NotImplementedError(f"unsupported component count {len(full)}")
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg_cmyk(cmyk: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Deterministic Adobe-CMYK baseline encoder (fixture twin of the
+    4-component decode branch): (H, W, 4) uint8 CMYK in, stored
+    INVERTED per the Adobe convention with an APP14 transform-0
+    marker, all four components full-resolution with the luminance
+    quant + Huffman tables. Print-origin web/PDF images carry exactly
+    this shape."""
+    a = np.asarray(cmyk, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_jpeg_cmyk needs an (H, W, 4) array")
+    h, w = a.shape[:2]
+    ql = QUANT_LUMA
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    comps = [(1, 1, 1, 0), (2, 1, 1, 0), (3, 1, 1, 0), (4, 1, 1, 0)]
+    comp_blocks = []
+    for ci in range(4):
+        plane = 255.0 - a[:, :, ci].astype(np.float64)  # Adobe inversion
+        ph, pw = mcuy * 8, mcux * 8
+        pl = np.empty((ph, pw))
+        pl[:h, :w] = plane - 128.0
+        if w < pw:
+            pl[:h, w:] = pl[:h, w - 1 : w]
+        if h < ph:
+            pl[h:, :] = pl[h - 1 : h, :]
+        comp_blocks.append(_fdct_quant(pl, ql))
+    dc = _canonical_codes(*HUFF_DC_LUMA)
+    ac = _canonical_codes(*HUFF_AC_LUMA)
+
+    wtr = _BitWriter()
+    preds = [0] * 4
+    out_chunks = []
+    rst = 0
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                wtr.flush()
+                out_chunks.append(bytes(wtr.buf))
+                out_chunks.append(bytes([0xFF, 0xD0 + rst]))
+                rst = (rst + 1) % 8
+                wtr = _BitWriter()
+                preds = [0] * 4
+            for ci in range(4):
+                zz = comp_blocks[ci][my, mx]
+                preds[ci] = _encode_block(wtr, zz, preds[ci], dc, ac)
+            mcu_count += 1
+    wtr.flush()
+    out_chunks.append(bytes(wtr.buf))
+
+    head = bytearray(b"\xff\xd8")
+    head += _seg(0xEE, b"Adobe" + b"\x00\x65\x00\x00\x00\x00" + b"\x00")
+    head += _seg(0xDB, _dqt_payload(0, ql))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 4))
+    for cid, hs, vs, tq in comps:
+        sof += bytes([cid, hs << 4 | vs, tq])
+    head += _seg(0xC0, bytes(sof))
+    head += _seg(0xC4, _dht_payload(0, 0, HUFF_DC_LUMA))
+    head += _seg(0xC4, _dht_payload(1, 0, HUFF_AC_LUMA))
+    if restart_interval:
+        head += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytearray([4])
+    for cid, *_r in comps:
+        sos += bytes([cid, 0])
+    sos += bytes([0, 63, 0])
+    head += _seg(0xDA, bytes(sos))
+    return bytes(head) + b"".join(out_chunks) + b"\xff\xd9"

@@ -1191,3 +1191,38 @@ def q_image_autorotate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import image_oriented_stats
 
     return image_oriented_stats(gen_jpeg_exif_orient_assets(spark, 64))
+
+
+@_q(
+    "multimodal_image_stats_cmyk",
+    """
+WITH b AS (
+  SELECT i, br, bc,
+    128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25) AS sc,
+    128 + 2 * (((i + 7 * br + 13 * bc + 17) % 50) - 25) AS sm,
+    128 + 2 * (((i + 7 * br + 13 * bc + 34) % 50) - 25) AS sy,
+    128 + 2 * (((i + 7 * br + 13 * bc + 51) % 50) - 25) AS sk
+  FROM range(0, 48) t(i), range(0, 3) rr(br), range(0, 4) cc(bc)
+  WHERE br < 2 + i % 2 AND bc < 2 + i % 3
+)
+SELECT i AS asset_id,
+  CAST(8 * (2 + i % 3) AS BIGINT) AS width,
+  CAST(8 * (2 + i % 2) AS BIGINT) AS height,
+  CAST(3 AS BIGINT) AS channels,
+  CAST(64 * sum((sc * sk) // 255) AS BIGINT) AS sum_r,
+  CAST(64 * sum((sm * sk) // 255) AS BIGINT) AS sum_g,
+  CAST(64 * sum((sy * sk) // 255) AS BIGINT) AS sum_b
+FROM b GROUP BY i""",
+)
+def q_image_stats_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adobe-CMYK JPEG decode (print-origin images) under a per-pixel-
+    exact oracle: 4-component files with the inverted-sample convention
+    and an APP14 transform-0 marker, every 4th with restart markers;
+    decoded RGB composites via the integer floor rule s_c*s_k//255,
+    which the DuckDB twin recomputes from the block formula alone —
+    pinning the 4-component MCU walk, the Adobe inversion and the
+    composite."""
+    from finetoo_sp_spark.datagen import gen_jpeg_cmyk_assets
+    from finetoo_sp_spark.multimodal import image_stats
+
+    return image_stats(gen_jpeg_cmyk_assets(spark, 48))

@@ -1399,3 +1399,44 @@ def gen_jpeg_exif_orient_assets(
                 yield gen_jpeg_exif_orient_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_jpeg_cmyk_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic Adobe-CMYK JPEGs with closed-form decoded pixels:
+    block-flat planes whose STORED (inverted) value for plane p is
+    128 + 2*(((i + 7br + 13bc + 17p) % 50) - 25) — DC-only FDCT on an
+    exact quant multiple, so the 4-component pipeline round-trips
+    bit-exactly and decoded RGB = s_c * s_k // 255 etc. has a SQL
+    closed form. Every 4th asset adds restart markers."""
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_cmyk
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        planes = []
+        for p in range(4):
+            stored = 128 + 2 * (((i + 7 * br + 13 * bc + 17 * p) % 50) - 25)
+            planes.append(255 - np.repeat(np.repeat(stored, 8, 0), 8, 1))
+        cmyk = np.stack(planes, axis=2).astype(np.uint8)
+        rows.append(
+            (i, "image",
+             encode_jpeg_cmyk(cmyk, restart_interval=2 if i % 4 == 0 else 0))
+        )
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_jpeg_cmyk_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic Adobe-CMYK JPEG corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_jpeg_cmyk_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
