@@ -264,6 +264,8 @@ def main() -> None:
         "meta_refresh_targets",
         "multimodal_image_stats_png_palette",
         "multimodal_image_stats_png16",
+        "image_autorotate_stats",
+        "multimodal_image_stats_cmyk",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this
