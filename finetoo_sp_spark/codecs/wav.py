@@ -8,7 +8,7 @@ raise so corpus kernels skip rather than die.
 Format per RIFF 1991 spec / RFC 2361 WAVE taxonomy: 'RIFF' size 'WAVE'
 then chunks; 'fmt ' carries (audio_format, channels, sample_rate,
 byte_rate, block_align, bits); 'data' carries the frames. Decoded
-here: audio_format=1 (integer PCM, 8/16/32-bit), 6/7 (ITU-T G.711
+here: audio_format=1 (integer PCM, 8/16/24/32-bit), 6/7 (ITU-T G.711
 A-law / mu-law — telephony-recording WAVs; decoded through the exact
 256-entry spec tables built at import from the segment formulas) and
 0x11 (IMA/DVI ADPCM — 4-bit predictive blocks with per-channel block
@@ -186,6 +186,15 @@ def decode_wav(b: bytes) -> tuple[int, int, int, np.ndarray]:
         samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
     elif bits == 8:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    elif bits == 24:
+        # packed little-endian 3-byte samples (studio-master WAVs):
+        # assemble in int32 and sign-extend from bit 23
+        raw = np.frombuffer(data[: (len(data) // 3) * 3], dtype=np.uint8)
+        b0 = raw[0::3].astype(np.int32)
+        b1 = raw[1::3].astype(np.int32)
+        b2 = raw[2::3].astype(np.int32)
+        samples = b0 | (b1 << 8) | (b2 << 16)
+        samples = ((samples + (1 << 23)) & 0xFFFFFF) - (1 << 23)
     elif bits == 32:
         samples = np.frombuffer(data, dtype="<i4").astype(np.int32)
     else:
@@ -352,4 +361,27 @@ def encode_wav_ima_adpcm(
     body += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
     if len(blocks) & 1:
         body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_24bit(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Deterministic 24-bit PCM WAV writer (fixture twin of the
+    bits==24 decode branch). ``samples``: int array in [-2^23, 2^23),
+    shape (n_frames,) or (n_frames, channels)."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    channels = s.shape[1]
+    flat = (s.reshape(-1) & 0xFFFFFF).astype(np.uint32)
+    pcm = np.empty(flat.size * 3, dtype=np.uint8)
+    pcm[0::3] = flat & 0xFF
+    pcm[1::3] = (flat >> 8) & 0xFF
+    pcm[2::3] = (flat >> 16) & 0xFF
+    block_align = channels * 3
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align,
+        block_align, 24,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", pcm.size) + pcm.tobytes()
     return b"RIFF" + struct.pack("<I", len(body)) + body

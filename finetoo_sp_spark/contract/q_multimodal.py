@@ -1226,3 +1226,28 @@ def q_image_stats_cmyk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import image_stats
 
     return image_stats(gen_jpeg_cmyk_assets(spark, 48))
+
+
+@_q(
+    "multimodal_audio_stats_24bit",
+    """
+SELECT i AS asset_id,
+  CAST(48000 AS BIGINT) AS sample_rate,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(24 AS BIGINT) AS bits,
+  CAST(400 + (i % 5) * 80 AS BIGINT) AS n_samples,
+  CAST((400 + (i % 5) * 80) * 1000 // 48000 AS BIGINT) AS duration_ms,
+  CAST((400 + (i % 5) * 80) * (100000 + (i % 7) * 50000)
+       * (100000 + (i % 7) * 50000) AS BIGINT) AS sumsq,
+  CAST(100000 + (i % 7) * 50000 AS BIGINT) AS peak
+FROM range(0, 64) t(i)""",
+)
+def q_audio_stats_24bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """24-bit PCM decode (packed 3-byte little-endian samples with sign
+    extension from bit 23) under a sample-exact oracle: amplitudes
+    beyond int16 range, so any 16-bit fallback or sign-extension slip
+    breaks n*A^2 / A. The studio-master shape of crawled audio."""
+    from finetoo_sp_spark.datagen import gen_wav24_assets
+    from finetoo_sp_spark.multimodal import audio_stats
+
+    return audio_stats(gen_wav24_assets(spark, 64))

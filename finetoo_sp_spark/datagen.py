@@ -1440,3 +1440,34 @@ def gen_jpeg_cmyk_assets(
                 yield gen_jpeg_cmyk_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_wav24_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic 24-BIT PCM WAV corpus (studio-master shape) with
+    closed-form stats: mono square waves of amplitude A = 100000 +
+    (i%7)*50000 (beyond int16 range, so a 16-bit fallback would clip
+    and break the oracle) over n = 400 + (i%5)*80 frames."""
+    from finetoo_sp_spark.codecs.wav import encode_wav_24bit
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        n = 400 + (i % 5) * 80
+        amp = 100000 + (i % 7) * 50000
+        period = 8 + (i % 4) * 2
+        t = np.arange(n)
+        s = np.where((t // (period // 2)) % 2 == 0, amp, -amp)
+        rows.append((i, "audio", encode_wav_24bit(s, 48000)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_wav24_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic 24-bit WAV corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_wav24_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

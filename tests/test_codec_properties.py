@@ -226,3 +226,17 @@ def test_png_palette_without_plte_rejected():
     data[i + 10 : i + 14] = struct.pack(">I", crc)
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(data))
+
+
+def test_wav_24bit_roundtrip_and_sign_extension():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.wav import decode_wav, encode_wav_24bit
+
+    rng = np.random.default_rng(16)
+    s = rng.integers(-(1 << 23), 1 << 23, (300, 2))
+    rate, ch, bits, out = decode_wav(encode_wav_24bit(s, 44100))
+    assert (rate, ch, bits) == (44100, 2, 24)
+    assert (out == s).all()
+    extremes = np.array([-(1 << 23), (1 << 23) - 1, 0, -1, 1])
+    assert (decode_wav(encode_wav_24bit(extremes, 8000))[3][:, 0] == extremes).all()
