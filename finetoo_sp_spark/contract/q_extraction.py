@@ -1208,3 +1208,82 @@ def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     return meta_refresh(pages)
+
+
+@_q(
+    "subtitle_cues",
+    """
+WITH c AS (
+  SELECT doc_id, g.j,
+    'https://cap.example/' || doc_id AS url,
+    doc_id * 137 + g.j * 3000 AS sms
+  FROM documents, UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT))) AS g(j)
+)
+SELECT url,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN j + 1 ELSE j END AS BIGINT) AS block_pos,
+  CAST(sms AS BIGINT) AS start_ms,
+  CAST(sms + 1500 + j * 250 AS BIGINT) AS end_ms,
+  'cue ' || doc_id || ' ' || j ||
+    CASE WHEN j % 2 = 0 THEN chr(10) || 'more ' || j ELSE '' END AS text
+FROM c""",
+)
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT/SRT caption parsing — the text half of a video-caption
+    corpus: per doc a .vtt (even ids: WEBVTT header block, dot
+    milliseconds, cue settings on odd cues) or .srt (odd ids: numeric
+    counters, comma milliseconds) body synthesized from the id
+    formula, parsed back into typed cue rows by the narrow
+    split/posexplode pipeline. block_pos pins document order INCLUDING
+    the VTT header offset; the oracle restates every timestamp in
+    integer milliseconds and the multi-line text joins."""
+    from finetoo_sp_spark.extraction.subtitles import parse_subtitles
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+
+    def ts(ms, sep):
+        return F.concat(
+            F.lpad((ms / 3600000).cast("long").cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((ms / 60000).cast("long") % 60).cast("string"), 2, "0"),
+            F.lit(":"),
+            F.lpad(((ms / 1000).cast("long") % 60).cast("string"), 2, "0"),
+            F.lit(sep),
+            F.lpad((ms % 1000).cast("string"), 3, "0"),
+        )
+
+    def cue(j, vtt):
+        sms = did * 137 + j * 3000
+        ems = sms + 1500 + j * 250
+        sep = "." if vtt else ","
+        head = (
+            F.concat(ts(sms, sep), F.lit(" --> "), ts(ems, sep),
+                     F.when(j % 2 == 1, F.lit(" align:start")).otherwise(F.lit("")))
+            if vtt
+            else F.concat((j + 1).cast("string"), F.lit("\n"),
+                          ts(sms, sep), F.lit(" --> "), ts(ems, sep))
+        )
+        body = F.concat(
+            F.lit("cue "), did.cast("string"), F.lit(" "), j.cast("string"),
+            F.when(j % 2 == 0,
+                   F.concat(F.lit("\nmore "), j.cast("string"))).otherwise(F.lit("")),
+        )
+        return F.concat(head, F.lit("\n"), body)
+
+    n_cues = (did % 3).cast("int")
+    vtt_body = F.concat(
+        F.lit("WEBVTT\n\n"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_cues), lambda j: cue(j, True)),
+            "\n\n",
+        ),
+    )
+    srt_body = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_cues), lambda j: cue(j, False)),
+        "\n\n",
+    )
+    pages = d.select(
+        F.concat(F.lit("https://cap.example/"), did.cast("string")).alias("url"),
+        F.when(did % 2 == 0, vtt_body).otherwise(srt_body).alias("body"),
+    )
+    return parse_subtitles(pages)

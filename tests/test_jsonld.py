@@ -63,3 +63,32 @@ def test_meta_refresh_shapes(spark):
     assert out["https://a.example/d/2"] == (5, "https://a.example/up/y")
     assert out["https://a.example/3"] == (30, None)
     assert "https://a.example/4" not in out and "https://a.example/5" not in out
+
+
+def test_subtitle_parser_shapes(spark):
+    """WebVTT with header/settings/bare-mm:ss timestamps, SRT with
+    counters and comma milliseconds, multi-line text, decoys."""
+    from finetoo_sp_spark.extraction.subtitles import parse_subtitles
+
+    vtt = (
+        "WEBVTT\n\n"
+        "00:01.500 --> 00:04.000 align:start\nShort stamp\n\n"
+        "01:02:03.250 --> 01:02:04.000\nLine one\nLine two\n\n"
+        "NOTE this block has no timing and must not emit\n"
+    )
+    srt = "2\n00:00:01,000 --> 00:00:02,500\nSRT text\n"
+    rows = parse_subtitles(
+        spark.createDataFrame(
+            [("https://v.example/a.vtt", vtt), ("https://v.example/b.srt", srt)],
+            "url string, body string",
+        )
+    ).collect()
+    by = {(r["url"], r["block_pos"]): r for r in rows}
+    assert len(rows) == 3
+    a1 = by[("https://v.example/a.vtt", 1)]
+    assert (a1["start_ms"], a1["end_ms"], a1["text"]) == (1500, 4000, "Short stamp")
+    a2 = by[("https://v.example/a.vtt", 2)]
+    assert (a2["start_ms"], a2["end_ms"]) == (3723250, 3724000)
+    assert a2["text"] == "Line one\nLine two"
+    b0 = by[("https://v.example/b.srt", 0)]
+    assert (b0["start_ms"], b0["end_ms"], b0["text"]) == (1000, 2500, "SRT text")
