@@ -383,3 +383,86 @@ def encode_webp_vp8l_header(width: int, height: int) -> bytes:
     payload = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 5
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def parse_id3v2(b: bytes) -> dict:
+    """ID3v2.3/2.4 TEXT frames from the head of an audio payload — the
+    title/artist/album metadata a crawled-audio curation index keys on
+    (id3.org spec): 10-byte header ('ID3', version, flags, syncsafe
+    size), then frames of (id4, size — syncsafe in v2.4, plain in
+    v2.3 — flags2, body); text-frame bodies carry an encoding byte
+    (0 latin-1, 1 utf-16 with BOM, 3 utf-8). Returns {version, title,
+    artist, album} with '' for absent frames and version 0 when no tag
+    exists; structurally corrupt tags raise ValueError so kernels
+    skip."""
+    out = {"version": 0, "title": "", "artist": "", "album": ""}
+    if len(b) < 10 or b[:3] != b"ID3":
+        return out
+    ver = b[3]
+    if ver not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{ver}")
+    size = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+    if 10 + size > len(b):
+        raise ValueError("ID3 tag size overruns payload")
+    out["version"] = ver
+    pos = 10
+    end = 10 + size
+    wanted = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album"}
+    while pos + 10 <= end:
+        fid = b[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        raw = b[pos + 4 : pos + 8]
+        if ver == 4:  # syncsafe frame size
+            fsize = (raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7) | raw[3]
+        else:
+            fsize = int.from_bytes(raw, "big")
+        if pos + 10 + fsize > end:
+            raise ValueError("ID3 frame overruns tag")
+        body = b[pos + 10 : pos + 10 + fsize]
+        key = wanted.get(fid)
+        if key and body:
+            enc, payload = body[0], body[1:]
+            if enc == 0:
+                out[key] = payload.split(b"\x00")[0].decode("latin-1")
+            elif enc == 1:
+                out[key] = payload.decode("utf-16", "ignore").split("\x00")[0]
+            elif enc == 3:
+                out[key] = payload.split(b"\x00")[0].decode("utf-8", "ignore")
+        pos += 10 + fsize
+    return out
+
+
+def make_id3v2(
+    title: str = "",
+    artist: str = "",
+    album: str = "",
+    version: int = 3,
+    encoding: int = 0,
+) -> bytes:
+    """Deterministic ID3v2 tag (fixture twin of :func:`parse_id3v2`).
+    Prepend to any audio payload; ``encoding`` 0 latin-1 / 1 utf-16 /
+    3 utf-8."""
+    if version not in (3, 4):
+        raise ValueError("version must be 3 or 4")
+    frames = b""
+    for fid, val in ((b"TIT2", title), (b"TPE1", artist), (b"TALB", album)):
+        if not val:
+            continue
+        if encoding == 0:
+            body = b"\x00" + val.encode("latin-1")
+        elif encoding == 1:
+            body = b"\x01" + val.encode("utf-16")  # BOM included
+        else:
+            body = b"\x03" + val.encode("utf-8")
+        n = len(body)
+        if version == 4:
+            raw = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        else:
+            raw = n.to_bytes(4, "big")
+        frames += fid + raw + b"\x00\x00" + body
+    size = len(frames)
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+    )
+    return hdr + frames

@@ -1251,3 +1251,26 @@ def q_audio_stats_24bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import audio_stats
 
     return audio_stats(gen_wav24_assets(spark, 64))
+
+
+@_q(
+    "audio_id3_meta",
+    """
+SELECT i AS asset_id,
+  CAST(CASE WHEN i % 5 = 0 THEN 0
+       WHEN i % 2 = 0 THEN 3 ELSE 4 END AS BIGINT) AS id3_version,
+  CASE WHEN i % 5 = 0 THEN '' ELSE 'Track ' || i END AS title,
+  CASE WHEN i % 5 = 0 THEN '' ELSE 'Artist ' || (i % 7) END AS artist,
+  CASE WHEN i % 5 = 0 OR i % 3 = 0 THEN '' ELSE 'Album ' || (i % 4) END AS album
+FROM range(0, 70) t(i)""",
+)
+def q_audio_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 catalog metadata (id3.org v2.3/2.4): versions alternate by
+    parity, text encodings cycle latin-1/utf-16-with-BOM/utf-8, album
+    frames go absent on every 3rd asset and every 5th asset has no tag
+    (version 0) — the full frame-walk + syncsafe-size + encoding matrix
+    under one relational oracle."""
+    from finetoo_sp_spark.datagen import gen_mp3_id3_assets
+    from finetoo_sp_spark.multimodal import audio_id3_meta
+
+    return audio_id3_meta(gen_mp3_id3_assets(spark, 70))

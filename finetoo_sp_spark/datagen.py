@@ -1471,3 +1471,42 @@ def gen_wav24_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFr
                 yield gen_wav24_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_mp3_id3_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Deterministic MP3s with ID3v2 tags: version 3/4 by parity, text
+    encoding cycling latin-1/utf-16/utf-8 by i%3, title 'Track {i}',
+    artist 'Artist {i%7}', album absent on every 3rd asset, and every
+    5th asset carrying NO tag at all (version-0 branch)."""
+    from finetoo_sp_spark.codecs.probe import make_id3v2, make_mp3
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        mp3 = make_mp3(3 + i % 4)
+        if i % 5 == 0:
+            rows.append((i, "audio", mp3))
+            continue
+        tag = make_id3v2(
+            f"Track {i}",
+            f"Artist {i % 7}",
+            "" if i % 3 == 0 else f"Album {i % 4}",
+            version=3 if i % 2 == 0 else 4,
+            encoding=(0, 1, 3)[i % 3],
+        )
+        rows.append((i, "audio", tag + mp3))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_mp3_id3_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic ID3-tagged MP3 corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_mp3_id3_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -1004,3 +1004,44 @@ def image_oriented_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=ORIENTED_SCHEMA
     )
+
+
+ID3_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("id3_version", LongType(), False),
+        StructField("title", StringType(), False),
+        StructField("artist", StringType(), False),
+        StructField("album", StringType(), False),
+    ]
+)
+
+
+def audio_id3_meta(assets: DataFrame) -> DataFrame:
+    """ID3v2 title/artist/album per audio asset (codecs/probe.py
+    parse_id3v2) — the catalog metadata an audio-curation index keys
+    on. Arrow-batched mapInPandas; tagless assets report version 0 and
+    empty fields, corrupt tags are SKIPPED."""
+    from finetoo_sp_spark.codecs.probe import parse_id3v2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    m = parse_id3v2(bytes(payload))
+                except ValueError:
+                    continue
+                recs.append(
+                    (asset_id, m["version"], m["title"], m["artist"], m["album"])
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["asset_id", "id3_version", "title", "artist", "album"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=ID3_SCHEMA
+    )

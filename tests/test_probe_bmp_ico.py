@@ -314,3 +314,35 @@ def test_audio_probe_kernel_skips_garbage(spark):
     rows = audio_probe(df).collect()
     assert [r["asset_id"] for r in rows] == [0]
     assert rows[0]["container"] == "mp3"
+
+
+def test_id3v2_parse_matrix():
+    import pytest
+
+    from finetoo_sp_spark.codecs.probe import make_id3v2, make_mp3, parse_id3v2
+
+    for ver in (3, 4):
+        for enc in (0, 1, 3):
+            tag = make_id3v2("Tötle", "Artist 5", "Al bum", version=ver, encoding=enc)
+            got = parse_id3v2(tag + make_mp3(3))
+            assert got == {
+                "version": ver, "title": "Tötle",
+                "artist": "Artist 5", "album": "Al bum",
+            }, (ver, enc)
+    assert parse_id3v2(make_id3v2("only title") + b"\xff\xfb")["artist"] == ""
+    assert parse_id3v2(make_mp3(2))["version"] == 0
+    with pytest.raises(ValueError, match="ID3v2.2"):
+        parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    # frame overrunning the declared tag size must raise, not over-read
+    tag = bytearray(make_id3v2("x", version=3))
+    tag[14:18] = (1 << 20).to_bytes(4, "big")  # TIT2 frame size blown up
+    with pytest.raises(ValueError, match="overruns"):
+        parse_id3v2(bytes(tag) + make_mp3(2))
+
+
+def test_probe_audio_meta_still_skips_id3():
+    from finetoo_sp_spark.codecs.probe import make_id3v2, make_mp3, probe_audio_meta
+
+    plain = probe_audio_meta(make_mp3(5))
+    tagged = probe_audio_meta(make_id3v2("T", "A", version=4) + make_mp3(5))
+    assert plain == tagged  # duration math unchanged by the tag
