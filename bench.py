@@ -266,6 +266,9 @@ def main() -> None:
         "multimodal_image_stats_png16",
         "image_autorotate_stats",
         "multimodal_image_stats_cmyk",
+        "multimodal_audio_stats_24bit",
+        "audio_id3_meta",
+        "subtitle_cues",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

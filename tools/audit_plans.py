@@ -577,6 +577,28 @@ CHECKS = {
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "multimodal_image_stats_cmyk": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "image_autorotate_stats": [
+        ("decode+orient runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "multimodal_audio_stats_24bit": [
+        ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "audio_id3_meta": [
+        ("tag walk is one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
+        ("mapInPandas stage present", r"MapInPandas"),
+    ],
+    "subtitle_cues": [
+        ("cue blocks explode JVM-side", r"Generate"),
+        ("no window function (block_pos from posexplode)", r"!Window"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "multimodal_image_stats_bmp_rle": [
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
