@@ -675,3 +675,85 @@ def q_sitemap_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return media_entries(sitemaps)
+
+
+@_q(
+    "hls_playlist",
+    """
+WITH m AS (
+  SELECT doc_id, 'https://hls.example/' || doc_id || '.m3u8' AS url
+  FROM documents
+)
+SELECT url, 'variant' AS kind, CAST(g.j AS BIGINT) AS pos,
+  'v' || g.j || '/index.m3u8' AS item_uri,
+  CAST(500000 + g.j * 250000 AS BIGINT) AS bandwidth,
+  CAST(640 + g.j * 320 AS BIGINT) AS width,
+  CAST(360 + g.j * 180 AS BIGINT) AS height,
+  CAST(NULL AS BIGINT) AS duration_ms
+FROM m, UNNEST(generate_series(0, CAST(doc_id % 3 AS BIGINT) + 1)) AS g(j)
+WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url, 'segment', CAST(g.j AS BIGINT), 'seg' || g.j || '.ts',
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(4000 + g.j * 500 AS BIGINT)
+FROM m, UNNEST(generate_series(0, CAST(doc_id % 4 AS BIGINT) + 1)) AS g(j)
+WHERE doc_id % 2 = 1""",
+)
+def q_hls_playlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLS manifest parsing (RFC 8216) — the video-segment fetch
+    frontier: even ids are MASTER playlists (STREAM-INF bandwidth +
+    resolution attributes, variant URIs), odd ids MEDIA playlists
+    (EXTINF decimal durations parsed to integer ms without a float
+    round-trip, ENDLIST footer). The tag->next-line URI pairing runs
+    as an equi-join on (url, line+1); pos ranks items with one
+    partition-local window. Oracle relational from the synthesis
+    parameters."""
+    from finetoo_sp_spark.sources.hls import parse_hls
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    nv = (did % 3).cast("int") + 1
+    ns = (did % 4).cast("int") + 1
+    variants = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), nv),
+            lambda j: F.concat(
+                F.lit("#EXT-X-STREAM-INF:BANDWIDTH="),
+                (500000 + j * 250000).cast("string"),
+                F.lit(",RESOLUTION="),
+                (640 + j * 320).cast("string"),
+                F.lit("x"),
+                (360 + j * 180).cast("string"),
+                F.lit("\nv"), j.cast("string"), F.lit("/index.m3u8"),
+            ),
+        ),
+        "\n",
+    )
+    segments = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), ns),
+            lambda j: F.concat(
+                F.lit("#EXTINF:"),
+                ((4000 + j * 500) / 1000).cast("long").cast("string"),
+                F.lit("."),
+                (((4000 + j * 500) % 1000) / 100).cast("long").cast("string"),
+                F.lit(",\nseg"), j.cast("string"), F.lit(".ts"),
+            ),
+        ),
+        "\n",
+    )
+    body = F.when(
+        did % 2 == 0,
+        F.concat(F.lit("#EXTM3U\n#EXT-X-VERSION:4\n"), variants, F.lit("\n")),
+    ).otherwise(
+        F.concat(
+            F.lit("#EXTM3U\n#EXT-X-TARGETDURATION:8\n"),
+            segments,
+            F.lit("\n#EXT-X-ENDLIST\n"),
+        )
+    )
+    pages = d.select(
+        F.concat(F.lit("https://hls.example/"), did.cast("string"), F.lit(".m3u8")).alias("url"),
+        body.alias("body"),
+    )
+    return parse_hls(pages)

@@ -1274,3 +1274,79 @@ def q_audio_id3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import audio_id3_meta
 
     return audio_id3_meta(gen_mp3_id3_assets(spark, 70))
+
+
+@_q(
+    "caption_keyframe_align",
+    """
+WITH s AS (
+  SELECT i, k,
+    (10 + (i % 6)) // 2 AS h,
+    100 + (i % 3) * 50 AS d1,
+    200 + (i % 4) * 25 AS d2
+  FROM range(0, 64) t(i), range(0, 16) kk(k)
+  WHERE k < 10 + (i % 6)
+),
+samp AS (
+  SELECT i,
+    (CASE WHEN k < h THEN k * d1 ELSE h * d1 + (k - h) * d2 END) * 1000 // 600
+      AS dts_ms
+  FROM s WHERE k % 5 = 0
+),
+cue AS (
+  SELECT i, g.j,
+    (i * 97 + g.j * 800) % 3000 AS start_ms
+  FROM range(0, 64) t(i),
+    UNNEST(generate_series(0, CAST(i % 3 AS BIGINT))) AS g(j)
+)
+SELECT c.i AS asset_id, CAST(c.j AS BIGINT) AS cue_idx,
+  CAST(c.start_ms AS BIGINT) AS start_ms,
+  CAST(c.start_ms + 400 + c.j * 100 AS BIGINT) AS end_ms,
+  CAST(count(samp.dts_ms) AS BIGINT) AS n_keyframes
+FROM cue c LEFT JOIN samp
+  ON samp.i = c.i
+  AND samp.dts_ms >= c.start_ms
+  AND samp.dts_ms < c.start_ms + 400 + c.j * 100
+GROUP BY c.i, c.j, c.start_ms""",
+)
+def q_caption_keyframe_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-caption ALIGNMENT capstone: per subtitle cue, how many
+    KEYFRAMES (stss sync samples from the real ISO-BMFF sample-table
+    walk, timestamps rescaled ticks->ms with integer floor) land
+    inside the cue's [start, end) window — the signal a video-caption
+    pairing pipeline thresholds before extracting (frame, text)
+    training pairs. Plan: one equi-join on asset_id with a range
+    residual + partial-aggregated count; cues with no keyframe keep
+    their row through the left join. Oracle regenerates both sides
+    from the synthesis formulas and replays the same range join."""
+    from finetoo_sp_spark.datagen import gen_mp4_sample_assets
+    from finetoo_sp_spark.multimodal import video_sample_table
+
+    samples = video_sample_table(gen_mp4_sample_assets(spark, 64))
+    keyframes = samples.filter(F.col("is_sync")).select(
+        F.col("asset_id"),
+        (F.col("dts_ticks") * 1000 / 600).cast("long").alias("dts_ms"),
+    )
+    rng = spark.range(0, 64)
+    start = (F.col("id") * 97 + F.col("cue_idx") * 800) % 3000
+    cues = rng.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("id") % 3).cast("int"))
+        ).alias("cue_idx"),
+    ).select(
+        F.col("id").alias("asset_id"),
+        F.col("cue_idx").cast("long").alias("cue_idx"),
+        start.alias("start_ms"),
+        (start + 400 + F.col("cue_idx") * 100).alias("end_ms"),
+    )
+    joined = cues.join(
+        keyframes,
+        (cues.asset_id == keyframes.asset_id)
+        & (keyframes.dts_ms >= cues.start_ms)
+        & (keyframes.dts_ms < cues.end_ms),
+        "left",
+    )
+    return joined.groupBy(
+        cues.asset_id, "cue_idx", "start_ms", "end_ms"
+    ).agg(F.count(keyframes.dts_ms).alias("n_keyframes"))

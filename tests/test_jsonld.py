@@ -92,3 +92,37 @@ def test_subtitle_parser_shapes(spark):
     assert a2["text"] == "Line one\nLine two"
     b0 = by[("https://v.example/b.srt", 0)]
     assert (b0["start_ms"], b0["end_ms"], b0["text"]) == (1000, 2500, "SRT text")
+
+
+def test_hls_parser_shapes(spark):
+    from finetoo_sp_spark.sources.hls import parse_hls
+
+    master = (
+        "#EXTM3U\n#EXT-X-VERSION:4\n"
+        "#EXT-X-STREAM-INF:RESOLUTION=1280x720,BANDWIDTH=1500000\n"
+        "hd/index.m3u8\n"
+        "#EXT-X-STREAM-INF:BANDWIDTH=500000\n"  # no resolution attr
+        "sd/index.m3u8\n"
+    )
+    media = (
+        "#EXTM3U\n#EXT-X-TARGETDURATION:8\n"
+        "#EXTINF:7.5,\nseg0.ts\n"
+        "#EXTINF:8,\nseg1.ts\n"  # integer seconds, no fraction
+        "#EXT-X-ENDLIST\n"
+    )
+    rows = parse_hls(
+        spark.createDataFrame(
+            [("https://h.example/m.m3u8", master), ("https://h.example/p.m3u8", media)],
+            "url string, body string",
+        )
+    ).collect()
+    by = {(r["url"], r["pos"]): r for r in rows}
+    hd = by[("https://h.example/m.m3u8", 0)]
+    assert (hd["kind"], hd["item_uri"], hd["bandwidth"], hd["width"], hd["height"]) == (
+        "variant", "hd/index.m3u8", 1500000, 1280, 720
+    )
+    sd = by[("https://h.example/m.m3u8", 1)]
+    assert sd["width"] is None and sd["bandwidth"] == 500000
+    s0 = by[("https://h.example/p.m3u8", 0)]
+    assert (s0["kind"], s0["item_uri"], s0["duration_ms"]) == ("segment", "seg0.ts", 7500)
+    assert by[("https://h.example/p.m3u8", 1)]["duration_ms"] == 8000
