@@ -269,6 +269,8 @@ def main() -> None:
         "multimodal_audio_stats_24bit",
         "audio_id3_meta",
         "subtitle_cues",
+        "hls_playlist",
+        "caption_keyframe_align",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

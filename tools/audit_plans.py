@@ -599,6 +599,17 @@ CHECKS = {
         ("NO shuffle", r"!Exchange hashpartitioning"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "hls_playlist": [
+        ("tag->URI pairing is a hash equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "caption_keyframe_align": [
+        ("cue/keyframe match is an asset-keyed equi-join", r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"),
+        ("count partial-aggregates", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("sample walk is the Arrow kernel", r"MapInPandas"),
+    ],
     "multimodal_image_stats_bmp_rle": [
         ("decode runs in one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
