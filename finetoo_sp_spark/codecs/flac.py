@@ -573,3 +573,93 @@ def encode_flac(
         out += w.getvalue()
         frame_no += 1
     return bytes(out)
+
+
+def parse_flac_tags(b: bytes) -> dict:
+    """VORBIS_COMMENT metadata from a FLAC file (RFC 9639 §8.6 /
+    the Xiph VorbisComment spec) — the FLAC-side twin of ID3: walk the
+    metadata blocks after ``fLaC``, and from a type-4 block read the
+    little-endian vendor string + KEY=value list (keys case-insensitive
+    per spec). Returns {vendor, title, artist, album} with '' for
+    absent fields; files without a comment block return the vendor ''
+    dict; structural overruns raise ValueError so kernels skip."""
+    out = {"vendor": "", "title": "", "artist": "", "album": ""}
+    if len(b) < 8 or b[:4] != b"fLaC":
+        return out
+    pos = 4
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        btype, last = hdr & 0x7F, bool(hdr & 0x80)
+        size = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body_at = pos + 4
+        if body_at + size > len(b):
+            raise ValueError("FLAC metadata block overruns file")
+        if btype == 4:
+            body = b[body_at : body_at + size]
+            p = 0
+            if p + 4 > len(body):
+                raise ValueError("truncated vorbis comment")
+            vlen = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            if p + vlen + 4 > len(body):
+                raise ValueError("vorbis vendor overruns block")
+            out["vendor"] = body[p : p + vlen].decode("utf-8", "ignore")
+            p += vlen
+            n = int.from_bytes(body[p : p + 4], "little")
+            p += 4
+            for _ in range(n):
+                if p + 4 > len(body):
+                    raise ValueError("vorbis comment count overruns block")
+                clen = int.from_bytes(body[p : p + 4], "little")
+                p += 4
+                if p + clen > len(body):
+                    raise ValueError("vorbis comment overruns block")
+                kv = body[p : p + clen].decode("utf-8", "ignore")
+                p += clen
+                key, _, val = kv.partition("=")
+                k = key.lower()
+                if k in ("title", "artist", "album") and val:
+                    out[k] = val
+        pos = body_at + size
+        if last:
+            break
+    return out
+
+
+def make_vorbis_comment_block(
+    title: str = "",
+    artist: str = "",
+    album: str = "",
+    vendor: str = "finetoo-sp-spark",
+    last: bool = False,
+) -> bytes:
+    """Serialized VORBIS_COMMENT metadata block (fixture twin of
+    :func:`parse_flac_tags`); splice after STREAMINFO."""
+    comments = [
+        f"{k}={v}"
+        for k, v in (("TITLE", title), ("ARTIST", artist), ("ALBUM", album))
+        if v
+    ]
+    body = len(vendor.encode()).to_bytes(4, "little") + vendor.encode()
+    body += len(comments).to_bytes(4, "little")
+    for c in comments:
+        raw = c.encode("utf-8")
+        body += len(raw).to_bytes(4, "little") + raw
+    hdr = bytes([(0x80 if last else 0) | 4]) + len(body).to_bytes(3, "big")
+    return hdr + body
+
+
+def insert_flac_tags(flac: bytes, block: bytes) -> bytes:
+    """Insert a metadata block right after STREAMINFO, clearing the
+    STREAMINFO last-block flag so the chain stays well-formed."""
+    if flac[:4] != b"fLaC":
+        raise ValueError("not a FLAC file")
+    hdr = flac[4]
+    size = int.from_bytes(flac[5:8], "big")
+    end = 8 + size
+    was_last = bool(hdr & 0x80)
+    out = bytearray(flac)
+    out[4] = hdr & 0x7F  # STREAMINFO no longer last
+    if was_last and not (block[0] & 0x80):
+        block = bytes([block[0] | 0x80]) + block[1:]
+    return bytes(out[:end]) + block + bytes(out[end:])

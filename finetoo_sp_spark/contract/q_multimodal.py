@@ -1350,3 +1350,26 @@ def q_caption_keyframe_align(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         cues.asset_id, "cue_idx", "start_ms", "end_ms"
     ).agg(F.count(keyframes.dts_ms).alias("n_keyframes"))
+
+
+@_q(
+    "audio_tags_meta",
+    """
+SELECT i AS asset_id,
+  CASE WHEN i % 2 = 0 THEN 'mp3' ELSE 'flac' END AS container,
+  'Track ' || i AS title,
+  'Artist ' || (i % 7) AS artist,
+  CASE WHEN i % 3 = 0 THEN '' ELSE 'Album ' || (i % 4) END AS album
+FROM range(0, 60) t(i)""",
+)
+def q_audio_tags_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Container-independent audio catalog tags: ID3v2 MP3s and FLAC
+    VorbisComment files (comment block spliced after STREAMINFO with
+    the last-block flag handed over) yield ONE normalized
+    (title, artist, album) row shape — the join key surface an
+    audio-curation index builds on. Oracle relational from the id
+    formula across both containers."""
+    from finetoo_sp_spark.datagen import gen_audio_tags_assets
+    from finetoo_sp_spark.multimodal import audio_tags
+
+    return audio_tags(gen_audio_tags_assets(spark, 60))

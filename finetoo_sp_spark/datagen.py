@@ -1510,3 +1510,50 @@ def gen_mp3_id3_assets(
                 yield gen_mp3_id3_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_audio_tags_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Mixed tagged-audio corpus: even ids are ID3v2-tagged MP3s (the
+    gen_mp3_id3 matrix), odd ids FLAC files with VorbisComment blocks
+    spliced after STREAMINFO; album absent on every 3rd asset either
+    way."""
+    from finetoo_sp_spark.codecs.flac import (
+        encode_flac,
+        insert_flac_tags,
+        make_vorbis_comment_block,
+    )
+    from finetoo_sp_spark.codecs.probe import make_id3v2, make_mp3
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        title, artist = f"Track {i}", f"Artist {i % 7}"
+        album = "" if i % 3 == 0 else f"Album {i % 4}"
+        if i % 2 == 0:
+            payload = make_id3v2(
+                title, artist, album, version=3 if i % 4 == 0 else 4,
+                encoding=(0, 3)[(i // 2) % 2],
+            ) + make_mp3(3)
+        else:
+            t = np.arange(200)
+            s = np.where((t // 4) % 2 == 0, 800 + i, -(800 + i)).astype(np.int32)
+            payload = insert_flac_tags(
+                encode_flac(s, 8000),
+                make_vorbis_comment_block(title, artist, album),
+            )
+        rows.append((i, "audio", payload))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_audio_tags_assets(
+    spark: SparkSession, n: int, partitions: int = 4
+) -> DataFrame:
+    """Distributed deterministic mixed tagged-audio corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_audio_tags_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

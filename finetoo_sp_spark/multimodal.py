@@ -1045,3 +1045,53 @@ def audio_id3_meta(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=ID3_SCHEMA
     )
+
+
+TAGS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("container", StringType(), False),
+        StructField("title", StringType(), False),
+        StructField("artist", StringType(), False),
+        StructField("album", StringType(), False),
+    ]
+)
+
+
+def audio_tags(assets: DataFrame) -> DataFrame:
+    """Unified catalog tags across audio containers: ID3v2 for MP3
+    payloads, VorbisComment for FLAC — one (title, artist, album) row
+    per asset regardless of container, the shape an audio-curation
+    index actually joins on. Arrow-batched; untagged assets report
+    empty fields, corrupt tags are SKIPPED."""
+    from finetoo_sp_spark.codecs.flac import parse_flac_tags
+    from finetoo_sp_spark.codecs.probe import parse_id3v2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    if raw[:4] == b"fLaC":
+                        m = parse_flac_tags(raw)
+                        recs.append(
+                            (asset_id, "flac", m["title"], m["artist"], m["album"])
+                        )
+                    else:
+                        m = parse_id3v2(raw)
+                        recs.append(
+                            (asset_id, "mp3", m["title"], m["artist"], m["album"])
+                        )
+                except ValueError:
+                    continue
+            yield pd.DataFrame(
+                recs,
+                columns=["asset_id", "container", "title", "artist", "album"],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=TAGS_SCHEMA
+    )

@@ -260,3 +260,45 @@ def test_flac_corpus_matches_formula(spark):
         assert r["n_samples"] == n
         assert r["sumsq"] == ch * n * amp * amp
         assert r["peak"] == amp
+
+
+def test_vorbis_comment_roundtrip_and_decode_tolerance():
+    import numpy as np
+
+    from finetoo_sp_spark.codecs.flac import (
+        decode_flac,
+        encode_flac,
+        insert_flac_tags,
+        make_vorbis_comment_block,
+        parse_flac_tags,
+    )
+
+    s = np.where((np.arange(400) // 4) % 2 == 0, 1000, -1000).astype(np.int32)
+    f = encode_flac(s, 8000)
+    tagged = insert_flac_tags(
+        f, make_vorbis_comment_block("Song X", "Band 3", "LP 1")
+    )
+    assert parse_flac_tags(tagged) == {
+        "vendor": "finetoo-sp-spark", "title": "Song X",
+        "artist": "Band 3", "album": "LP 1",
+    }
+    # the spliced block must not disturb sample decode
+    _, _, _, out = decode_flac(tagged)
+    assert (out[:, 0] == s).all()
+    # untagged file: empty fields, no error
+    assert parse_flac_tags(f)["title"] == ""
+    # keys are case-insensitive; unknown keys ignored
+    blk = make_vorbis_comment_block()
+    body = b"\x03\x00\x00\x00abc" + (2).to_bytes(4, "little")
+    for kv in (b"TiTlE=mixed", b"YEAR=2026"):
+        body += len(kv).to_bytes(4, "little") + kv
+    blk = bytes([4]) + len(body).to_bytes(3, "big") + body
+    assert parse_flac_tags(insert_flac_tags(f, blk))["title"] == "mixed"
+    # overrun rejection
+    import pytest
+
+    bad = bytearray(tagged)
+    i = bad.find(b"finetoo-sp-spark")
+    bad[i - 4 : i] = (1 << 20).to_bytes(4, "little")  # vendor length blown up
+    with pytest.raises(ValueError, match="overruns"):
+        parse_flac_tags(bytes(bad))
