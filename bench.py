@@ -271,6 +271,7 @@ def main() -> None:
         "subtitle_cues",
         "hls_playlist",
         "caption_keyframe_align",
+        "audio_tags_meta",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

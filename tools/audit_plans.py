@@ -593,6 +593,10 @@ CHECKS = {
         ("tag walk is one Arrow pass, no shuffle", r"!Exchange hashpartitioning"),
         ("mapInPandas stage present", r"MapInPandas"),
     ],
+    "audio_tags_meta": [
+        ("cross-container tag walk is one Arrow pass", r"MapInPandas"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+    ],
     "subtitle_cues": [
         ("cue blocks explode JVM-side", r"Generate"),
         ("no window function (block_pos from posexplode)", r"!Window"),
