@@ -272,6 +272,7 @@ def main() -> None:
         "hls_playlist",
         "caption_keyframe_align",
         "audio_tags_meta",
+        "photo_curation_report",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -1373,3 +1373,49 @@ def q_audio_tags_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from finetoo_sp_spark.multimodal import audio_tags
 
     return audio_tags(gen_audio_tags_assets(spark, 60))
+
+
+@_q(
+    "photo_curation_report",
+    """
+WITH a AS (
+  SELECT i,
+    CASE WHEN i % 7 = 0 THEN '' ELSE 'Maker' || CAST(i % 5 AS VARCHAR) END AS make,
+    8 * (2 + i % 3) AS w0, 8 * (2 + i % 2) AS h0,
+    (i % 3 = 0) AS had_gps
+  FROM range(0, 70) t(i)
+)
+SELECT make,
+  CAST(count(*) AS BIGINT) AS n_assets,
+  CAST(sum(CASE WHEN had_gps THEN 1 ELSE 0 END) AS BIGINT) AS n_gps_scrubbed,
+  CAST(sum(CASE WHEN make <> '' AND LEAST(w0, h0) >= 24 THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_keep,
+  CAST(sum(w0 * h0) AS BIGINT) AS px_mass
+FROM a GROUP BY make""",
+)
+def q_photo_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Photo-ingest CAPSTONE: decode + EXIF + auto-orientation + GPS
+    scrub + verification run as ONE Arrow kernel pass per asset, then
+    the curation policy (provenance required: camera make present;
+    oriented min dimension >= 24; scrub verified) and a per-make
+    rollup — the report a responsible image corpus publishes. The
+    oracle recomputes every cell from the synthesis formulas; the
+    scrub column is load-bearing (n_gps_scrubbed counts assets whose
+    GPS existed AND verifiably vanished — scrub_ok gates keep)."""
+    from finetoo_sp_spark.datagen import gen_photo_assets
+    from finetoo_sp_spark.multimodal import photo_report
+
+    rep = photo_report(gen_photo_assets(spark, 70))
+    keep = (
+        (F.least("width", "height") >= 24)
+        & (F.col("make") != "")
+        & F.col("scrub_ok")
+    )
+    return rep.groupBy("make").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum((F.col("had_gps") & F.col("scrub_ok")).cast("long")).alias(
+            "n_gps_scrubbed"
+        ),
+        F.sum(keep.cast("long")).alias("n_keep"),
+        F.sum(F.col("width") * F.col("height")).alias("px_mass"),
+    )

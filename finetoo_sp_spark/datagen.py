@@ -1557,3 +1557,53 @@ def gen_audio_tags_assets(
                 yield gen_audio_tags_pandas(pdf["id"].to_numpy())
 
     return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)
+
+
+def gen_photo_pandas(ids: np.ndarray) -> pd.DataFrame:
+    """Photo-ingest capstone corpus: the bit-exact block-flat JPEGs
+    (geometry 8*(2+i%3) x 8*(2+i%2)) with EXIF orientation 1+i%8 in
+    both byte orders, GPS rationals on every 3rd asset, and camera
+    make 'Maker'+i%5 ABSENT on every 7th (the curation policy demands
+    provenance) — every branch of the photo_report kernel and the
+    keep rule lives under one oracle."""
+    from finetoo_sp_spark.codecs.exif import insert_exif, make_exif_app1
+    from finetoo_sp_spark.codecs.jpeg import encode_jpeg_baseline
+
+    rows = []
+    for i in ids:
+        i = int(i)
+        bw, bh = 2 + i % 3, 2 + i % 2
+        br = np.arange(bh)[:, None]
+        bc = np.arange(bw)[None, :]
+        vals = (128 + 2 * (((i + 7 * br + 13 * bc) % 50) - 25)).astype(np.uint8)
+        img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        gps = None
+        if i % 3 == 0:
+            gps = (
+                "N" if i % 2 == 0 else "S",
+                (i % 90, 1, i % 60, 1, (i * 7) % 6000, 100),
+                "E" if i % 4 < 2 else "W",
+                (i % 180, 1, (i * 3) % 60, 1, (i * 11) % 6000, 100),
+            )
+        app1 = make_exif_app1(
+            1 + i % 8,
+            "" if i % 7 == 0 else f"Maker{i % 5}",
+            "PhotoCam",
+            "", "",
+            gps=gps,
+            byte_order="<" if i % 2 == 0 else ">",
+        )
+        rows.append((i, "image", insert_exif(encode_jpeg_baseline(img), app1)))
+    return pd.DataFrame(rows, columns=["asset_id", "modality", "payload"])
+
+
+def gen_photo_assets(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Distributed deterministic photo-ingest corpus."""
+    rng = spark.range(0, n, 1, partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield gen_photo_pandas(pdf["id"].to_numpy())
+
+    return rng.mapInPandas(gen, schema=IMAGE_ASSETS_SCHEMA)

@@ -1095,3 +1095,66 @@ def audio_tags(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         run, schema=TAGS_SCHEMA
     )
+
+
+PHOTO_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("make", StringType(), False),
+        StructField("orientation", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("had_gps", BooleanType(), False),
+        StructField("scrub_ok", BooleanType(), False),
+    ]
+)
+
+
+def photo_report(assets: DataFrame) -> DataFrame:
+    """The photo-ingest pass a responsible image corpus runs per asset,
+    in ONE Arrow kernel: decode, read EXIF, apply auto-orientation to
+    the geometry, scrub GPS in place and verify the scrub (nothing
+    survives, length unchanged). Emits the per-asset facts the curation
+    policy and the per-make rollup consume; undecodable or
+    corrupt-EXIF assets are SKIPPED."""
+    from finetoo_sp_spark.codecs.exif import (
+        ExifError,
+        apply_orientation,
+        parse_exif_jpeg,
+        strip_gps_jpeg,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            recs = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload)
+                try:
+                    img = decode_image(raw)
+                    meta = parse_exif_jpeg(raw)
+                    o = meta["orientation"] or 1
+                    oriented = apply_orientation(img, o)
+                    scrubbed = strip_gps_jpeg(raw)
+                    after = parse_exif_jpeg(scrubbed)
+                except (ValueError, NotImplementedError, ExifError):
+                    continue
+                h, w = oriented.shape[:2]
+                recs.append(
+                    (
+                        asset_id, meta["make"], o, w, h, meta["has_gps"],
+                        (not after["has_gps"]) and len(scrubbed) == len(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[
+                    "asset_id", "make", "orientation", "width", "height",
+                    "had_gps", "scrub_ok",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema=PHOTO_SCHEMA
+    )

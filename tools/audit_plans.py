@@ -597,6 +597,13 @@ CHECKS = {
         ("cross-container tag walk is one Arrow pass", r"MapInPandas"),
         ("NO shuffle", r"!Exchange hashpartitioning"),
     ],
+    "photo_curation_report": [
+        # two MapInPandas appear by design: the synthetic-corpus
+        # generator is itself an Arrow kernel; the report pass is one
+        ("decode+EXIF+orient+scrub is ONE Arrow pass", r"MapInPandas"),
+        ("per-make rollup partial-aggregates", r"HashAggregate"),
+        ("NO cartesian product", r"!CartesianProduct"),
+    ],
     "subtitle_cues": [
         ("cue blocks explode JVM-side", r"Generate"),
         ("no window function (block_pos from posexplode)", r"!Window"),
