@@ -938,7 +938,15 @@ def q_dxf_entities_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from finetoo_sp_spark.extraction.dxf import dxf_records
 
-    docs = T(spark, sf_dir, "documents").select("doc_id")
+    # the pruned doc_id scan is one parquet file -> ONE partition, which
+    # would serialize the whole Python generate+parse pass on a single
+    # core at any scale; spread it across the session's parallelism
+    # BEFORE the Arrow kernel (measured 6.7 -> ~1 s warm at sf0.1)
+    docs = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         from finetoo_sp_spark.extraction.dxf import make_dxf
