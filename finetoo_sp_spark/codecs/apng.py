@@ -48,6 +48,13 @@ _DISPOSE_NONE, _DISPOSE_BACKGROUND, _DISPOSE_PREVIOUS = 0, 1, 2
 _BLEND_SOURCE, _BLEND_OVER = 0, 1
 
 
+def _inflate(blob: bytes) -> bytes:
+    try:
+        return zlib.decompress(blob)
+    except zlib.error as exc:  # corrupt deflate: a decode error, not a crash
+        raise ValueError(f"bad frame deflate stream: {exc}") from exc
+
+
 def _to_rgba(img: np.ndarray) -> np.ndarray:
     """Expand a decoded (H, W, C) region to RGBA (C in 1/2/3/4)."""
     h, w, ch = img.shape
@@ -168,6 +175,8 @@ def decode_apng_frames(
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
@@ -218,7 +227,7 @@ def decode_apng_frames(
     if w is None:
         raise ValueError("missing IHDR")
     if not animated:
-        img = _to_rgba(defilter_stream(zlib.decompress(bytes(idat)), w, h, ch))
+        img = _to_rgba(defilter_stream(_inflate(bytes(idat)), w, h, ch))
         return [img], [(0, 100)], -1
     if idat_ctl is not None:
         if (idat_ctl["w"], idat_ctl["h"]) != (w, h) or idat_ctl["x"] or idat_ctl["y"]:
@@ -235,7 +244,7 @@ def decode_apng_frames(
         if fx + fw > w or fy + fh > h:
             raise ValueError("frame region exceeds canvas")
         region = _to_rgba(
-            defilter_stream(zlib.decompress(bytes(ctl["data"])), fw, fh, ch)
+            defilter_stream(_inflate(bytes(ctl["data"])), fw, fh, ch)
         )
         dispose = ctl["dispose"]
         if k == 0 and dispose == _DISPOSE_PREVIOUS:

@@ -135,12 +135,16 @@ def decode_png(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            raise ValueError(f"truncated {ctype!r} chunk")
         payload = data[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
             raise ValueError(f"CRC mismatch in {ctype!r} chunk")
         pos += 12 + length
         if ctype == b"IHDR":
+            if length < 13:
+                raise ValueError("short IHDR")
             w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
             ok = (
                 comp == 0
@@ -168,7 +172,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if color == 3 and plte is None:
         raise ValueError("palette PNG without PLTE")
     samples = 1 if color == 3 else _CHANNELS[color]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:  # corrupt deflate: a decode error, not a crash
+        raise ValueError(f"bad IDAT deflate stream: {exc}") from exc
 
     def one_pass(chunk: bytes, pw: int, ph: int) -> np.ndarray:
         """Defilter + sample-expand one (sub)image -> (ph, pw, samples)
