@@ -273,6 +273,9 @@ def main() -> None:
         "caption_keyframe_align",
         "audio_tags_meta",
         "photo_curation_report",
+        "svg_asset_meta",
+        "srcset_assets",
+        "css_asset_refs",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

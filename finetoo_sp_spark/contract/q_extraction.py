@@ -1295,3 +1295,193 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(did % 2 == 0, vtt_body).otherwise(srt_body).alias("body"),
     )
     return parse_subtitles(pages)
+
+
+@_q(
+    "svg_asset_meta",
+    """
+SELECT 'https://' || source || '.example/svg/' || doc_id AS url,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 32 END AS BIGINT) AS width,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 12 + doc_id % 24 END AS BIGINT) AS height,
+  CAST(CASE WHEN doc_id % 3 <> 0 THEN 100 + doc_id % 50 END AS BIGINT) AS vb_width,
+  CAST(CASE WHEN doc_id % 3 <> 0 THEN 80 + doc_id % 40 END AS BIGINT) AS vb_height,
+  CAST(length('label ' || doc_id)
+    + CASE WHEN doc_id % 2 = 0 THEN length('icon ' || doc_id) ELSE 0 END
+  AS BIGINT) AS text_chars
+FROM documents""",
+)
+def q_svg_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SVG curation metadata — SVG is XML, not a codec gate: px
+    width/height attributes (every 3rd doc), viewBox-only geometry
+    (including negative-offset boxes and a '50%' width that must parse
+    NULL, not 50), and the visible text mass across text/tspan/title.
+    Oracle restates every field from the synthesis formula."""
+    from finetoo_sp_spark.extraction.assets import svg_meta
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<svg xmlns="http://www.w3.org/2000/svg" width="'),
+                (16 + F.col("doc_id") % 32).cast("string"),
+                F.lit('" height="'),
+                (12 + F.col("doc_id") % 24).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('<svg viewBox="0 0 '),
+                (100 + F.col("doc_id") % 50).cast("string"),
+                F.lit(" "),
+                (80 + F.col("doc_id") % 40).cast("string"),
+                F.lit('">'),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<svg width="50%" viewBox="-10 5 '),
+                (100 + F.col("doc_id") % 50).cast("string"),
+                F.lit(" "),
+                (80 + F.col("doc_id") % 40).cast("string"),
+                F.lit('">'),
+            )
+        ),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit("<title>icon "), did, F.lit("</title>")),
+        ).otherwise(F.lit("")),
+        F.lit('<text x="1" y="2">label '), did, F.lit("</text></svg>"),
+    )
+    sheets = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/svg/"), did).alias("url"),
+        body.alias("body"),
+    )
+    return svg_meta(sheets)
+
+
+@_q(
+    "srcset_assets",
+    """
+WITH u AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS BIGINT) AS img_idx, CAST(0 AS BIGINT) AS cand_idx,
+  'https://' || source || '.example/img/' || doc_id || '-a.jpg' AS asset_url,
+  'x' AS descriptor, CAST(100 AS BIGINT) AS density_centi,
+  CAST(NULL AS BIGINT) AS width_px
+FROM u
+UNION ALL
+SELECT url, 0, 1,
+  'https://' || source || '.example/img/' || doc_id || '-b.jpg',
+  'x', 200, CAST(NULL AS BIGINT) FROM u
+UNION ALL
+SELECT url, 0, 2,
+  'https://' || source || '.example/p/c-' || doc_id || '.jpg',
+  'x', 150, CAST(NULL AS BIGINT) FROM u WHERE doc_id % 3 = 0
+UNION ALL
+SELECT url, 1, 0,
+  'https://' || source || '.example/p/a-' || doc_id || '.jpg',
+  'w', CAST(NULL AS BIGINT), 480 FROM u WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url, 1, 1,
+  'https://' || source || '.example/p/b-' || doc_id || '.jpg',
+  'w', CAST(NULL AS BIGINT), 800 FROM u WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url, 1, 2,
+  'https://' || source || '.example/p/d-' || doc_id || '.jpg',
+  '', 100, CAST(NULL AS BIGINT) FROM u WHERE doc_id % 2 = 0 AND doc_id % 5 = 0""",
+)
+def q_srcset_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Responsive-image asset frontier: every srcset candidate with its
+    density/width descriptor — integer centi-density (1.5x -> 150) so
+    no float crosses the boundary — and path-relative candidates
+    resolved RFC 3986-absolute against the page. The second image (and
+    its bare default-density candidate) appears on residue classes so
+    absence branches execute. Oracle relational from the synthesis
+    parameters."""
+    from finetoo_sp_spark.extraction.assets import srcset_candidates
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    img1 = F.concat(
+        F.lit('<img srcset="/img/'), did, F.lit("-a.jpg 1x, /img/"),
+        did, F.lit("-b.jpg 2x"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(", c-"), did, F.lit(".jpg 1.5x")),
+        ).otherwise(F.lit("")),
+        F.lit('">'),
+    )
+    img2 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<img srcset="a-'), did, F.lit(".jpg 480w, b-"),
+            did, F.lit(".jpg 800w"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit(", d-"), did, F.lit(".jpg")),
+            ).otherwise(F.lit("")),
+            F.lit('">'),
+        ),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"), did).alias("url"),
+        F.concat(F.lit("<html><body>"), img1, img2, F.lit("</body></html>")).alias("html"),
+    )
+    return srcset_candidates(pages)
+
+
+@_q(
+    "css_asset_refs",
+    """
+WITH u AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example/css/main' || doc_id || '.css' AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS BIGINT) AS ref_idx,
+  'https://' || source || '.example/fonts/f' || doc_id || '.woff2' AS asset_url,
+  'url' AS via
+FROM u
+UNION ALL
+SELECT url, 1,
+  'https://' || source || '.example/css/img/bg' || doc_id || '.png', 'url'
+FROM u
+UNION ALL
+SELECT url, 2,
+  'https://' || source || '.example/css/theme' || doc_id || '.css', 'import'
+FROM u WHERE doc_id % 2 = 0""",
+)
+def q_css_asset_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stylesheet asset discovery — the fetches HTML never mentions:
+    url() tokens (bare and quoted, root- and path-relative, resolved
+    absolute against the SHEET url) and string @import targets; a
+    data: URI sits in every sheet and must be excluded. Oracle
+    relational from the synthesis parameters."""
+    from finetoo_sp_spark.extraction.assets import css_asset_urls
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("@font-face{src:url(/fonts/f"), did, F.lit(".woff2)}\n"),
+        F.lit(".bg{background:url('img/bg"), did, F.lit(".png')}\n"),
+        F.lit(".inline{background:url(data:image/png;base64,AAAA)}\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('@import "theme'), did, F.lit('.css";')),
+        ).otherwise(F.lit("")),
+    )
+    sheets = d.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example/css/main"),
+            did, F.lit(".css"),
+        ).alias("url"),
+        body.alias("body"),
+    )
+    return css_asset_urls(sheets)

@@ -126,3 +126,44 @@ def test_hls_parser_shapes(spark):
     s0 = by[("https://h.example/p.m3u8", 0)]
     assert (s0["kind"], s0["item_uri"], s0["duration_ms"]) == ("segment", "seg0.ts", 7500)
     assert by[("https://h.example/p.m3u8", 1)]["duration_ms"] == 8000
+
+
+def test_asset_discovery_shapes(spark):
+    """SVG units, srcset descriptor edge cases, CSS data:-exclusion."""
+    from finetoo_sp_spark.extraction.assets import (
+        css_asset_urls,
+        srcset_candidates,
+        svg_meta,
+    )
+
+    svg_rows = [
+        ("https://a.example/1.svg", '<svg width="42px" height="7"><text>ab</text></svg>'),
+        ("https://a.example/2.svg", '<svg width="3em" viewBox="0,0,640,480"></svg>'),
+        ("https://a.example/3.svg", "not svg at all"),
+    ]
+    out = {r["url"]: r for r in svg_meta(
+        spark.createDataFrame(svg_rows, "url string, body string")).collect()}
+    assert len(out) == 2
+    r1 = out["https://a.example/1.svg"]
+    assert (r1["width"], r1["height"], r1["text_chars"]) == (42, 7, 2)
+    r2 = out["https://a.example/2.svg"]
+    assert r2["width"] is None and (r2["vb_width"], r2["vb_height"]) == (640, 480)
+
+    pages = [("https://a.example/dir/p.html",
+              '<img srcset="x.png, /y.png 2x , z.png 300w">')]
+    cands = {r["cand_idx"]: r for r in srcset_candidates(
+        spark.createDataFrame(pages, "url string, html string")).collect()}
+    assert cands[0]["asset_url"] == "https://a.example/dir/x.png"
+    assert (cands[0]["descriptor"], cands[0]["density_centi"]) == ("", 100)
+    assert cands[1]["asset_url"] == "https://a.example/y.png"
+    assert cands[1]["density_centi"] == 200
+    assert (cands[2]["descriptor"], cands[2]["width_px"]) == ("w", 300)
+
+    css = [("https://a.example/s/m.css",
+            "a{background:url(data:image/gif;base64,R0)} "
+            "b{src:url(../f.woff)} @import 'x.css';")]
+    refs = {r["ref_idx"]: r for r in css_asset_urls(
+        spark.createDataFrame(css, "url string, body string")).collect()}
+    assert len(refs) == 2  # data: excluded before indexing
+    assert refs[0]["asset_url"] == "https://a.example/f.woff"
+    assert (refs[1]["asset_url"], refs[1]["via"]) == ("https://a.example/s/x.css", "import")

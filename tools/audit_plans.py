@@ -597,6 +597,21 @@ CHECKS = {
         ("cross-container tag walk is one Arrow pass", r"MapInPandas"),
         ("NO shuffle", r"!Exchange hashpartitioning"),
     ],
+    "svg_asset_meta": [
+        ("regexp lifts stay JVM-side", r"!BatchEvalPython"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("NO join", r"!Join"),
+    ],
+    "srcset_assets": [
+        ("candidate explode is JVM-side", r"Generate"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
+    "css_asset_refs": [
+        ("ref explode is JVM-side", r"Generate"),
+        ("NO shuffle", r"!Exchange hashpartitioning"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "photo_curation_report": [
         # two MapInPandas appear by design: the synthetic-corpus
         # generator is itself an Arrow kernel; the report pass is one
