@@ -276,6 +276,7 @@ def main() -> None:
         "svg_asset_meta",
         "srcset_assets",
         "css_asset_refs",
+        "link_icon_assets",
     ]
     qs = contract.queries()
     # best-of-N per query (default 2): a single cold sample on this

@@ -1485,3 +1485,66 @@ def q_css_asset_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         body.alias("body"),
     )
     return css_asset_urls(sheets)
+
+
+@_q(
+    "link_icon_assets",
+    """
+WITH u AS (
+  SELECT doc_id, source,
+    'https://' || source || '.example/p/' || doc_id AS url
+  FROM documents
+)
+SELECT url, CAST(0 AS BIGINT) AS idx,
+  'https://' || source || '.example/favicon.ico' AS icon_url,
+  CASE WHEN doc_id % 5 = 0 THEN 'shortcut icon' ELSE 'icon' END AS rel,
+  CAST(NULL AS BIGINT) AS size_w, CAST(NULL AS BIGINT) AS size_h
+FROM u
+UNION ALL
+SELECT url, 1,
+  'https://' || source || '.example/p/icons/i' || doc_id || '.png',
+  'icon', 32, 32
+FROM u WHERE doc_id % 2 = 0
+UNION ALL
+SELECT url, CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END,
+  'https://' || source || '.example/t' || doc_id || '.png',
+  'apple-touch-icon', 180, 180
+FROM u WHERE doc_id % 3 = 0""",
+)
+def q_link_icon_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Favicon/touch-icon fetch frontier (feeds the ICO/PNG decode
+    path): rel token matching ('shortcut icon' lifts, 'stylesheet'
+    never does), document-order indexing across variants, sizes
+    attributes parsed to integers, path-relative hrefs resolved
+    against the page. Oracle relational from the synthesis
+    parameters."""
+    from finetoo_sp_spark.extraction.assets import link_icons
+
+    d = T(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="c.css">'),
+        F.lit('<link rel="'),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("shortcut icon")).otherwise(F.lit("icon")),
+        F.lit('" href="/favicon.ico">'),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit('<link rel="icon" href="icons/i'), did,
+                F.lit('.png" sizes="32x32">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit('<link rel="apple-touch-icon" sizes="180x180" href="/t'),
+                did, F.lit('.png">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit(".example/p/"), did).alias("url"),
+        html.alias("html"),
+    )
+    return link_icons(pages)

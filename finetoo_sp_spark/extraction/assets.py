@@ -168,3 +168,56 @@ def css_asset_urls(
     return resolve_refs(e, "url", "_ref", "asset_url").select(
         "url", "ref_idx", "asset_url", "via"
     )
+
+
+def link_icons(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, idx, icon_url, rel, size_w, size_h) per icon declaration —
+    the favicon/touch-icon fetch frontier that feeds the ICO/PNG
+    decoders: ``<link rel="icon|shortcut icon|apple-touch-icon">``
+    elements in document order, href resolved RFC 3986-absolute, the
+    FIRST ``WxH`` of a ``sizes`` attribute parsed to integers (``any``
+    and absent -> NULL). Stylesheet/alternate links never lift."""
+    from finetoo_sp_spark.operators.urlnorm import resolve_refs
+
+    tags = F.expr(
+        f"""regexp_extract_all(CAST({html_col} AS STRING),
+            '(?is)<link\\\\s[^>]*>', 0)"""
+    )
+    e = pages.select(
+        F.col(url_col).alias("url"), F.posexplode(tags).alias("_pos", "_t")
+    )
+    rel = F.lower(
+        F.regexp_extract("_t", r"""(?i)\brel\s*=\s*["']([^"']+)["']""", 1)
+    )
+    href = F.regexp_extract("_t", r"""(?i)\bhref\s*=\s*["']([^"']+)["']""", 1)
+    size_w = F.nullif(
+        F.regexp_extract("_t", r"""(?i)\bsizes\s*=\s*["'](\d+)[xX]\d+""", 1),
+        F.lit(""),
+    ).cast("long")
+    size_h = F.nullif(
+        F.regexp_extract("_t", r"""(?i)\bsizes\s*=\s*["']\d+[xX](\d+)""", 1),
+        F.lit(""),
+    ).cast("long")
+    rows = (
+        e.select(
+            "url", F.col("_pos").alias("_pos"), rel.alias("rel"),
+            href.alias("_ref"), size_w.alias("size_w"), size_h.alias("size_h"),
+        )
+        .filter(
+            F.col("rel").rlike(r"(^|\s)(icon|apple-touch-icon)(\s|$)")
+            & (F.col("_ref") != "")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("_pos")
+    rows = rows.select(
+        "url",
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        "_ref", "rel", "size_w", "size_h",
+    )
+    return resolve_refs(rows, "url", "_ref", "icon_url").select(
+        "url", "idx", "icon_url", "rel", "size_w", "size_h"
+    )

@@ -607,6 +607,12 @@ CHECKS = {
         ("NO shuffle", r"!Exchange hashpartitioning"),
         ("no Python row UDF", r"!BatchEvalPython"),
     ],
+    "link_icon_assets": [
+        ("link-tag explode is JVM-side", r"Generate"),
+        ("one partition-local window for document order", r"Window"),
+        ("NO cartesian product", r"!CartesianProduct"),
+        ("no Python row UDF", r"!BatchEvalPython"),
+    ],
     "css_asset_refs": [
         ("ref explode is JVM-side", r"Generate"),
         ("NO shuffle", r"!Exchange hashpartitioning"),
